@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic numeric helpers.
+  *
+  * `fround` replaces `round()` for any double derived from division:
+  * Spark rounds via BigDecimal HALF_UP of the double's shortest decimal
+  * representation while DuckDB rounds the decimal string half-away —
+  * they disagree on values like 0.335 (→0.33 vs →0.34). `floor(x*10^d +
+  * 0.5)/10^d` is pure IEEE-754 arithmetic, bit-identical on any engine,
+  * so the differential oracle can mirror it exactly. Positive inputs
+  * only (all our derived metrics are ≥ 0). */
+object Num {
+  def fround(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
+  /** SQL text of the same expression, for oracle queries. */
+  def froundSql(inner: String, digits: Int): String = {
+    val p = math.pow(10, digits).toLong
+    s"floor(($inner) * $p + 0.5) / $p"
+  }
+}
+
+/** Text-pipeline column functions: tokenization, shingling, MinHash,
+  * SimHash, fingerprints, language scoring, quality metrics.
+  *
+  * All built from codegen'd built-ins (split/transform/aggregate/md5) —
+  * no UDFs in the hot path, so whole-stage codegen spans the full
+  * projection. Hashes are md5-based (not Spark's murmur `hash()`)
+  * because md5 is defined identically in every engine, which keeps the
+  * DuckDB differential oracle exact.
+  *
+  * Scale: every function here is a narrow per-row map — no shuffle, no
+  * driver involvement — so they pipeline into whatever scan/join/agg
+  * surrounds them at any data size.
+  */
+object TextFns {
+  /** Whitespace tokens. Reference tokenizes the same way for name
+    * matching (transformer_loader/main.py:62-73 lower/strip). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles as space-joined strings; documents shorter than k
+    * tokens fall back to a single whole-text shingle (so MinHash stays
+    * defined). `toksCol` must name a column holding the token array. */
+  def shingleExpr(toksCol: String, k: Int): Column =
+    when(size(col(toksCol)) >= k,
+      expr(s"transform(sequence(0, size($toksCol) - $k), i -> array_join(slice($toksCol, i + 1, $k), ' '))"))
+      .otherwise(array(concat_ws(" ", col(toksCol))))
+
+  /** DuckDB mirror of [[shingleExpr]] over a list-of-varchar column. */
+  def shingleSql(toks: String, k: Int): String =
+    s"""CASE WHEN len($toks) >= $k
+        THEN [array_to_string($toks[i:i+${k - 1}], ' ') for i in generate_series(1, len($toks) - ${k - 1})]
+        ELSE [array_to_string($toks, ' ')] END"""
+
+  /** MinHash value #i over a shingle-array column: the lexicographic
+    * min of md5("<i>|" + shingle). String-min of fixed-width hex is
+    * order-isomorphic to the numeric hash min, and avoids any
+    * engine-specific integer hash. */
+  def minhash(shinglesCol: String, i: Int): Column =
+    expr(s"array_min(transform($shinglesCol, s -> md5(concat('$i|', s))))")
+
+  def minhashSql(shingles: String, i: Int): String =
+    s"list_min([md5('$i|' || s) for s in $shingles])"
+
+  /** Content fingerprint: md5 of whitespace-collapsed lower-cased text
+    * (the exact-dedup key; reference analog: unique matchId index,
+    * extractor/main.py:513). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  val fingerprintSql: String =
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  /** 16-bit SimHash over the token multiset. Per token, a 16-bit hash
+    * from the md5 hex prefix; bit b of the signature is 1 iff the sum
+    * of (+1/-1) votes over tokens is positive. */
+  def simhash16(toksCol: String): Column = {
+    val hs = s"transform($toksCol, t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
+    (0 until 16).map { b =>
+      when(expr(s"aggregate($hs, 0, (acc, h) -> acc + CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)") > 0,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  def simhash16Sql(toks: String): String = {
+    val hs = s"[('0x' || substr(md5(t), 1, 4))::INT for t in $toks]"
+    (0 until 16).map { b =>
+      s"(CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END for h in $hs]) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+}
+
+/** Embedding-vector column functions (cosine similarity, norms,
+  * random-hyperplane LSH) over `array<float>` columns, computed in
+  * double via codegen'd higher-order functions — no UDF.
+  *
+  * The LSH hyperplanes are a deterministic integer formula (not a
+  * seeded RNG) so the DuckDB oracle can regenerate them exactly:
+  * w[i][j] = ((i * 2654435761 + j * 40503) mod 1009) - 504, a
+  * Weyl-style mix giving roughly uniform weights in [-504, 504].
+  */
+object VectorFns {
+  /** Σ v[i]^2 accumulated left-to-right in double. */
+  def normSq(embCol: String): Column =
+    expr(s"aggregate($embCol, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+  def normSqSql(emb: String): String =
+    s"list_sum([x * x for x in $emb])"
+
+  /** Dot product of two same-length array columns, in double. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  def dotSql(a: String, b: String): String =
+    s"list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"
+
+  /** Signed projection onto deterministic hyperplane j. */
+  def hyperplaneDot(embCol: String, j: Int): Column =
+    expr(s"aggregate(sequence(0, size($embCol) - 1), 0D, " +
+      s"(acc, i) -> acc + CAST(element_at($embCol, i + 1) AS DOUBLE) * CAST(((i * 2654435761L + $j * 40503L) % 1009) - 504 AS DOUBLE))")
+
+  def hyperplaneDotSql(emb: String, j: Int): String =
+    s"list_sum([$emb[i] * ((((i - 1) * 2654435761 + $j * 40503) % 1009) - 504) for i in generate_series(1, len($emb))])"
+
+  /** LSH bucket id from `nBits` hyperplane sign bits. At 100 TB this is
+    * the blocking key that turns an O(n²) similarity join into a
+    * per-bucket join (SURVEY.md §7.4: never full cross-join at scale). */
+  def lshBucket(embCol: String, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      when(hyperplaneDot(embCol, j) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def lshBucketSql(emb: String, nBits: Int): String =
+    (0 until nBits).map { j =>
+      s"(CASE WHEN ${hyperplaneDotSql(emb, j)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+}

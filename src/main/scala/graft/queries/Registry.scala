@@ -1,0 +1,9 @@
+package graft.queries
+
+/** All named operator queries, one place. SparkEntry derives its
+  * `queries`/`oracleSql` maps from here; each group file documents which
+  * SURVEY.md §2 operators it covers. */
+object Registry {
+  def all: Seq[QueryDef] =
+    Core.defs ++ Text.defs ++ Vectors.defs ++ Events.defs
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Num, TextFns}
+
+/** Text-analysis + document-dedup operator family over the `documents`
+  * table — the LLM-data-pipeline surface (BASELINE.json north star):
+  * fingerprinting, exact dedup, MinHash+LSH near-dedup, n-gram Jaccard
+  * similarity join, SimHash, token counting, quality scoring, language
+  * ID. The reference's closest analogs are its idempotent-ingest dedup
+  * (extractor/main.py:413-414,513) and normalized-name matching
+  * (transformer_loader/main.py:62-73); everything beyond that is the
+  * at-scale extension surface mandated by the blueprint (SURVEY.md §7.2
+  * step 5).
+  *
+  * Scale design: all per-doc signatures are narrow map-side projections;
+  * pair generation NEVER crosses the full corpus — candidates come from
+  * LSH band buckets (q32) or explicit blocking keys (q33), so the join
+  * fan-out is bounded per bucket, which is the property that survives
+  * a 100 TB corpus (full cross-join would not).
+  */
+object Text {
+
+  private val STOPWORDS = Seq("the", "a", "and", "of", "to", "in")
+  private def stopList = STOPWORDS.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // Language marker sets for the n-gram-heuristic language ID. (The
+  // synthetic corpus shares one vocabulary across langs, so this checks
+  // the *operator plumbing* — identical heuristic both engines.)
+  private val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+    "de" -> Seq("der", "die", "und"),
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Document fingerprinting (rolling-hash analog): raw + normalized
+    // content hashes, the keys for exact dedup.
+    QueryDef(
+      "q27_doc_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("fp_raw"),
+            TextFns.fingerprint(col("text")).as("fp_norm"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, md5(text) AS fp_raw,
+               ${TextFns.fingerprintSql} AS fp_norm
+               FROM documents ORDER BY doc_id"""),
+    ),
+
+    // Exact dedup: first-seen-wins on the normalized fingerprint, with
+    // the group size carried along. Reference analog: unique matchId
+    // ingest dedup (extractor/main.py:413-414).
+    QueryDef(
+      "q28_doc_exact_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val fp = TextFns.fingerprint(col("text"))
+        val byFp = Window.partitionBy(col("fp_norm"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fp.as("fp_norm"))
+          .withColumn("n_copies", count(lit(1)).over(byFp))
+          .withColumn("rn", row_number().over(byFp.orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fps AS (
+                 SELECT doc_id, ${TextFns.fingerprintSql} AS fp_norm FROM documents)
+               SELECT doc_id, fp_norm,
+                      count(*) OVER (PARTITION BY fp_norm) AS n_copies
+               FROM fps
+               QUALIFY row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id) = 1
+               ORDER BY doc_id"""),
+    ),
+
+    // Token counting: whitespace tokens + a BPE-ish regex token count
+    // (letter runs / digit runs / single punctuation marks).
+    QueryDef(
+      "q29_doc_token_count",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"),
+            length(col("text")).as("n_chars_actual"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+              len(string_split(text, ' ')) AS n_ws_tokens,
+              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+              length(text) AS n_chars_actual
+              FROM documents ORDER BY doc_id"""),
+    ),
+
+    // Quality scoring: length/stopword/type-token-ratio heuristics.
+    QueryDef(
+      "q30_doc_quality",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val nStop = size(filter(toks, t => t.isin(STOPWORDS.map(x => x: Any): _*))).cast("double")
+        val nDistinct = size(array_distinct(toks)).cast("double")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            Num.fround(nStop / nTok, 4).as("stop_ratio"),
+            Num.fround(nDistinct / nTok, 4).as("ttr"),
+            Num.fround(least(lit(1.0), nTok / 100.0) * (lit(1.0) - nStop / nTok), 4).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+                 SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+               SELECT doc_id, len(ws) AS n_tokens,
+               ${Num.froundSql(s"len(list_filter(ws, t -> t IN $stopList)) / len(ws)::DOUBLE", 4)} AS stop_ratio,
+               ${Num.froundSql("len(list_distinct(ws)) / len(ws)::DOUBLE", 4)} AS ttr,
+               ${Num.froundSql(s"least(1.0, len(ws) / 100.0) * (1.0 - len(list_filter(ws, t -> t IN $stopList)) / len(ws)::DOUBLE)", 4)} AS quality
+               FROM t ORDER BY doc_id"""),
+    ),
+
+    // Language ID by marker-word scoring with a deterministic
+    // preference order on ties.
+    QueryDef(
+      "q31_doc_langid",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val scores = LANG_MARKERS.map { case (lang, markers) =>
+          lang -> size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+        }
+        val allZero = scores.map(_._2 === 0).reduce(_ && _)
+        val predicted = scores.foldRight(lit("und")) { case ((lang, sc), alt) =>
+          when(!allZero && scores.map(_._2).reduce(greatest(_, _)) === sc, lit(lang)).otherwise(alt)
+        }
+        Tables.documents(s, dir)
+          .select((Seq(col("doc_id")) ++
+            scores.map { case (l, c) => c.as(s"score_$l") } :+
+            predicted.as("predicted") :+ col("lang").as("labeled")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scoreSql = LANG_MARKERS.map { case (lang, markers) =>
+          val set = markers.map(m => s"'$m'").mkString("(", ", ", ")")
+          lang -> s"len(list_filter(ws, t -> t IN $set))"
+        }
+        val scoreCols = scoreSql.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n               ")
+        val maxAll = "greatest(" + scoreSql.map(s => s"score_${s._1}").mkString(", ") + ")"
+        val whens = scoreSql.map { case (l, _) =>
+          s"WHEN NOT ($maxAll = 0) AND score_$l = $maxAll THEN '$l'"
+        }.mkString("\n                 ")
+        s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+            scored AS (SELECT doc_id, lang,
+               $scoreCols
+               FROM t)
+            SELECT doc_id, score_en, score_fr, score_es, score_de,
+              CASE $whens ELSE 'und' END AS predicted,
+              lang AS labeled
+            FROM scored ORDER BY doc_id"""
+      },
+    ),
+
+    // MinHash signatures: 8 md5-derived minhashes over word 3-shingles.
+    QueryDef(
+      "q32_minhash_signature",
+      (s, dir) => {
+        val sigCols = (0 until 8).map(i => TextFns.minhash("shingles", i).as(s"mh_$i"))
+        Tables.documents(s, dir)
+          .withColumn("toks", TextFns.tokens(col("text")))
+          .withColumn("shingles", TextFns.shingleExpr("toks", 3))
+          .select((col("doc_id") +: sigCols): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sigs = (0 until 8).map(i => s"${TextFns.minhashSql("shingles", i)} AS mh_$i")
+          .mkString(",\n               ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT doc_id, ${TextFns.shingleSql("ws", 3)} AS shingles FROM t)
+            SELECT doc_id,
+               $sigs
+            FROM sh ORDER BY doc_id"""
+      },
+    ),
+
+    // MinHash + LSH near-dup candidate pairs, verified with exact
+    // shingle-set Jaccard. 8 minhashes in 2 bands of 4: docs collide in
+    // a band iff all 4 minhashes agree (~J^4 per band), so buckets stay
+    // small and the pair join is bounded — the property that matters at
+    // 100 TB. Candidates are then verified with the true Jaccard ≥ 0.5.
+    QueryDef(
+      "q33_minhash_lsh_pairs",
+      (s, dir) => {
+        val sigCols = Seq(col("doc_id"), col("shingles")) ++
+          (0 until 8).map(i => TextFns.minhash("shingles", i).as(s"mh_$i"))
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", TextFns.tokens(col("text")))
+          .withColumn("shingles", TextFns.shingleExpr("toks", 3))
+          .select(sigCols: _*)
+        val banded = docs.select(col("doc_id"), col("shingles"),
+          explode(array(
+            concat_ws("|", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
+            concat_ws("|", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7")),
+          )).as("band"))
+        val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("band"))
+        val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("band"))
+        val inter = size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double")
+        val uni = (size(array_distinct(col("sh_a"))) + size(array_distinct(col("sh_b")))).cast("double") - inter
+        a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            Num.fround(inter / uni, 4).as("jaccard"))
+          .distinct()
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val sigs = (0 until 8).map(i => s"${TextFns.minhashSql("shingles", i)} AS mh_$i")
+          .mkString(", ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT doc_id, ${TextFns.shingleSql("ws", 3)} AS shingles FROM t),
+            sig AS (SELECT doc_id, shingles, $sigs FROM sh),
+            banded AS (
+              SELECT doc_id, shingles, band FROM sig,
+              UNNEST(['b0|' || mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3,
+                      'b1|' || mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7]) AS u(band)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                ${Num.froundSql(
+            """len(list_filter(list_distinct(a.shingles), x -> list_contains(b.shingles, x)))
+                   / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                      - len(list_filter(list_distinct(a.shingles), x -> list_contains(b.shingles, x))))::DOUBLE""", 4)} AS jaccard
+              FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM pairs
+            WHERE jaccard >= 0.5
+            ORDER BY doc_a, doc_b"""
+      },
+    ),
+
+    // Blocked n-gram (unigram-set) Jaccard similarity join: explicit
+    // blocking on (lang, source) bounds the pair fan-out per block —
+    // the blocking-key pattern for similarity joins at scale.
+    QueryDef(
+      "q34_ngram_jaccard_blocked",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(TextFns.tokens(col("text"))).as("tokset"))
+        val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("tokset").as("ts_a"))
+        val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("tokset").as("ts_b"))
+        val inter = size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
+        val uni = (size(col("ts_a")) + size(col("ts_b"))).cast("double") - inter
+        a.join(b, Seq("lang", "source")).filter(col("doc_a") < col("doc_b"))
+          .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+            Num.fround(inter / uni, 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH t AS (
+                 SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+                 FROM documents)
+               SELECT a.lang AS lang, a.source AS source,
+                 a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 ${Num.froundSql(
+          """len(list_filter(a.tokset, x -> list_contains(b.tokset, x)))
+                    / (len(a.tokset) + len(b.tokset)
+                       - len(list_filter(a.tokset, x -> list_contains(b.tokset, x))))::DOUBLE""", 4)} AS jaccard
+               FROM t a JOIN t b
+                 ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+               WHERE ${Num.froundSql(
+          """len(list_filter(a.tokset, x -> list_contains(b.tokset, x)))
+                    / (len(a.tokset) + len(b.tokset)
+                       - len(list_filter(a.tokset, x -> list_contains(b.tokset, x))))::DOUBLE""", 4)} >= 0.8
+               ORDER BY lang, source, doc_a, doc_b"""),
+    ),
+
+    // SimHash signatures (16-bit) over the token multiset.
+    QueryDef(
+      "q35_simhash",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("toks", TextFns.tokens(col("text")))
+          .select(col("doc_id"), TextFns.simhash16("toks").as("simhash"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+               SELECT doc_id, ${TextFns.simhash16Sql("toks")} AS simhash
+               FROM t ORDER BY doc_id"""),
+    ),
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{Num, VectorFns}
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim): brute-force cosine top-k as the correctness
+  * baseline, and random-hyperplane-LSH-bucketed ANN as the scale path.
+  * Cosines are computed in double via codegen'd higher-order functions
+  * (`aggregate`/`zip_with`) — no UDF, no driver-side math.
+  *
+  * Scale design: brute-force is broadcast(small probe set) × corpus —
+  * linear in corpus size, no shuffle of the corpus. The LSH variant
+  * buckets the corpus by 8 hyperplane sign bits, so the candidate join
+  * fans out only within a bucket (~1/256 of the corpus per probe),
+  * which is what survives a 100 TB corpus; at production scale the
+  * bucketed table would also be storage-partitioned by bucket.
+  */
+object Vectors {
+
+  private val N_PROBES = 8
+
+  private def corpus(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorFns.normSq("embedding").as("nsq"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-label vector stats: counts and mean L2 norm.
+    QueryDef(
+      "q36_embedding_label_stats",
+      (s, dir) =>
+        corpus(s, dir)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            Num.fround(avg(sqrt(col("nsq"))), 4).as("avg_norm"))
+          .orderBy(col("label")),
+      Some(s"""WITH t AS (
+                 SELECT label, sqrt(${VectorFns.normSqSql("embedding::DOUBLE[]")}) AS nrm
+                 FROM embeddings)
+               SELECT label, count(*) AS n,
+                 ${Num.froundSql("avg(nrm)", 4)} AS avg_norm
+               FROM t GROUP BY label ORDER BY label"""),
+    ),
+
+    // Brute-force cosine top-k: the exact baseline. Probes (vec_id <
+    // N_PROBES) are broadcast against the corpus; rank by rounded
+    // similarity with vec_id tiebreak so the order is total and
+    // engine-independent.
+    QueryDef(
+      "q37_cosine_topk_bruteforce",
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val probes = c.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val sim = Num.fround(
+          VectorFns.dot("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id < $N_PROBES),
+               sims AS (
+                 SELECT probe_id, vec_id,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                 FROM c, p WHERE vec_id <> probe_id)
+               SELECT probe_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+               FROM sims
+               QUALIFY rank <= 5
+               ORDER BY probe_id, rank"""),
+    ),
+
+    // LSH-bucketed ANN: candidates restricted to the probe's hyperplane
+    // bucket, then exact cosine within the bucket.
+    QueryDef(
+      "q38_ann_lsh_bucketed",
+      (s, dir) => {
+        val c = corpus(s, dir)
+          .withColumn("bucket", VectorFns.lshBucket("embedding", 8))
+        val probes = c.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nsq").as("p_nsq"), col("bucket"))
+        val sim = Num.fround(
+          VectorFns.dot("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        c.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("bucket"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
+                        ${VectorFns.lshBucketSql("(embedding::DOUBLE[])", 8)} AS bucket
+                 FROM embeddings),
+               p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, bucket
+                     FROM c WHERE vec_id < $N_PROBES),
+               sims AS (
+                 SELECT probe_id, vec_id, c.bucket AS bucket,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                 FROM c JOIN p ON c.bucket = p.bucket AND c.vec_id <> p.probe_id)
+               SELECT probe_id, vec_id, bucket, sim,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+               FROM sims
+               QUALIFY rank <= 3
+               ORDER BY probe_id, rank"""),
+    ),
+
+    // Embedding-cosine near-dup pairs, LSH-bucket-blocked: same-bucket
+    // pairs with cosine above threshold (the embedding analog of q33).
+    QueryDef(
+      "q39_cosine_neardup_pairs",
+      (s, dir) => {
+        val c = corpus(s, dir)
+          .withColumn("bucket", VectorFns.lshBucket("embedding", 8))
+        val a = c.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+        val b = c.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+        val sim = Num.fround(
+          VectorFns.dot("emb_a", "emb_b") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))), 4)
+        a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), sim.as("sim"))
+          .filter(col("sim") >= 0.6)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
+                        ${VectorFns.lshBucketSql("(embedding::DOUBLE[])", 8)} AS bucket
+                 FROM embeddings),
+               sims AS (
+                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ${Num.froundSql(s"${VectorFns.dotSql("a.emb", "b.emb")} / (sqrt(a.nsq) * sqrt(b.nsq))", 4)} AS sim
+                 FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+               SELECT vec_a, vec_b, sim FROM sims
+               WHERE sim >= 0.6
+               ORDER BY vec_a, vec_b"""),
+    ),
+  )
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle differential check.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (dumped by graft.Verify), runs each
+SQL in DuckDB over the parquet tables in <sfDir>, loads the Spark result
+parquet from <verifyOutDir>/<name>/, sorts columns by name on both
+sides, and compares row-by-row. Prints a per-query PASS/FAIL summary.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+from pathlib import Path
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def frame_rows(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_dir = Path(out_dir, name)
+        if not spark_dir.exists():
+            print(f"MISSING  {name} (no spark output)")
+            n_fail += 1
+            continue
+        try:
+            duck = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"ORAFAIL  {name}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        files = sorted(spark_dir.glob("*.parquet"))
+        spark = pd.concat([pq.read_table(f).to_pandas() for f in files]) if files else pd.DataFrame()
+        ok = True
+        reasons = []
+        if sorted(duck.columns) != sorted(spark.columns):
+            ok = False
+            reasons.append(f"cols duck={sorted(duck.columns)} spark={sorted(spark.columns)}")
+        elif len(duck) != len(spark):
+            ok = False
+            reasons.append(f"rows duck={len(duck)} spark={len(spark)}")
+        else:
+            a, b = frame_rows(duck), frame_rows(spark)
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x != y:
+                    ok = False
+                    reasons.append(f"row {i}: duck={x} spark={y}")
+                    if len(reasons) >= 4:
+                        break
+        if ok:
+            n_pass += 1
+            print(f"PASS     {name} ({len(spark)} rows)")
+        else:
+            n_fail += 1
+            print(f"FAIL     {name}: " + " | ".join(reasons[:4]))
+    print(f"\n{n_pass} pass / {n_fail} fail of {n_pass + n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
