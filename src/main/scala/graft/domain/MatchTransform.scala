@@ -1,0 +1,167 @@
+package graft.domain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.NormalizeNFKC
+
+/** The analytical core of the reference — `run_transform_job`
+  * (transformer_loader/main.py:76-192) — as ONE declarative DataFrame
+  * program instead of a row-at-a-time poll loop with 2-4 Mongo
+  * round-trips per row (SURVEY.md §3 E2).
+  *
+  * Shape: bronze.filter(unprocessed) → null-guard → posexplode
+  * participants → LEFT broadcast-join the summoners dim → 3-tier match
+  * scoring → row_number over (matchId, puuid | tier, pos) = 1 → derived
+  * projection. The only exchanges are the entity-resolution window
+  * (partitioned by match key — bounded partitions at any scale) and the
+  * gold group-by; the dim join is broadcast so the bronze fact never
+  * shuffles for it.
+  *
+  * Semantics preserved exactly (reference file:line cited inline):
+  * tier 1 = raw PUUID equality (:102); tier 2 = NFKC-normalized Riot ID
+  * with "accept missing tag" asymmetry (:117-124); tier 3 = normalized
+  * legacy summoner name (:127-131); tiers 2-3 require the dim row to
+  * exist with a "Name#Tag" shaped name (:108-113); first participant in
+  * array order wins within a tier (`next(...)`); unmatched or malformed
+  * rows are dropped-but-consumed (:95-97, :134-145).
+  */
+object MatchTransform {
+
+  /** Tier column used by tests to assert preference ordering. */
+  val TierCol = "match_tier"
+
+  /** Bronze (+ summoners dim) → silver rows (matches_clean shape). */
+  def silver(bronze: DataFrame, summoners: DataFrame): DataFrame = {
+    val spark = bronze.sparkSession
+    NormalizeNFKC.register(spark)
+    val nrm = NormalizeNFKC.normCol _
+
+    // F1 incremental scan (batch parity for the processed flag; the
+    // streaming pipeline replaces it with checkpoint offsets) + F7
+    // null-guard (:83, :95-97).
+    val valid = bronze
+      .filter(col("processed") === false)
+      .filter(col("raw").isNotNull && col("raw.info").isNotNull
+        && col("raw.info.participants").isNotNull)
+
+    val exploded = valid.select(
+      col("matchId"), col("puuid"),
+      col("raw.info.queueId").as("queueId"),
+      col("raw.info.gameDuration").as("gameDuration"),
+      col("raw.info.gameCreation").as("gameCreation"),
+      col("raw.info.gameEndTimestamp").as("gameEndTimestamp"),
+      col("raw.info.participants").as("all_participants"),
+      posexplode(col("raw.info.participants")).as(Seq("pos", "p")))
+
+    // J1 dim lookup — LEFT join: tier 1 must fire even when the dim row
+    // is missing (the reference consults summoners only on fallback).
+    val dim = summoners.select(
+      col("puuid").as("s_puuid"), col("summonerName").as("s_name"))
+    val joined = exploded.join(broadcast(dim), col("puuid") === col("s_puuid"), "left")
+
+    // Name#Tag decomposition of the dim name (:112-114).
+    val hasTag = col("s_name").isNotNull && col("s_name").contains("#")
+    val targetGameName = nrm(substring_index(col("s_name"), "#", 1))
+    val targetTagLine = nrm(substring_index(col("s_name"), "#", -1))
+
+    // Python truthiness: `not p.get("riotIdTagLine")` accepts None OR ""
+    // (:122) — the asymmetric null handling SURVEY.md §7.4 warns about.
+    val pTag = col("p.riotIdTagLine")
+    val tagOk = (nrm(pTag) === targetTagLine) || pTag.isNull || (pTag === "")
+
+    val tier = when(col("p.puuid") === col("puuid"), 1) // :102 master-PUUID probe
+      .when(hasTag && (nrm(col("p.riotIdGameName")) === targetGameName) && tagOk, 2) // :117-124
+      .when(hasTag && (nrm(col("p.summonerName")) === targetGameName), 3) // :127-131
+    val best = Window.partitionBy(col("matchId"), col("puuid"))
+      .orderBy(col(TierCol), col("pos"))
+
+    val matched = joined
+      .withColumn(TierCol, tier)
+      .filter(col(TierCol).isNotNull)
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+
+    // STANDARD EXTRACTION (:147-177). Python `or` chains treat "" as
+    // missing, hence nullif; numeric defaults mirror .get(k, 0).
+    val kills = coalesce(col("p.kills"), lit(0))
+    val deaths = coalesce(col("p.deaths"), lit(0))
+    val assists = coalesce(col("p.assists"), lit(0))
+    val cs = coalesce(col("p.totalMinionsKilled"), lit(0)) +
+      coalesce(col("p.neutralMinionsKilled"), lit(0))
+    val duration = coalesce(col("gameDuration"), lit(1L)) // .get("gameDuration", 1)
+    val itemsArr = array((0 to 6).map(i => coalesce(col(s"p.item$i"), lit(0))): _*)
+
+    val participantsExt = transform(col("all_participants"), p => {
+      val name = coalesce(nullif(p.getField("riotIdGameName"), lit("")),
+        nullif(p.getField("summonerName"), lit("")), lit("Unknown"))
+      val tag = p.getField("riotIdTagLine")
+      val fullName = when(tag.isNotNull && tag =!= "", concat(name, lit("#"), tag)).otherwise(name)
+      struct(
+        p.getField("championName").as("champion"),
+        fullName.as("summonerName"),
+        p.getField("teamId").as("teamId"),
+        p.getField("win").as("win"),
+        coalesce(p.getField("kills"), lit(0)).as("kills"),
+        coalesce(p.getField("deaths"), lit(0)).as("deaths"),
+        coalesce(p.getField("assists"), lit(0)).as("assists"),
+        coalesce(p.getField("totalDamageDealtToChampions"), lit(0)).as("total_damage"),
+        array((0 to 6).map(i => coalesce(p.getField(s"item$i"), lit(0))): _*).as("items"),
+      )
+    })
+
+    matched.select(
+      col("matchId"),
+      col("puuid"), // master PUUID, never the in-match one (:161)
+      coalesce(col("queueId"), lit(0)).as("queue_id"),
+      col("p.championName").as("champion"),
+      col("p.win").as("win"),
+      kills.as("kills"),
+      deaths.as("deaths"),
+      assists.as("assists"),
+      round((kills + assists).cast("double") / greatest(lit(1), deaths), 2).as("kda"), // :153
+      cs.as("cs"),
+      when(duration > 0, round(cs.cast("double") / (duration.cast("double") / 60.0), 1))
+        .otherwise(0.0).as("cs_min"), // :156
+      coalesce(col("p.totalDamageDealtToChampions"), lit(0)).as("total_damage"),
+      coalesce(col("p.goldEarned"), lit(0)).as("gold_earned"),
+      itemsArr.as("items"),
+      coalesce(col("gameEndTimestamp"), col("gameCreation")).as("game_timestamp"), // :149
+      participantsExt.as("participants"),
+      col(TierCol),
+    )
+  }
+
+  /** A2 as a batch recompute: gold = groupBy(puuid, champion). The
+    * streaming path (graft.streaming.Incremental) produces the same
+    * table in update mode; equivalence is property-tested. */
+  def goldFromSilver(silver: DataFrame): DataFrame =
+    silver.groupBy(col("puuid"), col("champion"))
+      .agg(
+        count(lit(1)).as("games"),
+        sum(when(col("win") === true, 1L).otherwise(0L)).as("wins"), // None → 0 (:187)
+        sum(col("kda")).as("kda_sum"))
+
+  /** E3 serving read path (api_service/main.py:311-373): newest-N
+    * matches for a player + per-champion aggregate with derived
+    * avg_kda / winrate (:340-358). */
+  def playerStats(silver: DataFrame, puuid: String, limit: Int = 300): (DataFrame, DataFrame) = {
+    val recent = silver
+      .filter(col("puuid") === puuid)
+      .orderBy(col("game_timestamp").desc, col("matchId"))
+      .limit(limit)
+    val perChampion = recent
+      .groupBy(col("champion"))
+      .agg(
+        count(lit(1)).as("games"),
+        sum(when(col("win") === true, 1).otherwise(0)).cast("long").as("wins"),
+        sum(col("kills")).as("kills"),
+        sum(col("deaths")).as("deaths"),
+        sum(col("assists")).as("assists"))
+      .withColumn("avg_kda",
+        round((col("kills") + col("assists")).cast("double") / greatest(lit(1), col("deaths")), 2)) // :353
+      .withColumn("winrate", round(col("wins") * 100.0 / col("games"), 1)) // :354
+      .orderBy(col("games").desc, col("champion"))
+    (recent, perChampion)
+  }
+}
