@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Upsert}
+import graft.sources.PaginatedSource
+import Multimodal.{MediaMeta, MediaRow}
+
+/** Multimodal plumbing, paginated source adapter, keyed upsert. */
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multimodal: batched feature extraction preserves partitioning and is deterministic") {
+    val rows = (0L until 50L).map { i =>
+      MediaRow(i, MediaMeta(if (i % 2 == 0) "image" else "audio", 64, 64, 16000),
+        Array.tabulate(100 + i.toInt)(j => ((i * 31 + j) % 256).toByte))
+    }
+    val ds = spark.createDataset(rows).repartition(4)
+    val out = Multimodal.extractFeatures(ds, batchSize = 8)
+    assert(out.rdd.getNumPartitions == ds.rdd.getNumPartitions) // no shuffle introduced
+    val feats = out.collect().sortBy(_.media_id)
+    assert(feats.length == 50)
+    // histogram mass == payload bytes; thumbnail bounded; frames hashed
+    feats.foreach { f =>
+      assert(f.histogram.sum == f.n_bytes)
+      assert(f.thumbnail.length <= Multimodal.ThumbBytes)
+      assert(f.frame_hashes.length == Multimodal.NFrames)
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(ds, batchSize = 8).collect().sortBy(_.media_id)
+    assert(feats.map(_.frame_hashes.toSeq).toSeq == again.map(_.frame_hashes.toSeq).toSeq)
+  }
+
+  test("multimodal: schema carries binary payload + typed metadata") {
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, MediaMeta("image", 8, 8, 0), Array[Byte](1, 2, 3))))
+    val schema = ds.schema
+    assert(schema("content").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+  }
+
+  test("paginated source: walks pages until short page, capped by maxPages") {
+    val universe = (0 until 230).map(i => s"match-$i")
+    def page(start: Int, count: Int): Seq[String] = universe.slice(start, start + count)
+    assert(PaginatedSource.fetchIdPages(page, 50, 10).size == 230)
+    assert(PaginatedSource.fetchIdPages(page, 50, 4).size == 200) // reference's 4x50 cap
+  }
+
+  test("paginated source: distributed detail fetch with retry") {
+    val ids = (0 until 40).map(i => s"id-$i")
+    val out = PaginatedSource.fetchDetails[String, (String, Int)](
+      spark, ids, id => (id, id.length), parallelism = 4)
+    assert(out.rdd.getNumPartitions == 4)
+    assert(out.collect().toMap.keySet == ids.toSet)
+    // retry: flaky fn succeeds within attempts (deterministic: fails on first call per value)
+    var calls = 0
+    val got = PaginatedSource.withRetry(3)(() => { calls += 1; if (calls < 3) sys.error("429"); "ok" })
+    assert(got == "ok" && calls == 3)
+  }
+
+  test("upsert latest-wins keeps highest (version, tiebreak) per key") {
+    val base = Seq((1L, "a", 0L, -1L), (2L, "b", 0L, -1L)).toDF("k", "v", "version", "src")
+    val updates = Seq((1L, "a2", 5L, 10L), (1L, "a3", 5L, 11L), (3L, "c", 1L, 1L))
+      .toDF("k", "v", "version", "src")
+    val out = Upsert.latestWins(base, updates, Seq("k"), col("version"), col("src"))
+      .orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a3"), (2L, "b"), (3L, "c")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions — the ".explain and iterate until it's the
+  * plan you'd want" discipline, automated. These pin the properties
+  * that matter at 100 TB: dimension joins broadcast (no fact shuffle),
+  * filters reach the parquet scan, scans are column-pruned, sort+limit
+  * plans as TakeOrdered (no global sort). */
+class PlanSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 flagship: dimension join is a broadcast hash join (no fact shuffle for the join)") {
+    val plan = finalPlan(SparkEntry.queries("q01_flagship_customer_stats")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "fact side should not shuffle for a dim join")
+  }
+
+  test("q09 star join: all three dims broadcast") {
+    val plan = finalPlan(SparkEntry.queries("q09_region_revenue")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, s"expected >=3 broadcast joins:\n$plan")
+  }
+
+  test("q03 projection: filter pushed to parquet scan and columns pruned") {
+    val plan = finalPlan(SparkEntry.queries("q03_derived_projection")(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)")
+      || plan.contains("GreaterThanOrEqual(l_shipdate"), s"filter not pushed:\n$plan")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    // 11-column lineitem pruned to just what the query touches
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"),
+      s"scan not column-pruned: $readSchema")
+    assert(readSchema.contains("l_shipdate"), s"unexpected schema: $readSchema")
+  }
+
+  test("q05 serving scan: sort+limit plans as TakeOrderedAndProject (no global sort)") {
+    val plan = finalPlan(SparkEntry.queries("q05_latest_orders")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q37 brute-force ANN: probe side broadcast, corpus never shuffles for the join") {
+    val plan = finalPlan(SparkEntry.queries("q37_cosine_topk_bruteforce")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n$plan")
+  }
+
+  test("q24 domain transform: dim join broadcast, single window for tier resolution") {
+    val plan = finalPlan(SparkEntry.queries("q24_domain_transform")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"summoners dim must broadcast:\n$plan")
+    assert(plan.contains("Window"), s"tier resolution should be a window:\n$plan")
+  }
+
+  test("whole-stage codegen covers the text-pipeline projections (no UDF black boxes)") {
+    val plan = finalPlan(SparkEntry.queries("q27_doc_fingerprint")(spark, sfDir))
+    // codegen'd stages are starred "*(n)" in the plan string
+    assert(plan.contains("*("), s"expected codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "text pipeline must stay on codegen'd built-ins")
+  }
+}
