@@ -56,14 +56,20 @@ object MatchTransform {
 
     // J1 dim lookup — LEFT join: tier 1 must fire even when the dim row
     // is missing (the reference consults summoners only on fallback).
+    // The Name#Tag decomposition + NFKC normalization (:112-114) is
+    // computed HERE, once per dim row before the broadcast — not per
+    // exploded fact row. At scale that's thousands of normalizations
+    // instead of billions.
     val dim = summoners.select(
-      col("puuid").as("s_puuid"), col("summonerName").as("s_name"))
+      col("puuid").as("s_puuid"),
+      (col("summonerName").isNotNull && col("summonerName").contains("#")).as("s_has_tag"),
+      nrm(substring_index(col("summonerName"), "#", 1)).as("s_game_norm"),
+      nrm(substring_index(col("summonerName"), "#", -1)).as("s_tag_norm"))
     val joined = exploded.join(broadcast(dim), col("puuid") === col("s_puuid"), "left")
 
-    // Name#Tag decomposition of the dim name (:112-114).
-    val hasTag = col("s_name").isNotNull && col("s_name").contains("#")
-    val targetGameName = nrm(substring_index(col("s_name"), "#", 1))
-    val targetTagLine = nrm(substring_index(col("s_name"), "#", -1))
+    val hasTag = col("s_has_tag") === true
+    val targetGameName = col("s_game_norm")
+    val targetTagLine = col("s_tag_norm")
 
     // Python truthiness: `not p.get("riotIdTagLine")` accepts None OR ""
     // (:122) — the asymmetric null handling SURVEY.md §7.4 warns about.
@@ -73,14 +79,22 @@ object MatchTransform {
     val tier = when(col("p.puuid") === col("puuid"), 1) // :102 master-PUUID probe
       .when(hasTag && (nrm(col("p.riotIdGameName")) === targetGameName) && tagOk, 2) // :117-124
       .when(hasTag && (nrm(col("p.summonerName")) === targetGameName), 3) // :127-131
-    val best = Window.partitionBy(col("matchId"), col("puuid"))
-      .orderBy(col(TierCol), col("pos"))
 
+    // Best candidate per (matchId, puuid): lowest tier, then first
+    // participant in array order. min_by over a (tier, pos) struct key
+    // aggregates with map-side partial combine — at scale that shuffles
+    // ONE candidate row per match instead of sorting all of them the
+    // way a row_number window would.
+    val candidateCols = Seq("matchId", "puuid", "queueId", "gameDuration",
+      "gameCreation", "gameEndTimestamp", "all_participants", "pos", "p")
     val matched = joined
       .withColumn(TierCol, tier)
       .filter(col(TierCol).isNotNull)
-      .withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
+      .groupBy(col("matchId"), col("puuid"))
+      .agg(min_by(
+        struct((candidateCols.filterNot(Set("matchId", "puuid")).map(col) :+ col(TierCol)): _*),
+        struct(col(TierCol), col("pos"))).as("best"))
+      .select(col("matchId"), col("puuid"), col("best.*"))
 
     // STANDARD EXTRACTION (:147-177). Python `or` chains treat "" as
     // missing, hence nullif; numeric defaults mirror .get(k, 0).

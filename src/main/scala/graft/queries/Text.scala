@@ -195,11 +195,15 @@ object Text {
           .withColumn("toks", TextFns.tokens(col("text")))
           .withColumn("shingles", TextFns.shingleExpr("toks", 3))
           .select(sigCols: _*)
+        // Materialize signatures before the self-join: md5-over-shingles
+        // ×8 is the expensive projection and the join would otherwise
+        // recompute it for BOTH sides. At production scale this is the
+        // signatures table you'd persist to storage anyway.
         val banded = docs.select(col("doc_id"), col("shingles"),
           explode(array(
             concat_ws("|", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
             concat_ws("|", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7")),
-          )).as("band"))
+          )).as("band")).persist()
         val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("band"))
         val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("band"))
         val inter = size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double")

@@ -86,8 +86,13 @@ object Vectors {
     QueryDef(
       "q38_ann_lsh_bucketed",
       (s, dir) => {
+        // Materialize the bucketed corpus: 8 hyperplane projections ×
+        // 64 dims per row is the costly part and both the probe filter
+        // and the candidate join consume it. (At scale: a persisted,
+        // bucket-partitioned table.)
         val c = corpus(s, dir)
           .withColumn("bucket", VectorFns.lshBucket("embedding", 8))
+          .persist()
         val probes = c.filter(col("vec_id") < N_PROBES)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("nsq").as("p_nsq"), col("bucket"))
@@ -124,8 +129,10 @@ object Vectors {
     QueryDef(
       "q39_cosine_neardup_pairs",
       (s, dir) => {
+        // Same materialization rationale as q38: both join sides read it.
         val c = corpus(s, dir)
           .withColumn("bucket", VectorFns.lshBucket("embedding", 8))
+          .persist()
         val a = c.select(col("bucket"), col("vec_id").as("vec_a"),
           col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
         val b = c.select(col("bucket"), col("vec_id").as("vec_b"),

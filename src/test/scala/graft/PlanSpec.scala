@@ -49,10 +49,14 @@ class PlanSpec extends SparkSuite {
       s"probes must broadcast:\n$plan")
   }
 
-  test("q24 domain transform: dim join broadcast, single window for tier resolution") {
+  test("q24 domain transform: dim join broadcast, tier resolution aggregates map-side") {
     val plan = finalPlan(SparkEntry.queries("q24_domain_transform")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"summoners dim must broadcast:\n$plan")
-    assert(plan.contains("Window"), s"tier resolution should be a window:\n$plan")
+    // best-candidate selection is a min_by aggregate with a PARTIAL
+    // stage before the exchange (map-side combine) — not a row_number
+    // window, which would range-sort every candidate row.
+    assert(plan.contains("partial_min_by"), s"tier resolution should partially aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
 
   test("whole-stage codegen covers the text-pipeline projections (no UDF black boxes)") {
