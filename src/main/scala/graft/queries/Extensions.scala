@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Num
-import graft.operators.Upsert
+import graft.operators.{AsOfJoin, Upsert}
 
 /** Extension operator surface beyond the reference (SURVEY.md §7.2
   * step 5 / §2.4 "candidates"): multi-level rollups, approximate
@@ -99,6 +99,102 @@ object Extensions {
               FROM all_rows
               QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC, src_id DESC) = 1
               ORDER BY c_custkey"""),
+    ),
+
+    // Pivot: per-cohort event-type grid as fixed columns. Spark's
+    // pivot() with an explicit value list ↔ conditional aggregation.
+    QueryDef(
+      "q48_event_pivot",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select((col("user_id") % 10).as("cohort"), col("event_type"), col("value"))
+          .groupBy(col("cohort"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(Num.fround(sum(col("value")), 2))
+          .orderBy(col("cohort")),
+      Some {
+        val cols = Seq("click", "view", "purchase", "signup", "error").map { t =>
+          s"${Num.froundSql(s"sum(CASE WHEN event_type = '$t' THEN value END)", 2)} AS $t"
+        }.mkString(",\n               ")
+        s"""SELECT user_id % 10 AS cohort,
+               $cols
+               FROM events GROUP BY cohort ORDER BY cohort"""
+      },
+    ),
+
+    // Set operations: INTERSECT / EXCEPT over key sets (engine surface
+    // beyond the reference's implicit union, SURVEY §2.5 note).
+    QueryDef(
+      "q49_set_ops",
+      (s, dir) => {
+        val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+        val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct()
+        cn.intersect(sn).withColumn("tag", lit("both"))
+          .unionAll(cn.except(sn).withColumn("tag", lit("cust_only")))
+          .orderBy(col("tag"), col("nationkey"))
+      },
+      Some("""SELECT nationkey, 'both' AS tag FROM
+                (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                 INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+              UNION ALL
+              SELECT nationkey, 'cust_only' AS tag FROM
+                (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                 EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+              ORDER BY tag, nationkey"""),
+    ),
+
+    // Scalar-subquery pattern: orders above the global average price.
+    // DataFrame form = broadcast single-row aggregate (the plan Spark
+    // produces for an uncorrelated scalar subquery).
+    QueryDef(
+      "q50_above_avg_orders",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+        o.crossJoin(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), Num.fround(min(col("o_totalprice")), 2).as("min_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              floor((min(o_totalprice)) * 100 + 0.5) / 100 AS min_price
+              FROM orders
+              WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    ),
+
+    // As-of join: for each event, the customer's most recent order at
+    // or before the event time (union + carry-forward — one shuffle,
+    // no fanout; see operators.AsOfJoin).
+    QueryDef(
+      "q51_asof_join",
+      (s, dir) => {
+        val probe = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000000").as("ts_s"))
+        val build = Tables.orders(s, dir)
+          .select(col("o_custkey").as("user_id"),
+            unix_timestamp(col("o_orderdate")).as("order_ts"),
+            col("o_orderkey"), col("o_totalprice"))
+        AsOfJoin.asOf(probe, "ts_s", build, "order_ts", "user_id", "o_orderkey")
+          .select(col("event_id"), col("user_id"),
+            col("__matched.o_orderkey").as("o_orderkey"),
+            Num.fround(col("__matched.o_totalprice"), 2).as("order_price"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH probe AS (
+                SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+              ranked AS (
+                SELECT p.event_id, p.user_id, o.o_orderkey, o.o_totalprice,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) AS rn
+                FROM probe p LEFT JOIN orders o
+                  ON o.o_custkey = p.user_id AND epoch(o.o_orderdate) <= p.ts_s)
+              SELECT event_id, user_id, o_orderkey,
+                floor((o_totalprice) * 100 + 0.5) / 100 AS order_price
+              FROM ranked WHERE rn = 1
+              ORDER BY event_id"""),
     ),
   )
 }
