@@ -78,10 +78,17 @@ object Domain {
       concat(lit("P"), col("c_custkey").cast("string")).as("puuid"),
       concat(lit("Cust"), col("c_custkey").cast("string"), lit("#TAG")).as("summonerName"))
 
+  // q24 and q25 both consume the synthesized silver; materialize it
+  // once per (session, dir) — the persisted-silver-table shape a real
+  // deployment would have anyway.
+  private val silverCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def silver(s: SparkSession, dir: String): DataFrame =
-    MatchTransform.silver(
-      bronzeFromOrders(Tables.orders(s, dir)),
-      dimFromCustomer(Tables.customer(s, dir)))
+    silverCache.getOrElseUpdate((s, dir),
+      MatchTransform.silver(
+        bronzeFromOrders(Tables.orders(s, dir)),
+        dimFromCustomer(Tables.customer(s, dir))).persist())
 
   // DuckDB mirror of the synthesized silver, computed analytically.
   // kda keeps plain round(): deaths < 7 so the quotient's decimal
