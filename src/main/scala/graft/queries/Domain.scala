@@ -168,5 +168,40 @@ object Domain {
               QUALIFY row_number() OVER (PARTITION BY puuid ORDER BY ts0 DESC, matchId) <= 5
               ORDER BY puuid, matchId"""),
     ),
+
+    // E3 serving composite: newest-300 trim per player (O1 bound,
+    // api_service/main.py:334-338) then the per-champion aggregate
+    // with derived avg_kda / winrate (A1, :340-358).
+    QueryDef(
+      "q52_player_champion_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("puuid"))
+          .orderBy(col("game_timestamp").desc, col("matchId").cast("long").desc)
+        silver(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 300)
+          .groupBy(col("puuid"), col("champion"))
+          .agg(
+            count(lit(1)).as("games"),
+            sum(when(col("win") === true, 1L).otherwise(0L)).as("wins"),
+            sum(col("kills")).as("k"), sum(col("deaths")).as("d"), sum(col("assists")).as("a"))
+          .select(col("puuid"), col("champion"), col("games"), col("wins"),
+            Num.fround((col("k") + col("a")).cast("double") / greatest(lit(1L), col("d")), 2).as("avg_kda"),
+            Num.fround(col("wins") * 100.0 / col("games"), 1).as("winrate"))
+          .orderBy(col("puuid"), col("champion"))
+      },
+      Some(s"""WITH silver AS ($silverOracle),
+               recent AS (
+                 SELECT * FROM silver
+                 QUALIFY row_number() OVER (PARTITION BY puuid
+                   ORDER BY game_timestamp DESC, matchId::BIGINT DESC) <= 300)
+               SELECT puuid, champion, count(*) AS games,
+                 sum(CASE WHEN win THEN 1 ELSE 0 END)::BIGINT AS wins,
+                 ${Num.froundSql("(sum(kills) + sum(assists)) / greatest(1, sum(deaths))::DOUBLE", 2)} AS avg_kda,
+                 ${Num.froundSql("sum(CASE WHEN win THEN 1 ELSE 0 END)::BIGINT * 100.0 / count(*)", 1)} AS winrate
+               FROM recent GROUP BY puuid, champion
+               ORDER BY puuid, champion"""),
+    ),
   )
 }
