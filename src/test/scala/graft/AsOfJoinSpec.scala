@@ -42,4 +42,28 @@ class AsOfJoinSpec extends SparkSuite {
       build = Seq(("A", 10L, 1L, "low"), ("A", 10L, 7L, "high")))
     assert(got("p").contains((7L, "high")))
   }
+
+  test("property: as-of join equals the brute-force definition on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keyGen = Gen.oneOf("A", "B", "C")
+    val rowGen = for {
+      k <- keyGen; t <- Gen.chooseNum(0L, 30L); s <- Gen.chooseNum(0L, 1000L)
+    } yield (k, t, s)
+    val prop = Prop.forAll(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen)) {
+      (probeRows, buildRows) =>
+        // unique probe tags; builds keep (k, t, seq) with seq made unique
+        val probes = probeRows.zipWithIndex.map { case ((k, t, _), i) => (k, t, s"p$i") }
+        val builds = buildRows.zipWithIndex.map { case ((k, t, s), i) => (k, t, s * 100 + i, s"b$i") }
+        val got = run(probes, builds)
+        probes.forall { case (k, t, tag) =>
+          val expect = builds.filter(b => b._1 == k && b._2 <= t)
+            .sortBy(b => (b._2, b._3)).lastOption.map(b => (b._3, b._4))
+          got(tag) == expect
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8)
+        .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
