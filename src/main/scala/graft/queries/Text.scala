@@ -199,19 +199,29 @@ object Text {
         // ×8 is the expensive projection and the join would otherwise
         // recompute it for BOTH sides. At production scale this is the
         // signatures table you'd persist to storage anyway.
-        val banded = docs.select(col("doc_id"), col("shingles"),
+        val shingleSets = docs
+          .select(col("doc_id"), array_distinct(col("shingles")).as("shset")).persist()
+        val banded = docs.select(col("doc_id"),
           explode(array(
             concat_ws("|", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
             concat_ws("|", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7")),
           )).as("band")).persist()
-        val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("band"))
-        val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("band"))
-        val inter = size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double")
-        val uni = (size(array_distinct(col("sh_a"))) + size(array_distinct(col("sh_b")))).cast("double") - inter
-        a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            Num.fround(inter / uni, 4).as("jaccard"))
+        // Candidate pairs dedupe on IDS ONLY (two bands can produce the
+        // same pair) before the shingle payloads are re-joined — the
+        // band self-join and the distinct exchange ship (id, id) rows,
+        // never the arrays. That's the shape that survives a 100 TB
+        // corpus: payload bytes move only once per verified candidate.
+        val pairs = banded.select(col("doc_id").as("doc_a"), col("band"))
+          .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
           .distinct()
+        val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+        pairs
+          .join(shingleSets.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), Seq("doc_a"))
+          .join(shingleSets.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), Num.fround(inter / uni, 4).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
