@@ -297,5 +297,49 @@ object Text {
                SELECT doc_id, ${TextFns.simhash16Sql("toks")} AS simhash
                FROM t ORDER BY doc_id"""),
     ),
+
+    // SimHash hamming-distance near-dup pairs. LSH guarantee: hamming
+    // <= 1 requires the two 8-bit halves to agree on at least one half,
+    // so pairs are generated per half-key (id-only, like q33) and
+    // verified exactly with bit_count(xor).
+    QueryDef(
+      "q54_simhash_hamming_pairs",
+      (s, dir) => {
+        val sigs = Tables.documents(s, dir)
+          .withColumn("toks", TextFns.tokens(col("text")))
+          .select(col("doc_id"), TextFns.simhash16("toks").as("simhash"))
+          .persist()
+        val banded = sigs.select(col("doc_id"), explode(array(
+          concat(lit("lo:"), (col("simhash") % 256).cast("string")),
+          concat(lit("hi:"), (col("simhash") / 256).cast("int").cast("string")),
+        )).as("blk"))
+        val pairs = banded.select(col("doc_id").as("doc_a"), col("blk"))
+          .join(banded.select(col("doc_id").as("doc_b"), col("blk")), Seq("blk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        pairs
+          .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
+          .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+          .filter(col("hamming") <= 1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+               sigs AS (SELECT doc_id, ${TextFns.simhash16Sql("toks")} AS simhash FROM t),
+               banded AS (
+                 SELECT doc_id, blk FROM sigs,
+                 UNNEST(['lo:' || (simhash % 256), 'hi:' || (simhash // 256)]) AS u(blk)),
+               pairs AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM banded a JOIN banded b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+               SELECT p.doc_a, p.doc_b,
+                 bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+               FROM pairs p
+               JOIN sigs sa ON sa.doc_id = p.doc_a
+               JOIN sigs sb ON sb.doc_id = p.doc_b
+               WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
+               ORDER BY p.doc_a, p.doc_b"""),
+    ),
   )
 }

@@ -157,5 +157,64 @@ object Vectors {
                WHERE sim >= 0.6
                ORDER BY vec_a, vec_b"""),
     ),
+
+    // IVF-style ANN: a deterministic coarse quantizer (centroids = a
+    // fixed modulus sample of the corpus), vectors assigned to their
+    // max-cosine centroid, search restricted to the probe's cell. The
+    // second scale path next to hyperplane LSH (q38): at 100 TB the
+    // assignment is one broadcast of the centroid table and the cell
+    // becomes the storage partition key.
+    QueryDef(
+      "q53_ann_ivf",
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cents = c.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nsq").as("c_nsq"))
+        val simToCent = Num.fround(
+          VectorFns.dot("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cent_sim").desc, col("cid"))
+        val assigned = c.crossJoin(broadcast(cents))
+          .withColumn("cent_sim", simToCent)
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nsq"), col("cid").as("cell"))
+          .persist()
+        val probes = assigned.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nsq").as("p_nsq"), col("cell"))
+        val sim = Num.fround(
+          VectorFns.dot("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("cell"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c WHERE vec_id % 97 = 0),
+               assigned AS (
+                 SELECT vec_id, emb, nsq, cid AS cell FROM (
+                   SELECT c.vec_id, c.emb, c.nsq, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM c CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, cell
+                     FROM assigned WHERE vec_id < $N_PROBES),
+               sims AS (
+                 SELECT probe_id, a.vec_id AS vec_id, a.cell AS cell,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                 FROM assigned a JOIN p ON a.cell = p.cell AND a.vec_id <> p.probe_id)
+               SELECT probe_id, vec_id, cell, sim,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+               FROM sims
+               QUALIFY rank <= 3
+               ORDER BY probe_id, rank"""),
+    ),
   )
 }
