@@ -80,24 +80,11 @@ object MatchTransform {
       .when(hasTag && (nrm(col("p.riotIdGameName")) === targetGameName) && tagOk, 2) // :117-124
       .when(hasTag && (nrm(col("p.summonerName")) === targetGameName), 3) // :127-131
 
-    // Best candidate per (matchId, puuid): lowest tier, then first
-    // participant in array order. min_by over a (tier, pos) struct key
-    // aggregates with map-side partial combine — at scale that shuffles
-    // ONE candidate row per match instead of sorting all of them the
-    // way a row_number window would.
-    val candidateCols = Seq("matchId", "puuid", "queueId", "gameDuration",
-      "gameCreation", "gameEndTimestamp", "all_participants", "pos", "p")
-    val matched = joined
-      .withColumn(TierCol, tier)
-      .filter(col(TierCol).isNotNull)
-      .groupBy(col("matchId"), col("puuid"))
-      .agg(min_by(
-        struct((candidateCols.filterNot(Set("matchId", "puuid")).map(col) :+ col(TierCol)): _*),
-        struct(col(TierCol), col("pos"))).as("best"))
-      .select(col("matchId"), col("puuid"), col("best.*"))
-
-    // STANDARD EXTRACTION (:147-177). Python `or` chains treat "" as
-    // missing, hence nullif; numeric defaults mirror .get(k, 0).
+    // STANDARD EXTRACTION (:147-177), derived per CANDIDATE row so the
+    // aggregate below carries only the compact final struct (not the
+    // raw 21-field participant + the untransformed array). Python `or`
+    // chains treat "" as missing, hence nullif; numeric defaults
+    // mirror .get(k, 0).
     val kills = coalesce(col("p.kills"), lit(0))
     val deaths = coalesce(col("p.deaths"), lit(0))
     val assists = coalesce(col("p.assists"), lit(0))
@@ -124,9 +111,7 @@ object MatchTransform {
       )
     })
 
-    matched.select(
-      col("matchId"),
-      col("puuid"), // master PUUID, never the in-match one (:161)
+    val derived = struct(
       coalesce(col("queueId"), lit(0)).as("queue_id"),
       col("p.championName").as("champion"),
       col("p.win").as("win"),
@@ -142,8 +127,20 @@ object MatchTransform {
       itemsArr.as("items"),
       coalesce(col("gameEndTimestamp"), col("gameCreation")).as("game_timestamp"), // :149
       participantsExt.as("participants"),
-      col(TierCol),
+      col(TierCol).as(TierCol),
     )
+
+    // Best candidate per (matchId, puuid): lowest tier, then first
+    // participant in array order. min_by over a (tier, pos) struct key
+    // aggregates with map-side partial combine — at scale that shuffles
+    // ONE compact candidate row per match instead of sorting all of
+    // them the way a row_number window would.
+    joined
+      .withColumn(TierCol, tier)
+      .filter(col(TierCol).isNotNull)
+      .groupBy(col("matchId"), col("puuid"))
+      .agg(min_by(derived, struct(col(TierCol), col("pos"))).as("best"))
+      .select(col("matchId"), col("puuid"), col("best.*"))
   }
 
   /** A2 as a batch recompute: gold = groupBy(puuid, champion). The

@@ -196,5 +196,60 @@ object Extensions {
               FROM ranked WHERE rn = 1
               ORDER BY event_id"""),
     ),
+
+    // CUBE grouping sets (all four grouping combinations).
+    QueryDef(
+      "q55_cube_summary",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Num.fround(sum(col("o_totalprice")), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+              coalesce(o_orderpriority, '(all)') AS priority,
+              count(*) AS n,
+              floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
+              FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              ORDER BY status, priority"""),
+    ),
+
+    // Exact order statistics: median (exact, not the q45 sketch) and
+    // sample stddev per group. Both engines average the two middle
+    // values for even counts; stddev floor-rounded (different
+    // accumulation algorithms agree to ~1e-9, far inside 4 decimals).
+    QueryDef(
+      "q56_exact_stats",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            Num.fround(median(col("l_extendedprice")), 2).as("median_price"),
+            Num.fround(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+              floor((median(l_extendedprice)) * 100 + 0.5) / 100 AS median_price,
+              floor((stddev_samp(l_extendedprice)) * 10000 + 0.5) / 10000 AS sd_price,
+              count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    ),
+
+    // Edit distance (the fuzzy-matching primitive behind name
+    // resolution at the next level of tolerance beyond NFKC).
+    QueryDef(
+      "q57_edit_distance",
+      (s, dir) =>
+        Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"),
+            levenshtein(col("s_name"), lit("Supplier#000000001")).as("dist"))
+          .orderBy(col("s_suppkey")),
+      Some("""SELECT s_suppkey, s_name,
+              levenshtein(s_name, 'Supplier#000000001')::INT AS dist
+              FROM supplier ORDER BY s_suppkey"""),
+    ),
   )
 }
