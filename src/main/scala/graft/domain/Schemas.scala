@@ -58,12 +58,16 @@ object Schemas {
 
   /** Bronze row: extractor/main.py:422-428 (`processed` flag kept for
     * batch parity; the streaming pipeline replaces it with checkpoint
-    * offsets, SURVEY.md §2.7). */
+    * offsets, SURVEY.md §2.7). `timestamp` is the ingest audit column
+    * (:427) — wall-clock, excluded from every oracle comparison per
+    * SURVEY.md §5.3, and the natural watermark column for bounding
+    * streaming-dedup state (§7.4). */
   final case class RawMatch(
       matchId: String,
       puuid: String,
       processed: Boolean,
       raw: Option[RawPayload],
+      timestamp: Option[java.sql.Timestamp] = None,
   )
 
   /** Silver participant sub-struct (transformer_loader/main.py:48-58). */
