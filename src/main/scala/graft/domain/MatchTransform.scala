@@ -31,8 +31,17 @@ object MatchTransform {
   /** Tier column used by tests to assert preference ordering. */
   val TierCol = "match_tier"
 
-  /** Bronze (+ summoners dim) → silver rows (matches_clean shape). */
-  def silver(bronze: DataFrame, summoners: DataFrame): DataFrame = {
+  /** Bronze (+ summoners dim) → silver rows (matches_clean shape).
+    *
+    * `includeParticipants` gates the P2 per-participant array
+    * projection — by far the widest column (10 structs × 9 fields per
+    * row in the reference shape). Consumers that only need the flat
+    * derived metrics (the gold aggregate, serving stats) pass `false`,
+    * which is the column-pruning a storage-backed silver table would
+    * give those readers automatically: the array is neither built, nor
+    * carried through the entity-resolution aggregate, nor shuffled. */
+  def silver(bronze: DataFrame, summoners: DataFrame,
+      includeParticipants: Boolean = true): DataFrame = {
     val spark = bronze.sparkSession
     NormalizeNFKC.register(spark)
     val nrm = NormalizeNFKC.normCol _
@@ -111,7 +120,7 @@ object MatchTransform {
       )
     })
 
-    val derived = struct(
+    val scalarFields = Seq(
       coalesce(col("queueId"), lit(0)).as("queue_id"),
       col("p.championName").as("champion"),
       col("p.win").as("win"),
@@ -126,9 +135,10 @@ object MatchTransform {
       coalesce(col("p.goldEarned"), lit(0)).as("gold_earned"),
       itemsArr.as("items"),
       coalesce(col("gameEndTimestamp"), col("gameCreation")).as("game_timestamp"), // :149
-      participantsExt.as("participants"),
-      col(TierCol).as(TierCol),
     )
+    val derived = struct((scalarFields ++
+      (if (includeParticipants) Seq(participantsExt.as("participants")) else Nil) :+
+      col(TierCol).as(TierCol)): _*)
 
     // Best candidate per (matchId, puuid): lowest tier, then first
     // participant in array order. min_by over a (tier, pos) struct key

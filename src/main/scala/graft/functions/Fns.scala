@@ -93,6 +93,42 @@ object TextFns {
       s"(CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END for h in $hs]) > 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
   }
+
+  /** Per-token md5 hex digests — materialize ONCE as a column, then
+    * slice per-word hashes out of it ([[simhashWordHashes]]) so the
+    * md5 runs once per token for the whole 64-bit signature, not once
+    * per word (CollapseProject keeps a multiply-referenced non-cheap
+    * expression materialized). */
+  def tokenMd5s(toksCol: String): Column =
+    expr(s"transform($toksCol, t -> md5(t))")
+
+  def tokenMd5sSql(toks: String): String =
+    s"[md5(t) for t in $toks]"
+
+  /** Per-token 16-bit hashes for word `w` (0..3) of a 64-bit SimHash:
+    * hex chars [4w+1 .. 4w+4] of the per-token md5 (see
+    * [[tokenMd5s]]). */
+  def simhashWordHashes(md5sCol: String, w: Int): Column =
+    expr(s"transform($md5sCol, m -> cast(conv(substring(m, ${4 * w + 1}, 4), 16, 10) as int))")
+
+  def simhashWordHashesSql(md5s: String, w: Int): String =
+    s"[('0x' || substr(m, ${4 * w + 1}, 4))::INT for m in $md5s]"
+
+  /** One 16-bit SimHash word from a per-token hash array column (see
+    * [[simhashTokenHashes]]). Four independent words make a 64-bit
+    * signature; hamming distances add across words, and hamming ≤ 3
+    * over the full signature guarantees at least one word matches
+    * exactly (pigeonhole) — the LSH banding guarantee q54 builds on. */
+  def simhashWord(hashesCol: String): Column =
+    (0 until 16).map { b =>
+      when(expr(s"aggregate($hashesCol, 0, (acc, h) -> acc + CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)") > 0,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def simhashWordSql(hashes: String): String =
+    (0 until 16).map { b =>
+      s"(CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END for h in $hashes]) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
 }
 
 /** Embedding-vector column functions (cosine similarity, norms,
@@ -131,12 +167,55 @@ object VectorFns {
     * the blocking key that turns an O(n²) similarity join into a
     * per-bucket join (SURVEY.md §7.4: never full cross-join at scale). */
   def lshBucket(embCol: String, nBits: Int): Column =
-    (0 until nBits).map { j =>
-      when(hyperplaneDot(embCol, j) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    lshBucketRange(embCol, 0, nBits)
 
   def lshBucketSql(emb: String, nBits: Int): String =
+    lshBucketRangeSql(emb, 0, nBits)
+
+  /** LSH bucket id from hyperplanes [firstPlane, firstPlane + nBits).
+    * Disjoint plane ranges give INDEPENDENT band keys (the q33 band
+    * pattern for bit-LSH): each band has 2^nBits buckets, candidates
+    * are unioned across bands, and recall per band is
+    * p_agree^nBits where p_agree = 1 - θ/π for angle θ. */
+  def lshBucketRange(embCol: String, firstPlane: Int, nBits: Int): Column =
     (0 until nBits).map { j =>
-      s"(CASE WHEN ${hyperplaneDotSql(emb, j)} > 0 THEN ${1 << j} ELSE 0 END)"
+      when(hyperplaneDot(embCol, firstPlane + j) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def lshBucketRangeSql(emb: String, firstPlane: Int, nBits: Int): String =
+    (0 until nBits).map { j =>
+      s"(CASE WHEN ${hyperplaneDotSql(emb, firstPlane + j)} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Signed projections onto hyperplanes `planes` plus the squared
+    * norm, for EVERY vector of `embeddings(vec_id, embedding)` — built
+    * as posexplode → codegen'd arithmetic → one HashAggregate with
+    * fixed-width sum buffers. The higher-order-function form
+    * ([[hyperplaneDot]]) is CodegenFallback (interpreted, boxed per
+    * element), which is fine for a bounded set of verify pairs but not
+    * for scanning the whole corpus × 32 planes; this form stays inside
+    * whole-stage codegen, and map-side partial aggregation means one
+    * (1 + |planes|)-double row per vector reaches the shuffle.
+    * Output: vec_id, nsq, d<j> for each plane j. */
+  def hyperplaneProjections(embeddings: org.apache.spark.sql.DataFrame,
+      planes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+    val xd = col("x").cast("double")
+    val projCols = planes.map { j =>
+      val w = ((col("i").cast("long") * lit(2654435761L) + lit(j.toLong * 40503L)) % 1009L - 504L)
+        .cast("double")
+      sum(xd * w).as(s"d$j")
+    }
+    e.groupBy(col("vec_id"))
+      .agg(sum(xd * xd).as("nsq"), projCols: _*)
+  }
+
+  /** Band key from precomputed projection columns d<firstPlane>.. (see
+    * [[hyperplaneProjections]]): bit j of the bucket = sign of the
+    * projection onto plane firstPlane+j. */
+  def bucketFromProjections(firstPlane: Int, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      when(col(s"d${firstPlane + j}") > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 }

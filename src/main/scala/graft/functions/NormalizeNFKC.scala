@@ -4,9 +4,10 @@ import java.text.Normalizer
 import java.util.Locale
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** NFKC-normalize + lowercase + trim, as a native Catalyst expression
@@ -22,7 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class NormalizeNFKC(child: Expression)
     extends UnaryExpression {
 
-  override def dataType: DataType = child.dataType
+  // Declared input type: a non-string argument is an ANALYSIS error,
+  // never a runtime ClassCastException inside generated code.
+  // (ExpectsInputTypes would be the idiomatic carrier, but its
+  // AbstractDataType signature is private[sql] — checkInputDataTypes
+  // is the public extension point.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
   override def prettyName: String = "norm_nfkc"
 
   override def nullSafeEval(input: Any): Any =

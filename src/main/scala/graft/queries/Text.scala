@@ -248,27 +248,39 @@ object Text {
       },
     ),
 
-    // Blocked n-gram (unigram-set) Jaccard similarity join: explicit
-    // blocking on (lang, source) bounds the pair fan-out per block —
-    // the blocking-key pattern for similarity joins at scale.
+    // Blocked n-gram (unigram-set) Jaccard similarity join. The block
+    // key is (lang, source, minhash0-of-tokset): the content-derived
+    // minhash component has unbounded cardinality (it is the md5 of the
+    // minimum token hash), so block COUNT grows with corpus content and
+    // per-block fan-out stays bounded by the near-dup cluster size — a
+    // fixed (lang, source) key alone has constant cardinality, which
+    // makes per-block pairs quadratic in corpus size. LSH recall: two
+    // docs share the minhash with probability equal to their Jaccard,
+    // so J ≥ 0.8 pairs are retained w.p. ≥ 0.8 (more bands would raise
+    // recall; one suffices to demonstrate the shape).
     QueryDef(
       "q34_ngram_jaccard_blocked",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("source"),
             array_distinct(TextFns.tokens(col("text"))).as("tokset"))
-        val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("tokset").as("ts_a"))
-        val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("tokset").as("ts_b"))
+          .withColumn("blk", TextFns.minhash("tokset", 0))
+        val a = docs.select(col("lang"), col("source"), col("blk"),
+          col("doc_id").as("doc_a"), col("tokset").as("ts_a"))
+        val b = docs.select(col("lang"), col("source"), col("blk"),
+          col("doc_id").as("doc_b"), col("tokset").as("ts_b"))
         val inter = size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
         val uni = (size(col("ts_a")) + size(col("ts_b"))).cast("double") - inter
-        a.join(b, Seq("lang", "source")).filter(col("doc_a") < col("doc_b"))
+        a.join(b, Seq("lang", "source", "blk")).filter(col("doc_a") < col("doc_b"))
           .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
             Num.fround(inter / uni, 4).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH t AS (
-                 SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+                 SELECT doc_id, lang, source,
+                   list_distinct(string_split(text, ' ')) AS tokset,
+                   ${TextFns.minhashSql("list_distinct(string_split(text, ' '))", 0)} AS blk
                  FROM documents)
                SELECT a.lang AS lang, a.source AS source,
                  a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -277,7 +289,8 @@ object Text {
                     / (len(a.tokset) + len(b.tokset)
                        - len(list_filter(a.tokset, x -> list_contains(b.tokset, x))))::DOUBLE""", 4)} AS jaccard
                FROM t a JOIN t b
-                 ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+                 ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+                 AND a.doc_id < b.doc_id
                WHERE ${Num.froundSql(
           """len(list_filter(a.tokset, x -> list_contains(b.tokset, x)))
                     / (len(a.tokset) + len(b.tokset)
@@ -298,48 +311,94 @@ object Text {
                FROM t ORDER BY doc_id"""),
     ),
 
-    // SimHash hamming-distance near-dup pairs. LSH guarantee: hamming
-    // <= 1 requires the two 8-bit halves to agree on at least one half,
-    // so pairs are generated per half-key (id-only, like q33) and
-    // verified exactly with bit_count(xor).
+    // SimHash hamming-distance near-dup pairs over a 64-bit signature
+    // built as four independent 16-bit words (hex chars 1-4, 5-8, 9-12,
+    // 13-16 of the per-token md5). LSH banding: hamming ≤ 3 over 64
+    // bits guarantees at least one of the 4 words matches exactly
+    // (pigeonhole), so candidate pairs are generated per (band, word)
+    // key — 65,536 distinct keys PER BAND (vs the 256 of an 8-bit
+    // half-key scheme, which made every bucket hold ~n/256 docs and the
+    // self-join effectively quadratic). With balanced bits, expected
+    // bucket occupancy is n/65,536 per band; only near-identical docs
+    // share a word, so candidates ≈ true near-dups + rare collisions.
+    // Pairs dedupe on ids only (like q33) before the signature payload
+    // is re-joined for the exact bit_count(xor) verify.
     QueryDef(
       "q54_simhash_hamming_pairs",
       (s, dir) => {
-        val sigs = Tables.documents(s, dir)
-          .withColumn("toks", TextFns.tokens(col("text")))
-          .select(col("doc_id"), TextFns.simhash16("toks").as("simhash"))
+        // Signature build as explode → codegen'd projection → hash
+        // aggregate, NOT higher-order functions: transform/aggregate
+        // lambdas are CodegenFallback (interpreted, boxing per element)
+        // while md5/conv/bitwise in a flat projection and 64 fixed-width
+        // sum buffers in a HashAggregate stay inside whole-stage
+        // codegen. Map-side partial aggregation collapses each doc's
+        // votes to one row per partition before the shuffle, so at
+        // scale this ships one 64-int row per doc, never the tokens.
+        val tokenHashes = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+          .withColumn("m", md5(col("tok")))
+          .select((col("doc_id") +: (0 until 4).map(w =>
+            expr(s"cast(conv(substring(m, ${4 * w + 1}, 4), 16, 10) as int)").as(s"h$w"))): _*)
+        val voteCols = for (w <- 0 until 4; b <- 0 until 16) yield
+          sum(when((col(s"h$w").bitwiseAND(lit(1 << b))) =!= 0, 1).otherwise(-1)).as(s"v${w}_$b")
+        val votes = tokenHashes.groupBy(col("doc_id"))
+          .agg(voteCols.head, voteCols.tail: _*)
+        val sigs = votes
+          .select((col("doc_id") +: (0 until 4).map { w =>
+            (0 until 16).map(b => when(col(s"v${w}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
+              .reduce(_ + _).as(s"w$w")
+          }): _*)
           .persist()
         val banded = sigs.select(col("doc_id"), explode(array(
-          concat(lit("lo:"), (col("simhash") % 256).cast("string")),
-          concat(lit("hi:"), (col("simhash") / 256).cast("int").cast("string")),
-        )).as("blk"))
+          (0 until 4).map(w => concat(lit(s"$w:"), col(s"w$w").cast("string"))): _*)).as("blk"))
         val pairs = banded.select(col("doc_id").as("doc_a"), col("blk"))
           .join(banded.select(col("doc_id").as("doc_b"), col("blk")), Seq("blk"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()
+        val hamming = (0 until 4)
+          .map(w => bit_count(col(s"a$w").bitwiseXOR(col(s"b$w"))))
+          .reduce(_ + _).cast("int")
         pairs
-          .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
-          .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
-          .filter(col("hamming") <= 1)
+          .join(sigs.select((col("doc_id").as("doc_a") +:
+            (0 until 4).map(w => col(s"w$w").as(s"a$w"))): _*), Seq("doc_a"))
+          .join(sigs.select((col("doc_id").as("doc_b") +:
+            (0 until 4).map(w => col(s"w$w").as(s"b$w"))): _*), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+          .filter(col("hamming") <= 3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-               sigs AS (SELECT doc_id, ${TextFns.simhash16Sql("toks")} AS simhash FROM t),
+      Some {
+        val hashCols = (0 until 4)
+          .map(w => s"${TextFns.simhashWordHashesSql("md5s", w)} AS h$w")
+          .mkString(",\n                 ")
+        val wordCols = (0 until 4)
+          .map(w => s"${TextFns.simhashWordSql(s"h$w")} AS w$w")
+          .mkString(",\n                 ")
+        val hammingSql = (0 until 4)
+          .map(w => s"bit_count(xor(sa.w$w, sb.w$w))")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+               m AS (SELECT doc_id, ${TextFns.tokenMd5sSql("toks")} AS md5s FROM t),
+               h AS (SELECT doc_id,
+                 $hashCols
+                 FROM m),
+               sigs AS (SELECT doc_id,
+                 $wordCols
+                 FROM h),
                banded AS (
                  SELECT doc_id, blk FROM sigs,
-                 UNNEST(['lo:' || (simhash % 256), 'hi:' || (simhash // 256)]) AS u(blk)),
+                 UNNEST(['0:' || w0, '1:' || w1, '2:' || w2, '3:' || w3]) AS u(blk)),
                pairs AS (
                  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM banded a JOIN banded b ON a.blk = b.blk AND a.doc_id < b.doc_id)
                SELECT p.doc_a, p.doc_b,
-                 bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+                 ($hammingSql)::INT AS hamming
                FROM pairs p
                JOIN sigs sa ON sa.doc_id = p.doc_a
                JOIN sigs sb ON sb.doc_id = p.doc_b
-               WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
-               ORDER BY p.doc_a, p.doc_b"""),
+               WHERE $hammingSql <= 3
+               ORDER BY p.doc_a, p.doc_b"""
+      },
     ),
   )
 }

@@ -89,9 +89,15 @@ object Vectors {
         // Materialize the bucketed corpus: 8 hyperplane projections ×
         // 64 dims per row is the costly part and both the probe filter
         // and the candidate join consume it. (At scale: a persisted,
-        // bucket-partitioned table.)
-        val c = corpus(s, dir)
-          .withColumn("bucket", VectorFns.lshBucket("embedding", 8))
+        // bucket-partitioned table.) Projections come from the
+        // explode→codegen→HashAggregate path (hyperplaneProjections),
+        // not the interpreted higher-order-function form.
+        val proj = VectorFns.hyperplaneProjections(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 0 until 8)
+        val c = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .join(proj.select(col("vec_id"), col("nsq"),
+            VectorFns.bucketFromProjections(0, 8).as("bucket")), Seq("vec_id"))
           .persist()
         val probes = c.filter(col("vec_id") < N_PROBES)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
@@ -124,22 +130,45 @@ object Vectors {
                ORDER BY probe_id, rank"""),
     ),
 
-    // Embedding-cosine near-dup pairs, LSH-bucket-blocked: same-bucket
-    // pairs with cosine above threshold (the embedding analog of q33).
+    // Embedding-cosine near-dup pairs, banded-LSH-blocked (the
+    // embedding analog of q33): 32 hyperplanes as TWO independent
+    // 16-bit band keys; candidate pairs agree on all 16 bits of at
+    // least one band, ids are deduped across bands, then the exact
+    // cosine verifies. Bucket math: 65,536 buckets per band, expected
+    // occupancy n/2^16 per band under balanced hyperplanes — candidate
+    // volume ≈ 2·n²/2^17 random collisions plus the true near-dup
+    // clusters, vs n²/256 for the old single-8-bit-bucket scheme
+    // (which was quadratic with a constant 256 denominator). Recall per
+    // band for cosine ≥ 0.95 pairs is (1 - θ/π)^16 ≈ 0.19, ~0.35 with
+    // both bands; raise bands for higher recall — the structure (not
+    // the constants) is the 100 TB property.
     QueryDef(
       "q39_cosine_neardup_pairs",
       (s, dir) => {
-        // Same materialization rationale as q38: both join sides read it.
-        val c = corpus(s, dir)
-          .withColumn("bucket", VectorFns.lshBucket("embedding", 8))
+        // Same materialization rationale as q38: both join sides read
+        // it; 32 codegen'd plane projections via hyperplaneProjections.
+        val proj = VectorFns.hyperplaneProjections(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 0 until 32)
+        val c = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .join(proj.select(col("vec_id"), col("nsq"),
+            VectorFns.bucketFromProjections(0, 16).as("b0"),
+            VectorFns.bucketFromProjections(16, 16).as("b1")), Seq("vec_id"))
           .persist()
-        val a = c.select(col("bucket"), col("vec_id").as("vec_a"),
-          col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
-        val b = c.select(col("bucket"), col("vec_id").as("vec_b"),
-          col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+        val banded = c.select(col("vec_id"), explode(array(
+          concat(lit("0:"), col("b0").cast("string")),
+          concat(lit("1:"), col("b1").cast("string")))).as("band"))
+        val pairs = banded.select(col("vec_id").as("vec_a"), col("band"))
+          .join(banded.select(col("vec_id").as("vec_b"), col("band")), Seq("band"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b")).distinct()
         val sim = Num.fround(
           VectorFns.dot("emb_a", "emb_b") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))), 4)
-        a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+        pairs
+          .join(c.select(col("vec_id").as("vec_a"),
+            col("embedding").as("emb_a"), col("nsq").as("nsq_a")), Seq("vec_a"))
+          .join(c.select(col("vec_id").as("vec_b"),
+            col("embedding").as("emb_b"), col("nsq").as("nsq_b")), Seq("vec_b"))
           .select(col("vec_a"), col("vec_b"), sim.as("sim"))
           .filter(col("sim") >= 0.6)
           .orderBy(col("vec_a"), col("vec_b"))
@@ -147,28 +176,46 @@ object Vectors {
       Some(s"""WITH c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
-                        ${VectorFns.lshBucketSql("(embedding::DOUBLE[])", 8)} AS bucket
+                        ${VectorFns.lshBucketRangeSql("(embedding::DOUBLE[])", 0, 16)} AS b0,
+                        ${VectorFns.lshBucketRangeSql("(embedding::DOUBLE[])", 16, 16)} AS b1
                  FROM embeddings),
+               banded AS (
+                 SELECT vec_id, band FROM c,
+                 UNNEST(['0:' || b0, '1:' || b1]) AS u(band)),
+               pairs AS (
+                 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
                sims AS (
-                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ${Num.froundSql(s"${VectorFns.dotSql("a.emb", "b.emb")} / (sqrt(a.nsq) * sqrt(b.nsq))", 4)} AS sim
-                 FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+                 SELECT p.vec_a, p.vec_b,
+                   ${Num.froundSql(s"${VectorFns.dotSql("ca.emb", "cb.emb")} / (sqrt(ca.nsq) * sqrt(cb.nsq))", 4)} AS sim
+                 FROM pairs p
+                 JOIN c ca ON ca.vec_id = p.vec_a
+                 JOIN c cb ON cb.vec_id = p.vec_b)
                SELECT vec_a, vec_b, sim FROM sims
                WHERE sim >= 0.6
                ORDER BY vec_a, vec_b"""),
     ),
 
-    // IVF-style ANN: a deterministic coarse quantizer (centroids = a
-    // fixed modulus sample of the corpus), vectors assigned to their
-    // max-cosine centroid, search restricted to the probe's cell. The
-    // second scale path next to hyperplane LSH (q38): at 100 TB the
-    // assignment is one broadcast of the centroid table and the cell
-    // becomes the storage partition key.
+    // IVF-style ANN: a deterministic coarse quantizer with a FIXED
+    // centroid count k — the sampling modulus is derived from the
+    // corpus size (m = max(97, n div k)) so the centroid table stays
+    // ~k rows no matter how big the corpus gets. That keeps assignment
+    // O(n·k) with a broadcastable centroid table (an every-97th-row
+    // sample would grow the centroid count linearly with n, making the
+    // assignment O(n²/97) and the broadcast unbounded). Vectors are
+    // assigned to their max-cosine centroid; search is restricted to
+    // the probe's cell. The second scale path next to hyperplane LSH
+    // (q38): at 100 TB the cell becomes the storage partition key, and
+    // the scalar corpus-count aggregate feeding m is one cheap job.
     QueryDef(
       "q53_ann_ivf",
       (s, dir) => {
+        val K_CELLS = 16
         val c = corpus(s, dir)
-        val cents = c.filter(col("vec_id") % 97 === 0)
+        val nTotal = c.agg(count(lit(1)).as("n_total"))
+        val cents = c.crossJoin(broadcast(nTotal))
+          .filter(col("vec_id") %
+            greatest(lit(97L), floor(col("n_total") / K_CELLS).cast("long")) === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nsq").as("c_nsq"))
         val simToCent = Num.fround(
           VectorFns.dot("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
@@ -197,7 +244,8 @@ object Vectors {
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
                  FROM embeddings),
-               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c WHERE vec_id % 97 = 0),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
+                         WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // 16) = 0),
                assigned AS (
                  SELECT vec_id, emb, nsq, cid AS cell FROM (
                    SELECT c.vec_id, c.emb, c.nsq, cents.cid,
