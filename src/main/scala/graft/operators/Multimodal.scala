@@ -6,10 +6,15 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * columns with typed metadata, processed in partition-local batches —
   * the Scala analog of a Pandas-UDF-over-mapInPandas stage (same
   * contract: schema in, schema out, vectorized batch shape, no
-  * shuffle). The real codec step is STUBBED behind [[decodeStub]]
-  * (image/audio libraries are not in this container); everything
-  * around it — row types, batching, partition preservation, feature
-  * schema — is real and tested.
+  * shuffle).
+  *
+  * The codec boundary: `kind == "image"` payloads are REALLY decoded
+  * via `javax.imageio` (PNG/BMP/GIF/JPEG readers ship in the JDK —
+  * no external libs needed) into row-major luminance samples; other
+  * kinds (audio/video codecs are genuinely absent from this
+  * container) fall back to [[decodeStub]], a deterministic
+  * pass-through that keeps the rest of the pipeline — batching,
+  * histogram, resize, frame sampling — fully exercisable.
   *
   * Scale: this is a narrow per-partition map. Content bytes never
   * leave their partition, batches bound peak memory (`batchSize` plays
@@ -34,11 +39,44 @@ object Multimodal {
   val ThumbBytes = 16
   val NFrames = 4
 
-  /** STUB for the codec step: a real implementation would decode the
-    * container format here (JPEG/PNG/WAV/...); the deterministic fake
-    * treats the payload bytes as already-decoded samples so the
-    * surrounding pipeline is fully exercisable and reproducible. */
+  /** STUB for the non-image codec paths (audio/video libraries are not
+    * in this container): the deterministic fake treats the payload
+    * bytes as already-decoded samples so the surrounding pipeline is
+    * fully exercisable and reproducible. */
   def decodeStub(meta: MediaMeta, content: Array[Byte]): Array[Byte] = content
+
+  /** Decode an image payload (PNG/BMP/GIF/JPEG — whatever the JDK's
+    * ImageIO readers accept) into row-major 8-bit luminance samples
+    * (integer Rec.601: (299 R + 587 G + 114 B) / 1000 — deterministic,
+    * no float rounding ambiguity). Undecodable bytes fall back to the
+    * stub rather than poisoning the partition — the reference's
+    * poison-pill tolerance (transformer_loader/main.py:95-97) applied
+    * at the codec boundary. */
+  def decodeImage(content: Array[Byte]): Array[Byte] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) content
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            out(y * w + x) = luma.toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    } catch { case _: java.io.IOException => content }
+
+  /** Codec dispatch: real ImageIO decode for images, stub otherwise. */
+  def decode(meta: MediaMeta, content: Array[Byte]): Array[Byte] =
+    if (meta.kind == "image") decodeImage(content) else decodeStub(meta, content)
 
   /** "Resize": stride-resample the decoded samples to `n` bytes. */
   def resizeStub(decoded: Array[Byte], n: Int): Array[Byte] =
@@ -65,7 +103,7 @@ object Multimodal {
   }
 
   def extractOne(row: MediaRow): MediaFeatures = {
-    val decoded = decodeStub(row.meta, row.content)
+    val decoded = decode(row.meta, row.content)
     val hist = new Array[Long](16)
     decoded.foreach(b => hist((b & 0xf0) >> 4) += 1)
     MediaFeatures(row.media_id, row.meta.kind, decoded.length, hist,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -9,21 +10,56 @@ import graft.domain.MatchTransform
   * Structured Streaming: the per-document `processed: False→True` flag
   * and 1-minute poll loop (transformer_loader/main.py:83,204-207)
   * become checkpoint offsets + a trigger; the unique-matchId ingest
-  * index (extractor/main.py:513) becomes streaming
-  * `dropDuplicates("matchId")`; the `$inc` counter upsert
-  * (transformer_loader/main.py:184-190) becomes an update-mode
-  * aggregation merged in `foreachBatch`.
+  * index (extractor/main.py:513) becomes watermark-bounded streaming
+  * dedup; the `$inc` counter upsert (transformer_loader/main.py:
+  * 184-190) becomes an update-mode merge in `foreachBatch`.
   *
-  * Scale: state is bounded by the dedup watermark; the gold merge is a
-  * keyed upsert per micro-batch (on Delta it would be MERGE INTO — here
-  * parquet-overwrite per batch keyed by (puuid, champion), which at
-  * production scale would be partitioned storage).
+  * Scale + exactly-once design (the parquet-pure MERGE substitute — on
+  * Delta/Iceberg this whole dance is one `MERGE INTO`):
+  *  - Dedup state is BOUNDED: `dropDuplicatesWithinWatermark` on the
+  *    ingest-time column evicts a matchId's dedup state once the
+  *    watermark passes its event time + delay (the reference's unique
+  *    index grows forever; ours trades unbounded memory for a
+  *    documented duplicate-arrival horizon).
+  *  - Silver appends are IDEMPOTENT: each micro-batch overwrites its
+  *    own `batch=<epochId>` partition, so an at-least-once retry of a
+  *    failed batch rewrites the same directory instead of appending
+  *    duplicates.
+  *  - Gold is a BUCKET-PARTITIONED versioned table:
+  *    `goldDir/v=<epochId>/bucket=<hash(puuid) mod N>/`. A batch
+  *    rewrites ONLY the buckets its keys touch (not the world), each
+  *    epoch's write is an idempotent overwrite of its own `v=` dir,
+  *    and the merge reads the latest complete version BEFORE the
+  *    current epoch per bucket — so a retried batch recomputes from
+  *    pre-batch state instead of double-counting. Readers use
+  *    [[readGold]] (newest complete version per bucket). Partial
+  *    writes are invisible: versions without `_SUCCESS` are skipped.
+  *  - Missing-vs-broken gold is distinguished: a nonexistent directory
+  *    means "first batch" (merge starts empty); any OTHER read failure
+  *    propagates and fails the batch (round 1 swallowed Throwable and
+  *    would have silently reset all counters on a transient IO error).
+  *
+  * The only driver-side materialization is the ≤ [[NumBuckets]]-row
+  * touched-bucket list — bounded metadata, not data.
   */
 object Incremental {
 
+  /** Gold hash-bucket fan-out. At 100 TB this is the partition grain a
+    * real deployment tunes (buckets ≈ executors × small constant). */
+  val NumBuckets = 16
+
+  /** Duplicate-arrival horizon for ingest dedup state. */
+  val DedupDelay = "24 hours"
+
+  private def bucketCol: org.apache.spark.sql.Column =
+    pmod(hash(col("puuid")), lit(NumBuckets))
+
   /** Bronze directory stream → silver append + gold update, one pass
     * (`Trigger.AvailableNow`): processes the current backlog then
-    * stops, the streaming equivalent of one reference poll tick. */
+    * stops, the streaming equivalent of one reference poll tick.
+    * `timestamp` (the ingest audit column, extractor/main.py:427) must
+    * be populated by the bronze writer — it drives the dedup
+    * watermark. */
   def runOnce(
       spark: SparkSession,
       bronzeDir: String,
@@ -31,35 +67,46 @@ object Incremental {
       silverDir: String,
       goldDir: String,
       checkpointDir: String): StreamingQuery = {
+    // Register session extensions BEFORE the query starts: the stream
+    // executes on a cloned session whose function registry is copied at
+    // start time.
+    graft.functions.NormalizeNFKC.register(spark)
     val schema = spark.read.parquet(bronzeDir).schema
     val bronze = spark.readStream.schema(schema).parquet(bronzeDir)
-      // exactly-once per match: replaces the unique index + exists-check
-      .dropDuplicates("matchId")
+      // exactly-once per match within the watermark horizon: replaces
+      // the unique index + exists-check, with state that EVICTS.
+      .withWatermark("timestamp", DedupDelay)
+      .dropDuplicatesWithinWatermark("matchId")
 
     val query = bronze.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        if (!batch.isEmpty) {
         val silver = MatchTransform.silver(batch.toDF(), summoners)
           .drop(MatchTransform.TierCol)
           .persist()
         try {
-          silver.write.mode("append").parquet(silverDir)
-          // Gold re-merge: read existing, union new contributions,
-          // re-aggregate the touched keys (the $inc upsert, batch form).
-          val newGold = MatchTransform.goldFromSilver(silver)
-          val merged = loadGold(spark, goldDir) match {
-            case Some(old) =>
-              old.unionByName(newGold)
-                .groupBy(col("puuid"), col("champion"))
-                .agg(sum(col("games")).as("games"), sum(col("wins")).as("wins"),
-                  sum(col("kda_sum")).as("kda_sum"))
-            case None => newGold
+          silver.write.mode("overwrite").parquet(s"$silverDir/batch=$epochId")
+          val contrib = MatchTransform.goldFromSilver(silver)
+            .withColumn("bucket", bucketCol)
+          val touched = contrib.select(col("bucket")).distinct()
+            .collect().map(_.getInt(0)).sorted // bounded: <= NumBuckets values
+          if (touched.nonEmpty) {
+            val prior = readGoldBefore(spark, goldDir, epochId)
+              .map(_.withColumn("bucket", bucketCol)
+                .filter(col("bucket").isin(touched.map(Int.box): _*)))
+            val merged = prior match {
+              case Some(old) =>
+                old.unionByName(contrib)
+                  .groupBy(col("puuid"), col("champion"), col("bucket"))
+                  .agg(sum(col("games")).as("games"), sum(col("wins")).as("wins"),
+                    sum(col("kda_sum")).as("kda_sum"))
+              case None => contrib
+            }
+            merged.write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$goldDir/v=$epochId")
           }
-          val staged = merged.persist()
-          staged.count() // materialize before overwriting the source of the read
-          staged.write.mode("overwrite").parquet(goldDir + ".tmp")
-          spark.read.parquet(goldDir + ".tmp").write.mode("overwrite").parquet(goldDir)
-          staged.unpersist()
         } finally silver.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -68,11 +115,44 @@ object Incremental {
     query
   }
 
-  private def loadGold(spark: SparkSession, dir: String): Option[DataFrame] =
-    try {
-      val d = spark.read.parquet(dir)
-      if (d.columns.contains("puuid")) Some(d) else None
-    } catch { case _: Throwable => None }
+  /** Current gold table: newest COMPLETE (`_SUCCESS`) version of each
+    * bucket. Columns: puuid, champion, games, wins, kda_sum. */
+  def readGold(spark: SparkSession, goldDir: String): Option[DataFrame] =
+    readGoldVersions(spark, goldDir, beforeEpoch = None)
+
+  /** Gold state as of before `epochId` — what a (possibly retried)
+    * batch must merge onto. */
+  private def readGoldBefore(spark: SparkSession, goldDir: String, epochId: Long): Option[DataFrame] =
+    readGoldVersions(spark, goldDir, beforeEpoch = Some(epochId))
+
+  private def readGoldVersions(
+      spark: SparkSession,
+      goldDir: String,
+      beforeEpoch: Option[Long]): Option[DataFrame] = {
+    val root = new Path(goldDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // ONLY "does not exist" means empty state; IO errors propagate.
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v=")) Some((n.drop(2).toLong, p)) else None
+      }
+      .filter { case (v, p) =>
+        beforeEpoch.forall(v < _) && fs.exists(new Path(p, "_SUCCESS"))
+      }
+      .sortBy { case (v, _) => -v }
+    // newest version wins per bucket
+    val chosen = scala.collection.mutable.LinkedHashMap.empty[String, Path]
+    versions.foreach { case (_, vp) =>
+      fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .foreach { bp => if (!chosen.contains(bp.getName)) chosen(bp.getName) = bp }
+    }
+    if (chosen.isEmpty) None
+    else Some(spark.read.parquet(chosen.values.map(_.toString).toSeq: _*))
+  }
 
   /** Streaming update-mode gold aggregation over an arbitrary silver
     * stream (used by the batch≡streaming equivalence test with

@@ -30,6 +30,42 @@ class OperatorsSpec extends SparkSuite {
     assert(feats.map(_.frame_hashes.toSeq).toSeq == again.map(_.frame_hashes.toSeq).toSeq)
   }
 
+  test("multimodal: real PNG decode via javax.imageio yields luminance samples") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (4, 3)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 50) << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val f = Multimodal.extractFeatures(
+      spark.createDataset(Seq(MediaRow(7L, MediaMeta("image", w, h, 0), png))))
+      .collect().head
+    // decoded sample count = pixel count, NOT the PNG container size
+    assert(f.n_bytes == w * h && f.n_bytes != png.length)
+    // histogram matches integer Rec.601 luminance of the known pixels
+    val expected = for (y <- 0 until h; x <- 0 until w)
+      yield (((x * 40) * 299 + (y * 50) * 587 + 200 * 114) / 1000).toByte
+    val hist = new Array[Long](16)
+    expected.foreach(b => hist((b & 0xf0) >> 4) += 1)
+    assert(f.histogram.toSeq == hist.toSeq)
+
+    // non-image kinds still pass through the deterministic stub
+    val f2 = Multimodal.extractFeatures(
+      spark.createDataset(Seq(MediaRow(8L, MediaMeta("audio", 0, 0, 16000), png))))
+      .collect().head
+    assert(f2.n_bytes == png.length)
+
+    // undecodable bytes tagged "image" fall back rather than throwing
+    val junk = Array.tabulate(32)(i => (i * 7).toByte)
+    val f3 = Multimodal.extractFeatures(
+      spark.createDataset(Seq(MediaRow(9L, MediaMeta("image", 0, 0, 0), junk))))
+      .collect().head
+    assert(f3.n_bytes == junk.length)
+  }
+
   test("multimodal: schema carries binary payload + typed metadata") {
     val ds = spark.createDataset(Seq(
       MediaRow(1L, MediaMeta("image", 8, 8, 0), Array[Byte](1, 2, 3))))

@@ -56,7 +56,9 @@ class StreamingSpec extends SparkSuite {
             Some("MASTER-1"), Some("Agurin"), Some("EUW"), None, Some("Ahri"),
             Some(100), Some(win), Some(5), Some(2), Some(5),
             Some(100), Some(0), Some(10000), Some(9000),
-            Some(0), Some(0), Some(0), Some(0), Some(0), Some(0), Some(0)))))))))
+            Some(0), Some(0), Some(0), Some(0), Some(0), Some(0), Some(0)))))))),
+        // ingest audit timestamp — drives the dedup watermark
+        Some(new java.sql.Timestamp(1700000200000L)))
 
     val summoners = Seq(
       Summoner("MASTER-1", "Agurin#EUW", "europe", "euw1", 500, 1, None, None, None)).toDF()
@@ -69,7 +71,7 @@ class StreamingSpec extends SparkSuite {
 
     val silver1 = spark.read.parquet(silverDir)
     assert(silver1.select("matchId").as[String].collect().sorted.toSeq == Seq("M1", "M2"))
-    val gold1 = spark.read.parquet(goldDir).collect()
+    val gold1 = Incremental.readGold(spark, goldDir).get.collect()
     assert(gold1.length == 1)
     assert(gold1.head.getAs[Long]("games") == 2 && gold1.head.getAs[Long]("wins") == 1)
 
@@ -82,7 +84,58 @@ class StreamingSpec extends SparkSuite {
 
     val silver2 = spark.read.parquet(silverDir)
     assert(silver2.select("matchId").as[String].collect().sorted.toSeq == Seq("M1", "M2", "M3"))
-    val gold2 = spark.read.parquet(goldDir).collect()
+    val gold2 = Incremental.readGold(spark, goldDir).get.collect()
     assert(gold2.head.getAs[Long]("games") == 3 && gold2.head.getAs[Long]("wins") == 2)
+
+    // gold merge is BOUNDED: each epoch wrote only the single bucket
+    // its one (puuid, champion) key hashes to, not all NumBuckets.
+    val goldRoot = new java.io.File(goldDir)
+    val versions = goldRoot.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v="))
+    assert(versions.length == 2) // one complete version per epoch
+    versions.foreach { v =>
+      val buckets = v.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      assert(buckets.length == 1)
+    }
+    // silver staging is per-epoch (idempotent overwrite target per
+    // batch; epoch numbering is the checkpoint's, so only the layout —
+    // one dir per processed batch, starting at 0 — is asserted)
+    val silverBatches = new java.io.File(silverDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(silverBatches.length >= 2 && silverBatches.head == "batch=0")
+  }
+
+  test("stateful TTL: dormant keys evicted by event-time timeout; live keys keep counting") {
+    import graft.streaming.StatefulStats
+    import StatefulStats.TimedIn
+    implicit val sqlCtx = spark.sqlContext
+    // base offset: an event at exactly epoch 0 equals the initial
+    // watermark and is dropped as late — start an hour in
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+
+    val stream = MemoryStream[TimedIn]
+    val q = StatefulStats.runningStatsWithTtl(stream.toDS(), ttlMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("ttl_mem").outputMode("update").start()
+    // b1: A and B active at t=0 (watermark after: 0)
+    stream.addData(TimedIn("A", "Ahri", win = true, 2.0, ts(0)),
+      TimedIn("B", "Zed", win = false, 1.0, ts(0)))
+    q.processAllAvailable()
+    // b2: only B, far in the future (watermark after this batch: 120m)
+    stream.addData(TimedIn("B", "Zed", win = true, 3.0, ts(120)))
+    q.processAllAvailable()
+    // b3: only B again — processed with watermark=120m > A's timeout
+    // (0 + 30m), so A's state is evicted here (emitting nothing)
+    stream.addData(TimedIn("B", "Zed", win = true, 5.0, ts(121)))
+    q.processAllAvailable()
+    // b4: A returns — state was evicted, counters restart from zero
+    stream.addData(TimedIn("A", "Ahri", win = true, 4.0, ts(122)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ttl_mem")
+      .as[(String, String, Long, Long, Double)].collect()
+    val aGames = rows.filter(_._1 == "A").map(_._3)
+    assert(aGames.nonEmpty && aGames.max == 1) // never accumulated across eviction
+    val bFinal = rows.filter(_._1 == "B").maxBy(_._3)
+    assert(bFinal._3 == 3 && bFinal._4 == 2) // live key unaffected by A's eviction
   }
 }
