@@ -159,15 +159,20 @@ object Text {
       },
     ),
 
-    // MinHash signatures: 8 md5-derived minhashes over word 3-shingles.
+    // MinHash signatures: 8 md5-derived minhashes over word 3-shingles,
+    // via the fused single-pass codegen expression (MinHashSlots —
+    // values bit-identical to the composed array_min(transform(md5))
+    // form, so the oracle is the composed form).
     QueryDef(
       "q32_minhash_signature",
       (s, dir) => {
-        val sigCols = (0 until 8).map(i => TextFns.minhash("shingles", i).as(s"mh_$i"))
+        graft.functions.MinHashSlots.register(s)
         Tables.documents(s, dir)
           .withColumn("toks", TextFns.tokens(col("text")))
           .withColumn("shingles", TextFns.shingleExpr("toks", 3))
-          .select((col("doc_id") +: sigCols): _*)
+          .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("shingles"), 8))
+          .select((col("doc_id") +:
+            (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh_$i"))): _*)
           .orderBy(col("doc_id"))
       },
       Some {
@@ -189,12 +194,13 @@ object Text {
     QueryDef(
       "q33_minhash_lsh_pairs",
       (s, dir) => {
-        val sigCols = Seq(col("doc_id"), col("shingles")) ++
-          (0 until 8).map(i => TextFns.minhash("shingles", i).as(s"mh_$i"))
+        graft.functions.MinHashSlots.register(s)
         val docs = Tables.documents(s, dir)
           .withColumn("toks", TextFns.tokens(col("text")))
           .withColumn("shingles", TextFns.shingleExpr("toks", 3))
-          .select(sigCols: _*)
+          .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("shingles"), 8))
+          .select((Seq(col("doc_id"), col("shingles")) ++
+            (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh_$i"))): _*)
         // Materialize signatures before the self-join: md5-over-shingles
         // ×8 is the expensive projection and the join would otherwise
         // recompute it for BOTH sides. At production scale this is the

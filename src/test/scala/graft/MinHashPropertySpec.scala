@@ -44,4 +44,45 @@ class MinHashPropertySpec extends SparkSuite {
     val truth = trueJaccard(base, edited)
     assert(math.abs(est - truth) < 0.25, s"estimate $est vs true $truth")
   }
+
+  test("fused MinHashSlots expression == composed array_min(transform(md5)) per slot") {
+    import graft.functions.MinHashSlots
+    MinHashSlots.register(spark)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "short doc"), // < k tokens -> whole-text shingle fallback
+      (3L, (1 to 60).map(i => s"tok$i mixed Content-$i").mkString(" ")),
+      (4L, "unicode façade naïve coöperate résumé tokens here for shingles"),
+    )
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("shingles", TextFns.shingleExpr("toks", 3))
+    val nSlots = 8
+    val fused = df
+      .withColumn("mh", MinHashSlots.slotsCol(col("shingles"), nSlots))
+      .select((col("doc_id") +:
+        (0 until nSlots).map(i => element_at(col("mh"), i + 1).as(s"f_$i"))): _*)
+    val composed = df.select((col("doc_id") +:
+      (0 until nSlots).map(i => TextFns.minhash("shingles", i).as(s"c_$i"))): _*)
+    val joined = fused.join(composed, "doc_id").collect()
+    assert(joined.length == texts.length)
+    joined.foreach { r =>
+      (0 until nSlots).foreach { i =>
+        assert(r.getAs[String](s"f_$i") == r.getAs[String](s"c_$i"),
+          s"slot $i mismatch for doc ${r.getLong(0)}")
+      }
+    }
+    // null / empty inputs: null array -> null row value; empty -> null slots
+    val edge = spark.sql(s"SELECT minhash_slots(CAST(NULL AS ARRAY<STRING>), 2) AS a, " +
+      "minhash_slots(CAST(array() AS ARRAY<STRING>), 2) AS b, " +
+      "minhash_slots(array(CAST(NULL AS STRING)), 2) AS c")
+      .collect().head
+    assert(edge.isNullAt(0))
+    assert(edge.getSeq[String](1) == Seq(null, null))
+    assert(edge.getSeq[String](2) == Seq(null, null))
+    // non-array input is an analysis error, not a runtime failure
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_slots('not an array', 2)").collect()
+    }
+  }
 }
