@@ -66,4 +66,35 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       "text pipeline must stay on codegen'd built-ins")
   }
+
+  test("q54 SimHash signatures: vote sums are a codegen'd HashAggregate, not interpreted lambdas") {
+    val plan = finalPlan(SparkEntry.queries("q54_simhash_hamming_pairs")(spark, sfDir))
+    // the 64 (+1/-1) vote sums must run as partial (map-side) hash
+    // aggregation — one compact row per doc reaches the exchange
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial"), s"expected partial aggregation:\n$plan")
+    // no `aggregate(...)` higher-order fold in the signature path
+    assert(!plan.contains("lambdafunction"), s"signature path must not use interpreted lambdas:\n$plan")
+  }
+
+  test("q39 banded LSH: projections aggregate map-side; candidate pairs deduped before payload join") {
+    val plan = finalPlan(SparkEntry.queries("q39_cosine_neardup_pairs")(spark, sfDir))
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate for plane projections:\n$plan")
+    // id-only pair dedup = a distinct aggregate over (vec_a, vec_b)
+    assert(plan.contains("vec_a") && plan.contains("vec_b"), s"expected id-pair columns:\n$plan")
+  }
+
+  test("q32 fused MinHash: single codegen'd projection, no interpreted transform per slot") {
+    val plan = finalPlan(SparkEntry.queries("q32_minhash_signature")(spark, sfDir))
+    assert(plan.contains("minhash_slots"), s"expected fused expression:\n$plan")
+    assert(!plan.contains("array_min"), s"composed per-slot form should be gone:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "must be a native expression, not a UDF")
+  }
+
+  test("q58 native session windows: plans as SessionWindow state operator with partial aggregation") {
+    val plan = finalPlan(SparkEntry.queries("q58_session_window_native")(spark, sfDir))
+    assert(plan.toLowerCase.contains("session"), s"expected session-window operator:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected aggregation over sessions:\n$plan")
+  }
 }
