@@ -24,6 +24,12 @@ import org.apache.spark.sql.SparkSession
   * computes (a signature query ending in select+orderBy times as a
   * bare scan), while the noop write evaluates every output row in
   * full — the number the user of the query would actually pay.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2) and the
+  * per-query MINIMUM is reported: single-shot numbers on a shared VM
+  * swing ±50% (observed same-commit totals of 64 s and 103 s), and
+  * the minimum is the standard low-noise estimator of a deterministic
+  * computation's cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,25 +51,34 @@ object Bench {
     try materialize(SparkEntry.entry(spark))
     catch { case _: Throwable => () }
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            errors += name -> e.getClass.getSimpleName
-            -1.0
-        }
-      spark.sharedState.cacheManager.clearCache()
-      name -> elapsed
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timings = (1 to runs).map { _ =>
+      sorted.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val elapsed =
+          try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              errors += name -> e.getClass.getSimpleName
+              -1.0
+          }
+        spark.sharedState.cacheManager.clearCache()
+        name -> elapsed
+      }.toMap
+    }
+    val results = sorted.map { case (name, _) =>
+      val ts = timings.map(_(name))
+      // a query that failed in ANY run reports -1 (visible in errors)
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,8 +37,9 @@ object Extensions {
 
     // Approximate sketches: HLL distinct + approximate quantiles.
     // No oracle — sketch algorithms are engine-specific by design
-    // (driver records the weaker rows-only check); exactness is
-    // covered by q02/q10's exact aggregates.
+    // (driver records the weaker rows-only check). The exact
+    // counterpart lives in q59 so this query's bench cost is the
+    // sketches' real cost, not the exact countDistinct's.
     QueryDef(
       "q45_sketches",
       (s, dir) =>
@@ -46,10 +47,27 @@ object Extensions {
           .groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-            countDistinct(col("l_partkey")).as("exact_parts"))
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
           .orderBy(col("l_returnflag")),
       None,
+    ),
+
+    // Exact distinct counts (the ground truth q45's HLL approximates;
+    // oracle-checked, unlike the engine-specific sketch). At 100 TB
+    // the expand-based exact distinct is the expensive path — that
+    // cost difference is the point of having both queries.
+    QueryDef(
+      "q59_exact_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+              count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+              count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     ),
 
     // Binary-payload plumbing at the expression layer: byte length,

@@ -196,6 +196,61 @@ object Vectors {
                ORDER BY vec_a, vec_b"""),
     ),
 
+    // Multi-probe LSH ANN: like q38, but each probe searches its own
+    // bucket PLUS the 8 hamming-1 neighbor buckets (one sign bit
+    // flipped). The standard recall/latency dial for bit-LSH — ~9× the
+    // candidates of single-probe (still ~9/256 of the corpus, bounded)
+    // without building more band tables. Probe keys broadcast; the
+    // corpus never shuffles for the join; a corpus vector lives in
+    // exactly one bucket so the 9 keys per probe cannot duplicate a
+    // candidate.
+    QueryDef(
+      "q60_ann_multiprobe",
+      (s, dir) => {
+        val proj = VectorFns.hyperplaneProjections(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 0 until 8)
+        val c = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .join(proj.select(col("vec_id"), col("nsq"),
+            VectorFns.bucketFromProjections(0, 8).as("bucket")), Seq("vec_id"))
+          .persist()
+        val probes = c.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nsq").as("p_nsq"), col("bucket").as("home"))
+        val probeKeys = probes.select(col("probe_id"), col("p_emb"), col("p_nsq"),
+          explode(array(col("home") +:
+            (0 until 8).map(j => col("home").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+        val sim = Num.fround(
+          VectorFns.dot("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        c.join(broadcast(probeKeys), Seq("bucket"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
+                        ${VectorFns.lshBucketSql("(embedding::DOUBLE[])", 8)} AS bucket
+                 FROM embeddings),
+               p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, bucket AS home
+                     FROM c WHERE vec_id < $N_PROBES),
+               pk AS (
+                 SELECT probe_id, p_emb, p_nsq, bucket FROM p,
+                 UNNEST([home, ${(0 until 8).map(j => s"xor(home, ${1 << j})").mkString(", ")}]) AS u(bucket)),
+               sims AS (
+                 SELECT probe_id, vec_id,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                 FROM c JOIN pk ON c.bucket = pk.bucket AND c.vec_id <> pk.probe_id)
+               SELECT probe_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+               FROM sims
+               QUALIFY rank <= 5
+               ORDER BY probe_id, rank"""),
+    ),
+
     // IVF-style ANN: a deterministic coarse quantizer with a FIXED
     // centroid count k — the sampling modulus is derived from the
     // corpus size (m = max(97, n div k)) so the centroid table stays
