@@ -267,17 +267,27 @@ object Text {
     QueryDef(
       "q34_ngram_jaccard_blocked",
       (s, dir) => {
+        // Same shuffle discipline as q33: the block self-join ships
+        // (lang, source, blk, id) rows only; token-set payloads are
+        // materialized once and re-joined per candidate pair, so
+        // payload bytes move once per candidate, never once per doc
+        // per join side. A doc has exactly one block key, so a pair
+        // can't be generated twice — no distinct needed.
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("source"),
             array_distinct(TextFns.tokens(col("text"))).as("tokset"))
           .withColumn("blk", TextFns.minhash("tokset", 0))
-        val a = docs.select(col("lang"), col("source"), col("blk"),
-          col("doc_id").as("doc_a"), col("tokset").as("ts_a"))
-        val b = docs.select(col("lang"), col("source"), col("blk"),
-          col("doc_id").as("doc_b"), col("tokset").as("ts_b"))
+          .persist()
+        val keys = docs.select(col("lang"), col("source"), col("blk"), col("doc_id"))
+        val pairs = keys.select(col("lang"), col("source"), col("blk"), col("doc_id").as("doc_a"))
+          .join(keys.select(col("lang"), col("source"), col("blk"), col("doc_id").as("doc_b")),
+            Seq("lang", "source", "blk"))
+          .filter(col("doc_a") < col("doc_b"))
         val inter = size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
         val uni = (size(col("ts_a")) + size(col("ts_b"))).cast("double") - inter
-        a.join(b, Seq("lang", "source", "blk")).filter(col("doc_a") < col("doc_b"))
+        pairs
+          .join(docs.select(col("doc_id").as("doc_a"), col("tokset").as("ts_a")), Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("tokset").as("ts_b")), Seq("doc_b"))
           .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
             Num.fround(inter / uni, 4).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
