@@ -172,6 +172,54 @@ object Domain {
               ORDER BY puuid, matchId"""),
     ),
 
+    // P2 per-participant projection, oracle-checked: the WIDE silver's
+    // participants array (transform() higher-order projection with the
+    // name-coalesce chain, transformer_loader/main.py:27-59) exploded
+    // to flat rows and recomputed analytically in DuckDB. Upgrades P2
+    // from spec-only to differentially verified.
+    QueryDef(
+      "q61_participants_projection",
+      (s, dir) =>
+        MatchTransform.silver(
+          bronzeFromOrders(Tables.orders(s, dir)),
+          dimFromCustomer(Tables.customer(s, dir)),
+          includeParticipants = true)
+          .select(col("matchId"), posexplode(col("participants")).as(Seq("pos", "p")))
+          .select(col("matchId").cast("long").as("match_key"),
+            col("pos").cast("long").as("pos"),
+            col("p.champion").as("champion"),
+            col("p.summonerName").as("full_name"),
+            col("p.teamId").cast("long").as("team_id"),
+            col("p.win").as("win"),
+            col("p.kills").as("kills"), col("p.deaths").as("deaths"),
+            col("p.assists").as("assists"),
+            col("p.total_damage").as("total_damage"),
+            col("p.items").as("items"))
+          .orderBy(col("match_key"), col("pos")),
+      Some("""WITH a AS (
+                SELECT o_orderkey AS match_key, 0::BIGINT AS pos,
+                  o_orderpriority AS champion,
+                  CASE WHEN o_orderkey % 3 = 0 THEN 'Cust' || o_custkey
+                       ELSE 'Cust' || o_custkey || '#TAG' END AS full_name,
+                  100::BIGINT AS team_id,
+                  (o_orderstatus = 'F') AS win,
+                  (o_orderkey % 17)::BIGINT AS kills,
+                  (o_orderkey % 7)::BIGINT AS deaths,
+                  (o_orderkey % 11)::BIGINT AS assists,
+                  (o_orderkey % 30000)::BIGINT AS total_damage,
+                  [o_orderkey % 4000, (o_orderkey + 1) % 4000, (o_orderkey + 2) % 4000,
+                   (o_orderkey + 3) % 4000, (o_orderkey + 4) % 4000, (o_orderkey + 5) % 4000,
+                   0]::BIGINT[] AS items
+                FROM orders),
+              b AS (
+                SELECT o_orderkey, 1::BIGINT, 'Decoy', 'Nobody#X', 200::BIGINT,
+                  (o_orderstatus <> 'F'), 1::BIGINT, 2::BIGINT, 3::BIGINT, 100::BIGINT,
+                  [0, 0, 0, 0, 0, 0, 0]::BIGINT[]
+                FROM orders)
+              SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+              ORDER BY match_key, pos"""),
+    ),
+
     // E3 serving composite: newest-300 trim per player (O1 bound,
     // api_service/main.py:334-338) then the per-champion aggregate
     // with derived avg_kda / winrate (A1, :340-358).

@@ -27,8 +27,14 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # pyarrow list columns come back as numpy arrays; normalize to
+    # tuples (of Python scalars) so both engines' rows compare equal
+    if hasattr(v, "tolist") and not hasattr(v, "split"):
+        v = v.tolist()
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
     return v
 
 
