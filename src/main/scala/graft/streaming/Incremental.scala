@@ -80,39 +80,54 @@ object Incremental {
 
     val query = bronze.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-        if (!batch.isEmpty) {
-        val silver = MatchTransform.silver(batch.toDF(), summoners)
-          .drop(MatchTransform.TierCol)
-          .persist()
-        try {
-          silver.write.mode("overwrite").parquet(s"$silverDir/batch=$epochId")
-          val contrib = MatchTransform.goldFromSilver(silver)
-            .withColumn("bucket", bucketCol)
-          val touched = contrib.select(col("bucket")).distinct()
-            .collect().map(_.getInt(0)).sorted // bounded: <= NumBuckets values
-          if (touched.nonEmpty) {
-            val prior = readGoldBefore(spark, goldDir, epochId)
-              .map(_.withColumn("bucket", bucketCol)
-                .filter(col("bucket").isin(touched.map(Int.box): _*)))
-            val merged = prior match {
-              case Some(old) =>
-                old.unionByName(contrib)
-                  .groupBy(col("puuid"), col("champion"), col("bucket"))
-                  .agg(sum(col("games")).as("games"), sum(col("wins")).as("wins"),
-                    sum(col("kda_sum")).as("kda_sum"))
-              case None => contrib
-            }
-            merged.write.mode("overwrite").partitionBy("bucket")
-              .parquet(s"$goldDir/v=$epochId")
-          }
-        } finally silver.unpersist()
-        }
+        if (!batch.isEmpty)
+          processBatch(spark, batch.toDF(), summoners, silverDir, goldDir, epochId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     query
+  }
+
+  /** One micro-batch: silver staging + bucketed gold merge. IDEMPOTENT
+    * per (inputs, epochId) — Spark's at-least-once batch retry re-runs
+    * this with the same epochId, so both writes overwrite their own
+    * epoch-keyed locations and the merge reads only state from BEFORE
+    * this epoch (a completed v=epochId from the failed attempt is
+    * ignored, never double-counted). Exposed for the retry spec. */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      summoners: DataFrame,
+      silverDir: String,
+      goldDir: String,
+      epochId: Long): Unit = {
+    val silver = MatchTransform.silver(batch, summoners)
+      .drop(MatchTransform.TierCol)
+      .persist()
+    try {
+      silver.write.mode("overwrite").parquet(s"$silverDir/batch=$epochId")
+      val contrib = MatchTransform.goldFromSilver(silver)
+        .withColumn("bucket", bucketCol)
+      val touched = contrib.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: <= NumBuckets values
+      if (touched.nonEmpty) {
+        val prior = readGoldBefore(spark, goldDir, epochId)
+          .map(_.withColumn("bucket", bucketCol)
+            .filter(col("bucket").isin(touched.map(Int.box): _*)))
+        val merged = prior match {
+          case Some(old) =>
+            old.unionByName(contrib)
+              .groupBy(col("puuid"), col("champion"), col("bucket"))
+              .agg(sum(col("games")).as("games"), sum(col("wins")).as("wins"),
+                sum(col("kda_sum")).as("kda_sum"))
+          case None => contrib
+        }
+        merged.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$goldDir/v=$epochId")
+      }
+    } finally silver.unpersist()
   }
 
   /** Current gold table: newest COMPLETE (`_SUCCESS`) version of each

@@ -104,6 +104,40 @@ class StreamingSpec extends SparkSuite {
     assert(silverBatches.length >= 2 && silverBatches.head == "batch=0")
   }
 
+  test("gold merge is idempotent under at-least-once batch retry") {
+    val tmp = Files.createTempDirectory("graft_retry").toString
+    val (silverDir, goldDir) = (s"$tmp/silver", s"$tmp/gold")
+    val summoners = Seq(
+      Summoner("P1", "One#EUW", "europe", "euw1", 1, 1, None, None, None)).toDF()
+    def mk(id: String, win: Boolean) =
+      RawMatch(id, "P1", processed = false,
+        Some(RawPayload(Some(MatchInfo(Some(420), Some(1800L), Some(1700000000000L), None,
+          Some(Seq(Participant(Some("P1"), Some("One"), Some("EUW"), None, Some("Ahri"),
+            Some(100), Some(win), Some(1), Some(1), Some(1), Some(0), Some(0), Some(0), Some(0),
+            Some(0), Some(0), Some(0), Some(0), Some(0), Some(0), Some(0)))))))),
+        Some(new java.sql.Timestamp(1700000200000L)))
+
+    val b0 = Seq(mk("A", win = true), mk("B", win = false)).toDF()
+    val b1 = Seq(mk("C", win = true)).toDF()
+    Incremental.processBatch(spark, b0, summoners, silverDir, goldDir, epochId = 0L)
+    Incremental.processBatch(spark, b1, summoners, silverDir, goldDir, epochId = 1L)
+    val before = Incremental.readGold(spark, goldDir).get.collect()
+    assert(before.head.getAs[Long]("games") == 3 && before.head.getAs[Long]("wins") == 2)
+
+    // at-least-once retry: epoch 1 re-runs after its write already
+    // completed — the merge must read pre-epoch-1 state, not the
+    // failed attempt's own output, so counters DON'T double
+    Incremental.processBatch(spark, b1, summoners, silverDir, goldDir, epochId = 1L)
+    val after = Incremental.readGold(spark, goldDir).get.collect()
+    assert(after.head.getAs[Long]("games") == 3 && after.head.getAs[Long]("wins") == 2)
+
+    // silver staging is equally idempotent: batch=1 was overwritten,
+    // not appended, so the match set is unchanged
+    val silverIds = spark.read.parquet(silverDir)
+      .select("matchId").as[String].collect().sorted.toSeq
+    assert(silverIds == Seq("A", "B", "C"))
+  }
+
   test("stateful TTL: dormant keys evicted by event-time timeout; live keys keep counting") {
     import graft.streaming.StatefulStats
     import StatefulStats.TimedIn
