@@ -162,6 +162,19 @@ object VectorFns {
   def dotSql(a: String, b: String): String =
     s"list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"
 
+  /** Codegen'd dot product over `array<float>` columns — identical
+    * accumulation order and null semantics to [[dot]], via the native
+    * [[graft.functions.DotProductF]] expression (register it on the
+    * session first). Use for corpus-scale similarity kernels; the HOF
+    * form stays for contexts without session access. */
+  def dotF(a: String, b: String): Column =
+    graft.functions.DotProductF.dotCol(col(a), col(b))
+
+  /** Codegen'd squared norm = dotF(emb, emb) (same accumulation order
+    * as [[normSq]]). */
+  def normSqF(emb: String): Column =
+    graft.functions.DotProductF.dotCol(col(emb), col(emb))
+
   /** Signed projection onto deterministic hyperplane j. */
   def hyperplaneDot(embCol: String, j: Int): Column =
     expr(s"aggregate(sequence(0, size($embCol) - 1), 0D, " +

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Dot product of two `array<float>` columns in double, as a native
+  * codegen expression — the hot kernel of every similarity query
+  * (q37/q38/q53/q60 cosine, q39 verify). Semantics are EXACTLY the
+  * higher-order-function form
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, +)`:
+  * left-to-right double accumulation (bit-identical sums, so the
+  * DuckDB oracles are unchanged), null result when lengths differ or
+  * any element is null (zip_with/aggregate's null propagation). The
+  * HOF form is CodegenFallback — interpreted with a boxed lambda call
+  * per element; this is a generated call into a tight primitive loop.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  // Can return null even for non-null inputs (length mismatch, null
+  // element) — without this override the planner would treat the
+  // output slot as non-nullable and a folded null reads back as 0.0.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProductF.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dot")
+      s"""
+         |java.lang.Double $r = graft.functions.DotProductF.dotOrNull($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductF {
+
+  /** The kernel (also called from generated code). Null on length
+    * mismatch or null elements — matching zip_with + aggregate. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  private val FN = "dot_f"
+
+  /** Idempotently register `dot_f(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FN, exprs => DotProductF(exprs.head, exprs(1)), "built-in")
+
+  /** Column form (requires [[register]] on the session first). */
+  def dotCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(FN, a, b)
+}

@@ -8,8 +8,10 @@ import graft.functions.{Num, VectorFns}
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`, 64-dim): brute-force cosine top-k as the correctness
   * baseline, and random-hyperplane-LSH-bucketed ANN as the scale path.
-  * Cosines are computed in double via codegen'd higher-order functions
-  * (`aggregate`/`zip_with`) — no UDF, no driver-side math.
+  * The dot/norm kernel is the native codegen DotProductF expression
+  * (identical accumulation order to the aggregate/zip_with
+  * higher-order form, which is CodegenFallback) — no UDF, no
+  * driver-side math.
   *
   * Scale design: brute-force is broadcast(small probe set) × corpus —
   * linear in corpus size, no shuffle of the corpus. The LSH variant
@@ -22,10 +24,12 @@ object Vectors {
 
   private val N_PROBES = 8
 
-  private def corpus(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private def corpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.DotProductF.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
-        VectorFns.normSq("embedding").as("nsq"))
+        VectorFns.normSqF("embedding").as("nsq"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -57,7 +61,7 @@ object Vectors {
         val probes = c.filter(col("vec_id") < N_PROBES)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
         val sim = Num.fround(
-          VectorFns.dot("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id"), sim.as("sim"))
@@ -86,6 +90,7 @@ object Vectors {
     QueryDef(
       "q38_ann_lsh_bucketed",
       (s, dir) => {
+        graft.functions.DotProductF.register(s)
         // Materialize the bucketed corpus: 8 hyperplane projections ×
         // 64 dims per row is the costly part and both the probe filter
         // and the candidate join consume it. (At scale: a persisted,
@@ -103,7 +108,7 @@ object Vectors {
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("nsq").as("p_nsq"), col("bucket"))
         val sim = Num.fround(
-          VectorFns.dot("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         c.join(broadcast(probes), Seq("bucket"))
           .filter(col("vec_id") =!= col("probe_id"))
@@ -145,6 +150,7 @@ object Vectors {
     QueryDef(
       "q39_cosine_neardup_pairs",
       (s, dir) => {
+        graft.functions.DotProductF.register(s)
         // Same materialization rationale as q38: both join sides read
         // it; 32 codegen'd plane projections via hyperplaneProjections.
         val proj = VectorFns.hyperplaneProjections(
@@ -163,7 +169,7 @@ object Vectors {
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b")).distinct()
         val sim = Num.fround(
-          VectorFns.dot("emb_a", "emb_b") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))), 4)
+          VectorFns.dotF("emb_a", "emb_b") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))), 4)
         pairs
           .join(c.select(col("vec_id").as("vec_a"),
             col("embedding").as("emb_a"), col("nsq").as("nsq_a")), Seq("vec_a"))
@@ -207,6 +213,7 @@ object Vectors {
     QueryDef(
       "q60_ann_multiprobe",
       (s, dir) => {
+        graft.functions.DotProductF.register(s)
         val proj = VectorFns.hyperplaneProjections(
           Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 0 until 8)
         val c = Tables.embeddings(s, dir)
@@ -221,7 +228,7 @@ object Vectors {
           explode(array(col("home") +:
             (0 until 8).map(j => col("home").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
         val sim = Num.fround(
-          VectorFns.dot("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         c.join(broadcast(probeKeys), Seq("bucket"))
           .filter(col("vec_id") =!= col("probe_id"))
@@ -273,7 +280,7 @@ object Vectors {
             greatest(lit(97L), floor(col("n_total") / K_CELLS).cast("long")) === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nsq").as("c_nsq"))
         val simToCent = Num.fround(
-          VectorFns.dot("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
+          VectorFns.dotF("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("cent_sim").desc, col("cid"))
         val assigned = c.crossJoin(broadcast(cents))
@@ -286,7 +293,7 @@ object Vectors {
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("nsq").as("p_nsq"), col("cell"))
         val sim = Num.fround(
-          VectorFns.dot("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         assigned.join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("probe_id"))

@@ -126,6 +126,35 @@ class ExtensionOpsSpec extends SparkSuite {
     graft.functions.NormalizeNFKC.register(s2)
     assert(s2.sql("SELECT norm_nfkc('  ÉCOLE ') AS n").collect().head.getString(0) == "école")
   }
+
+  test("DotProductF == higher-order aggregate/zip_with form, bit-identical") {
+    import graft.functions.{DotProductF, VectorFns}
+    DotProductF.register(spark)
+    // deterministic pseudo-random float vectors, incl. values whose
+    // double sums are order-sensitive
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(j => ((i * 31 + j * 17) % 97 - 48) / 7.0f),
+        Array.tabulate(64)(j => ((i * 13 + j * 29) % 89 - 44) / 5.0f))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "a", "b")
+    val both = df.select(col("id"),
+      VectorFns.dotF("a", "b").as("fused"),
+      VectorFns.dot("a", "b").as("hof")).collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"row ${r.getLong(0)}: fused != hof")
+    }
+    // null semantics match zip_with/aggregate: length mismatch -> null
+    val edge = spark.sql(
+      "SELECT dot_f(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS a, " +
+        "dot_f(array(CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS b, " +
+        "dot_f(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS c").collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    // non-float-array input is an analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_f(array(1, 2), array(1, 2))").collect()
+    }
+  }
 }
 
 case class EvRow(ts_us: Long, user_id: Long, event_type: String, value: Double)
