@@ -3,19 +3,31 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.NormalizeNFKC
+import graft.functions.{DotProductF, MinHashSlots, NormalizeNFKC}
 
 /** Session extension installing the engine's custom expressions at
   * session build time — usable via
   * `spark.sql.extensions=graft.GraftExtensions` (or
-  * `.withExtensions(new GraftExtensions)`), so `norm_nfkc` is available
-  * to pure-SQL users without any imperative registration call. */
+  * `.withExtensions(new GraftExtensions)`), so `norm_nfkc`,
+  * `minhash_slots` and `dot_f` are available to pure-SQL users without
+  * any imperative registration call. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("norm_nfkc"),
       new ExpressionInfo(classOf[NormalizeNFKC].getName, "norm_nfkc"),
       (children: Seq[Expression]) => NormalizeNFKC(children.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_slots"),
+      new ExpressionInfo(classOf[MinHashSlots].getName, "minhash_slots"),
+      (children: Seq[Expression]) => MinHashSlots(children.head,
+        children(1).eval(null).asInstanceOf[Number].intValue()),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      (children: Seq[Expression]) => DotProductF(children.head, children(1)),
     ))
   }
 }
