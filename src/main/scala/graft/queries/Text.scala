@@ -314,6 +314,95 @@ object Text {
                ORDER BY lang, source, doc_a, doc_b"""),
     ),
 
+    // PII redaction — the scrubbing pass every training-data pipeline
+    // runs before anything else. The synthetic corpus contains no PII,
+    // so each doc deterministically gets an email + a numeric ref
+    // derived from doc_id appended BEFORE redaction (both engines
+    // construct the identical input), and the check verifies real
+    // replacements: match counts, a residual-scan of 0, and the hash
+    // of the redacted text. Pure regexp_replace/regexp_count — narrow
+    // per-row map, pipelines into any scan at any scale.
+    QueryDef(
+      "q62_pii_redaction",
+      (s, dir) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val numRe = "[0-9]{6,}"
+        val synth = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ref "), (col("doc_id") * 104729 + 123456).cast("string"))
+        val redacted = regexp_replace(
+          regexp_replace(synth, emailRe, "<EMAIL>"), numRe, "<NUM>")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            regexp_count(synth, lit(emailRe)).as("n_emails"),
+            regexp_count(synth, lit(numRe)).as("n_nums"),
+            (regexp_count(redacted, lit(emailRe)) + regexp_count(redacted, lit(numRe)))
+              .as("n_residual"),
+            md5(redacted).as("redacted_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH synth AS (
+                SELECT doc_id,
+                  text || ' contact user' || doc_id || '@example.com ref ' ||
+                    (doc_id * 104729 + 123456) AS raw
+                FROM documents),
+              red AS (
+                SELECT doc_id, raw,
+                  regexp_replace(
+                    regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                    '[0-9]{6,}', '<NUM>', 'g') AS redacted
+                FROM synth)
+              SELECT doc_id,
+                len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+                len(regexp_extract_all(raw, '[0-9]{6,}')) AS n_nums,
+                len(regexp_extract_all(redacted, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                  + len(regexp_extract_all(redacted, '[0-9]{6,}')) AS n_residual,
+                md5(redacted) AS redacted_fp
+              FROM red ORDER BY doc_id"""),
+    ),
+
+    // Training-data selection composite: per-language quality
+    // percentile gate — keep documents at or above their language's
+    // median quality score (the q30 heuristic), carrying the
+    // percentile for audit. The keep/drop decision is a percent_rank
+    // window partitioned BY LANGUAGE — state per partition is one
+    // sort, keys distribute, no global coordination: the selection
+    // shape that scales to a 100 TB corpus.
+    QueryDef(
+      "q63_training_selection",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val nStop = size(filter(toks, t => t.isin(STOPWORDS.map(x => x: Any): _*))).cast("double")
+        val quality = least(lit(1.0), nTok / 100.0) * (lit(1.0) - nStop / nTok)
+        val w = Window.partitionBy(col("lang")).orderBy(col("q"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), quality.as("q"))
+          .withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.5)
+          .select(col("lang"), col("doc_id"),
+            Num.fround(col("q"), 4).as("quality"),
+            Num.fround(col("pr"), 4).as("pct_rank"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+                 SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+               scored AS (
+                 SELECT doc_id, lang,
+                   least(1.0, len(ws) / 100.0)
+                     * (1.0 - len(list_filter(ws, x -> x IN $stopList)) / len(ws)::DOUBLE) AS q
+                 FROM t),
+               ranked AS (
+                 SELECT doc_id, lang, q,
+                   percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+                 FROM scored)
+               SELECT lang, doc_id,
+                 ${Num.froundSql("q", 4)} AS quality,
+                 ${Num.froundSql("pr", 4)} AS pct_rank
+               FROM ranked WHERE pr >= 0.5
+               ORDER BY lang, doc_id"""),
+    ),
+
     // SimHash signatures (16-bit) over the token multiset — word 0 of
     // the explode-built multi-word signature (TextFns.simhashWords);
     // identical math to the per-row simhash16 expression, ~5× faster
