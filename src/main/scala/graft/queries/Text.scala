@@ -314,6 +314,37 @@ object Text {
                ORDER BY lang, source, doc_a, doc_b"""),
     ),
 
+    // Benchmark decontamination — the train/test-overlap scan every
+    // serious training-data pipeline runs: flag corpus documents that
+    // share any word 5-shingle with a benchmark set (here: docs 0-4
+    // play the benchmark). Shape: the benchmark's distinct shingles
+    // are SMALL and broadcast; the corpus's exploded shingles
+    // hash-join against them and aggregate per doc — the corpus never
+    // self-joins and never shuffles its text, which is what makes the
+    // scan affordable at 100 TB (benchmark sets are tiny; corpus flow
+    // is one pass).
+    QueryDef(
+      "q64_decontamination",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .withColumn("toks", TextFns.tokens(col("text")))
+          .select(col("doc_id"), explode(TextFns.shingleExpr("toks", 5)).as("sh"))
+        val benchSh = sh.filter(col("doc_id") < 5).select(col("sh")).distinct()
+        sh.filter(col("doc_id") >= 5)
+          .join(broadcast(benchSh), Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("sh")).as("n_hit_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               sh AS (SELECT doc_id, unnest(${TextFns.shingleSql("ws", 5)}) AS s FROM t),
+               bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+               SELECT doc_id, count(DISTINCT s)::BIGINT AS n_hit_shingles
+               FROM sh
+               WHERE doc_id >= 5 AND s IN (SELECT s FROM bench)
+               GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
     // PII redaction — the scrubbing pass every training-data pipeline
     // runs before anything else. The synthetic corpus contains no PII,
     // so each doc deterministically gets an email + a numeric ref
