@@ -51,11 +51,18 @@ object Bench {
     try materialize(SparkEntry.entry(spark))
     catch { case _: Throwable => () }
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // Don't let repetition blow the wall-clock budget in a slow
+    // environment: further passes run only while cumulative bench time
+    // stays under this bound (first pass always runs).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "240").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val timings = (1 to runs).map { _ =>
-      sorted.map { case (name, fn) =>
+    val benchStart = System.nanoTime()
+    val timings = (1 to maxRuns).flatMap { run =>
+      val spent = (System.nanoTime() - benchStart) / 1e9
+      if (run > 1 && spent > budgetSec) None
+      else Some(sorted.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val elapsed =
           try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -66,8 +73,9 @@ object Bench {
           }
         spark.sharedState.cacheManager.clearCache()
         name -> elapsed
-      }.toMap
+      }.toMap)
     }
+    val runs = timings.size
     val results = sorted.map { case (name, _) =>
       val ts = timings.map(_(name))
       // a query that failed in ANY run reports -1 (visible in errors)
