@@ -434,6 +434,61 @@ object Text {
                ORDER BY lang, doc_id"""),
     ),
 
+    // Deterministic hash sampling — reproducible dataset splits
+    // without RNG state: a doc's sample bucket is a pure function of
+    // its id (md5 prefix mod 10), so the SAME subset falls out on any
+    // engine, any run, any partitioning — the property that matters
+    // when a 100 TB corpus must be re-materialized bit-identically.
+    // Keeps buckets 0-2 (a 30% split) with per-row bucket audit.
+    QueryDef(
+      "q65_deterministic_sample",
+      (s, dir) => {
+        val bucket = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 10")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .filter(col("bucket") < 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, lang,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10 AS bucket
+                FROM documents)
+              SELECT doc_id, lang, bucket FROM b
+              WHERE bucket < 3 ORDER BY doc_id"""),
+    ),
+
+    // Token-budget packing — fill a per-language shard up to a token
+    // budget in deterministic doc_id order (how training shards are
+    // cut from a corpus). Running total is a cumulative-sum window
+    // partitioned by language: per-key state only, distributes by
+    // lang at any corpus size.
+    QueryDef(
+      "q66_token_budget_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nTok = size(split(col("text"), " "))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 5000)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens
+                FROM documents),
+              c AS (
+                SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+                FROM t)
+              SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+              WHERE cum_tokens <= 5000
+              ORDER BY lang, doc_id"""),
+    ),
+
     // SimHash signatures (16-bit) over the token multiset — word 0 of
     // the explode-built multi-word signature (TextFns.simhashWords);
     // identical math to the per-row simhash16 expression, ~5× faster
