@@ -99,7 +99,9 @@ object MinHashSlots {
   /** Idempotently register `minhash_slots(arr, nSlots)` (nSlots must
     * be a foldable integer literal). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FN)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FN,
       exprs => MinHashSlots(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue()),

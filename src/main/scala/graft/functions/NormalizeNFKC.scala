@@ -58,7 +58,9 @@ object NormalizeNFKC {
   /** Idempotently register `norm_nfkc` in the session's function
     * registry so it is usable from SQL and via [[normCol]]. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FN)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FN, exprs => NormalizeNFKC(exprs.head), "built-in")
 
   /** Column form (requires [[register]] on the session first). */

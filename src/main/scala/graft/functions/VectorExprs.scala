@@ -75,7 +75,9 @@ object DotProductF {
 
   /** Idempotently register `dot_f(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FN)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FN, exprs => DotProductF(exprs.head, exprs(1)), "built-in")
 
   /** Column form (requires [[register]] on the session first). */
