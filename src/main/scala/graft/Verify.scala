@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ObjectHashAggregate (min_by/collect over struct buffers) falls
+      // back to SORT-based aggregation after 128 distinct keys per
+      // partition by default — pathological for high-cardinality
+      // entity-resolution aggregates (sorts every candidate). 64k keys
+      // x ~1KB buffers caps the map at ~64MB/partition: hash stays hash.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
