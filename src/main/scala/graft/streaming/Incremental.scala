@@ -169,6 +169,37 @@ object Incremental {
     else Some(spark.read.parquet(chosen.values.map(_.toString).toSeq: _*))
   }
 
+  /** Retention sweep for the versioned gold layout: each bucket's
+    * NEWEST complete version survives; every older bucket directory is
+    * deleted, and `v=` directories left without buckets are removed.
+    * Old versions exist only so a retried epoch can re-merge from
+    * pre-epoch state — once batches have committed they are garbage.
+    * Run between pipeline passes, never concurrently with an in-flight
+    * batch. */
+  def compactGold(spark: SparkSession, goldDir: String): Unit = {
+    val root = new Path(goldDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val versions = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v=")) Some((n.drop(2).toLong, p)) else None
+      }
+      .sortBy { case (v, _) => -v }
+    val seenBuckets = scala.collection.mutable.Set.empty[String]
+    versions.foreach { case (_, vp) =>
+      val complete = fs.exists(new Path(vp, "_SUCCESS"))
+      fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .foreach { bp =>
+          if (complete && seenBuckets.add(bp.getName)) () // newest for this bucket — keep
+          else fs.delete(bp, true)
+        }
+      if (fs.listStatus(vp).forall(!_.isDirectory)) fs.delete(vp, true)
+    }
+  }
+
   /** Streaming update-mode gold aggregation over an arbitrary silver
     * stream (used by the batch≡streaming equivalence test with
     * MemoryStream). */

@@ -136,6 +136,17 @@ class StreamingSpec extends SparkSuite {
     val silverIds = spark.read.parquet(silverDir)
       .select("matchId").as[String].collect().sorted.toSeq
     assert(silverIds == Seq("A", "B", "C"))
+
+    // retention sweep: both epochs merged the same bucket, so after
+    // compaction only the newest version remains — and readGold is
+    // unchanged
+    Incremental.compactGold(spark, goldDir)
+    val afterCompact = Incremental.readGold(spark, goldDir).get.collect()
+    assert(afterCompact.head.getAs[Long]("games") == 3
+      && afterCompact.head.getAs[Long]("wins") == 2)
+    val vDirs = new java.io.File(goldDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    assert(vDirs.length == 1, s"expected one surviving version, got ${vDirs.map(_.getName).toSeq}")
   }
 
   test("stateful TTL: dormant keys evicted by event-time timeout; live keys keep counting") {
