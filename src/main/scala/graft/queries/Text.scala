@@ -434,6 +434,56 @@ object Text {
                ORDER BY lang, doc_id"""),
     ),
 
+    // Within-document repetition removal — boilerplate/refrain
+    // stripping (the paragraph-dedup pass of a training-data
+    // pipeline). The single-line synthetic corpus has no repeated
+    // paragraphs, so each doc deterministically gets its own first-10
+    // tokens appended 3× as ". "-separated paragraphs (identical
+    // input both engines, like q62); the op splits on the separator,
+    // dedupes KEEPING FIRST OCCURRENCE ORDER, and emits the kept
+    // ratio + the cleaned text's hash. Narrow per-row map.
+    QueryDef(
+      "q67_repetition_removal",
+      (s, dir) => {
+        val head10 = array_join(slice(split(col("text"), " "), 1, 10), " ")
+        val synth = concat_ws(". ", col("text"), head10, head10, head10)
+        val parts = split(synth, "\\. ")
+        val uniq = array_distinct(parts)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(parts).as("n_paras"),
+            size(uniq).as("n_unique"),
+            Num.fround(size(uniq).cast("double") / size(parts), 4).as("kept_ratio"),
+            md5(array_join(uniq, ". ")).as("clean_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH synth AS (
+                 SELECT doc_id,
+                   text || '. ' ||
+                   array_to_string(string_split(text, ' ')[1:10], ' ') || '. ' ||
+                   array_to_string(string_split(text, ' ')[1:10], ' ') || '. ' ||
+                   array_to_string(string_split(text, ' ')[1:10], ' ') AS raw
+                 FROM documents),
+               lists AS (
+                 SELECT doc_id, string_split(raw, '. ') AS ps FROM synth),
+               parts AS (
+                 SELECT doc_id, ps[g.pos] AS part, g.pos AS pos
+                 FROM lists, UNNEST(generate_series(1, len(ps)::BIGINT)) AS g(pos)),
+               firsts AS (
+                 SELECT doc_id, part, pos FROM parts
+                 QUALIFY row_number() OVER (PARTITION BY doc_id, part ORDER BY pos) = 1),
+               totals AS (SELECT doc_id, count(*) AS n_paras FROM parts GROUP BY doc_id),
+               uniqs AS (
+                 SELECT doc_id, count(*) AS n_unique,
+                   md5(string_agg(part, '. ' ORDER BY pos)) AS clean_fp
+                 FROM firsts GROUP BY doc_id)
+               SELECT t.doc_id, t.n_paras, u.n_unique,
+                 ${Num.froundSql("u.n_unique / t.n_paras::DOUBLE", 4)} AS kept_ratio,
+                 u.clean_fp
+               FROM totals t JOIN uniqs u ON u.doc_id = t.doc_id
+               ORDER BY t.doc_id"""),
+    ),
+
     // Deterministic hash sampling — reproducible dataset splits
     // without RNG state: a doc's sample bucket is a pure function of
     // its id (md5 prefix mod 10), so the SAME subset falls out on any
