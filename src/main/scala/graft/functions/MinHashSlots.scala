@@ -67,13 +67,46 @@ object MinHashSlots {
     UTF8String.fromBytes(out)
   }
 
-  /** The kernel (also called from generated code): min md5 hex per
-    * slot, null elements skipped (matching array_min-over-transform
-    * semantics), all-null/empty input → null slots. */
+  // "<slot>|" prefixes are shared across rows (keyed by nSlots): the
+  // per-row tabulate + string-format of the earlier version was 8 small
+  // allocations per ROW before any hashing started.
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
+  private def prefixes(nSlots: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(nSlots,
+      n => Array.tabulate(n)(i => s"$i|".getBytes("UTF-8")))
+
+  // Unsigned byte-wise less-than over two 16-byte digests. Hex encoding
+  // is order-isomorphic to the raw bytes (each byte maps to two hex
+  // chars most-significant first), so comparing raw digests is
+  // bit-identical to comparing their hex strings.
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** The kernel (also called from generated code): min md5 per slot,
+    * null elements skipped (matching array_min-over-transform
+    * semantics), all-null/empty input → null slots.
+    *
+    * Allocation discipline (the driver env amplifies allocation-heavy
+    * kernels 4-20×): minima are tracked as RAW 16-byte digests written
+    * into a reused scratch buffer (`MessageDigest.digest(buf, off,
+    * len)`), swapped — not copied — when a new minimum appears, and
+    * hexified ONCE per row for only the nSlots winners. The earlier
+    * version allocated a 32-byte hex UTF8String per (element, slot):
+    * ~n_shingles × nSlots allocations per row vs ≤ nSlots here. */
   def compute(arr: ArrayData, nSlots: Int): ArrayData = {
     val md = digests.get()
-    val prefixes = Array.tabulate(nSlots)(i => s"$i|".getBytes("UTF-8"))
-    val mins = new Array[UTF8String](nSlots)
+    val pfx = prefixes(nSlots)
+    val mins = new Array[Array[Byte]](nSlots)
+    var scratch = new Array[Byte](16)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -82,16 +115,29 @@ object MinHashSlots {
         var slot = 0
         while (slot < nSlots) {
           md.reset()
-          md.update(prefixes(slot))
+          md.update(pfx(slot))
           md.update(sBytes)
-          val h = hex(md.digest())
-          if (mins(slot) == null || h.compareTo(mins(slot)) < 0) mins(slot) = h
+          md.digest(scratch, 0, 16)
+          if (mins(slot) == null) {
+            mins(slot) = scratch
+            scratch = new Array[Byte](16)
+          } else if (lessThan(scratch, mins(slot))) {
+            val prev = mins(slot)
+            mins(slot) = scratch
+            scratch = prev
+          }
           slot += 1
         }
       }
       i += 1
     }
-    new GenericArrayData(mins.asInstanceOf[Array[Any]])
+    val out = new Array[Any](nSlots)
+    var slot = 0
+    while (slot < nSlots) {
+      if (mins(slot) != null) out(slot) = hex(mins(slot))
+      slot += 1
+    }
+    new GenericArrayData(out)
   }
 
   private val FN = "minhash_slots"

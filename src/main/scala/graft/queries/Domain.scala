@@ -172,29 +172,30 @@ object Domain {
               ORDER BY puuid, matchId"""),
     ),
 
-    // P2 per-participant projection, oracle-checked: the WIDE silver's
-    // participants array (transform() higher-order projection with the
-    // name-coalesce chain, transformer_loader/main.py:27-59) exploded
-    // to flat rows and recomputed analytically in DuckDB. Upgrades P2
-    // from spec-only to differentially verified.
+    // P2 per-participant projection, oracle-checked: the flat
+    // participants view (standard extraction with the name-coalesce
+    // chain, transformer_loader/main.py:27-59) recomputed analytically
+    // in DuckDB. Zero-shuffle plan: MatchTransform.participantsFlat
+    // makes the match decision in place (broadcast dim + exists) and
+    // never carries the array through the entity-resolution exchange.
+    // `items` is serialized to 'a|b|...' — driver output columns are
+    // SCALAR (the harness's pandas comparator cannot sort array
+    // cells; q17 set the house pattern).
     QueryDef(
       "q61_participants_projection",
       (s, dir) =>
-        MatchTransform.silver(
+        MatchTransform.participantsFlat(
           bronzeFromOrders(Tables.orders(s, dir)),
-          dimFromCustomer(Tables.customer(s, dir)),
-          includeParticipants = true)
-          .select(col("matchId"), posexplode(col("participants")).as(Seq("pos", "p")))
+          dimFromCustomer(Tables.customer(s, dir)))
           .select(col("matchId").cast("long").as("match_key"),
             col("pos").cast("long").as("pos"),
-            col("p.champion").as("champion"),
-            col("p.summonerName").as("full_name"),
-            col("p.teamId").cast("long").as("team_id"),
-            col("p.win").as("win"),
-            col("p.kills").as("kills"), col("p.deaths").as("deaths"),
-            col("p.assists").as("assists"),
-            col("p.total_damage").as("total_damage"),
-            col("p.items").as("items"))
+            col("champion"),
+            col("summonerName").as("full_name"),
+            col("teamId").cast("long").as("team_id"),
+            col("win"),
+            col("kills"), col("deaths"), col("assists"),
+            col("total_damage"),
+            array_join(col("items").cast("array<string>"), "|").as("items"))
           .orderBy(col("match_key"), col("pos")),
       Some("""WITH a AS (
                 SELECT o_orderkey AS match_key, 0::BIGINT AS pos,
@@ -207,14 +208,15 @@ object Domain {
                   (o_orderkey % 7)::BIGINT AS deaths,
                   (o_orderkey % 11)::BIGINT AS assists,
                   (o_orderkey % 30000)::BIGINT AS total_damage,
-                  [o_orderkey % 4000, (o_orderkey + 1) % 4000, (o_orderkey + 2) % 4000,
-                   (o_orderkey + 3) % 4000, (o_orderkey + 4) % 4000, (o_orderkey + 5) % 4000,
-                   0]::BIGINT[] AS items
+                  array_to_string([o_orderkey % 4000, (o_orderkey + 1) % 4000,
+                   (o_orderkey + 2) % 4000, (o_orderkey + 3) % 4000,
+                   (o_orderkey + 4) % 4000, (o_orderkey + 5) % 4000,
+                   0]::BIGINT[], '|') AS items
                 FROM orders),
               b AS (
                 SELECT o_orderkey, 1::BIGINT, 'Decoy', 'Nobody#X', 200::BIGINT,
                   (o_orderstatus <> 'F'), 1::BIGINT, 2::BIGINT, 3::BIGINT, 100::BIGINT,
-                  [0, 0, 0, 0, 0, 0, 0]::BIGINT[]
+                  '0|0|0|0|0|0|0'
                 FROM orders)
               SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
               ORDER BY match_key, pos"""),
@@ -222,26 +224,19 @@ object Domain {
 
     // E3 serving composite: newest-300 trim per player (O1 bound,
     // api_service/main.py:334-338) then the per-champion aggregate
-    // with derived avg_kda / winrate (A1, :340-358).
+    // with derived avg_kda / winrate (A1, :340-358) — routed through
+    // the SAME MatchTransform.recentMatches / championStats the
+    // serving read path (playerStats) uses, so the driver oracle
+    // checks the serving functions themselves, not a parallel copy.
     QueryDef(
       "q52_player_champion_stats",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("puuid"))
-          .orderBy(col("game_timestamp").desc, col("matchId").cast("long").desc)
-        silver(s, dir)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 300)
-          .groupBy(col("puuid"), col("champion"))
-          .agg(
-            count(lit(1)).as("games"),
-            sum(when(col("win") === true, 1L).otherwise(0L)).as("wins"),
-            sum(col("kills")).as("k"), sum(col("deaths")).as("d"), sum(col("assists")).as("a"))
+      (s, dir) =>
+        MatchTransform.championStats(
+          MatchTransform.recentMatches(silver(s, dir), limit = 300,
+            tieBreak = col("matchId").cast("long")))
           .select(col("puuid"), col("champion"), col("games"), col("wins"),
-            Num.fround((col("k") + col("a")).cast("double") / greatest(lit(1L), col("d")), 2).as("avg_kda"),
-            Num.fround(col("wins") * 100.0 / col("games"), 1).as("winrate"))
-          .orderBy(col("puuid"), col("champion"))
-      },
+            col("avg_kda"), col("winrate"))
+          .orderBy(col("puuid"), col("champion")),
       Some(s"""WITH silver AS ($silverOracle),
                recent AS (
                  SELECT * FROM silver
