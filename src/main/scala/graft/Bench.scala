@@ -64,11 +64,24 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "240").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Cumulative stop-the-world GC millis across all collectors. The
+    // per-query delta is reported next to wall-clock so a reader of
+    // the bench JSON can tell a regressed plan from a noisy heap (the
+    // driver environment amplifies allocation-heavy queries; gc_sec
+    // makes that amplification visible instead of inferred).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
     val benchStart = System.nanoTime()
     val timings = (1 to maxRuns).flatMap { run =>
       val spent = (System.nanoTime() - benchStart) / 1e9
       if (run > 1 && spent > budgetSec) None
       else Some(sorted.map { case (name, fn) =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val elapsed =
           try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -77,22 +90,28 @@ object Bench {
               errors += name -> e.getClass.getSimpleName
               -1.0
           }
+        val gcSec = (gcMillis() - gc0) / 1e3
         spark.sharedState.cacheManager.clearCache()
-        name -> elapsed
+        name -> (elapsed, gcSec)
       }.toMap)
     }
     val runs = timings.size
+    // Per query: min wall-clock across runs, with the gc time of the
+    // SAME run (gc of a discarded slow run would overstate the cost of
+    // the reported number). A query that failed in ANY run reports -1
+    // (visible in errors).
     val results = sorted.map { case (name, _) =>
       val ts = timings.map(_(name))
-      // a query that failed in ANY run reports -1 (visible in errors)
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      name -> (if (ts.exists(_._1 < 0)) (-1.0, -1.0) else ts.minBy(_._1))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errs,"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MERGE-INTO-shaped semantics over plain parquet — the one API behind
+  * every upsert in the reference (`update_one(..., upsert=True)`,
+  * api_service/main.py:151; `$inc` counter merge,
+  * transformer_loader/main.py:184-190). On Delta/Iceberg each of these
+  * is literally `MERGE INTO`; no lakehouse format is on this classpath
+  * (SURVEY.md §9), so this object makes the substitute's contract
+  * explicit instead of leaving it spread across call sites:
+  *
+  *  - [[mergeLatestWins]] — WHEN MATCHED THEN UPDATE (replace): keep
+  *    the highest-(version, tiebreak) row per key. One shuffle on the
+  *    key.
+  *  - [[mergeAggregate]] — WHEN MATCHED THEN UPDATE (accumulate,
+  *    Mongo's `$inc`): union current state with the update set and
+  *    re-aggregate per key. One shuffle; map-side partial combine.
+  *  - [[mergeBucketed]] — the STORAGE form of mergeAggregate over the
+  *    versioned bucket layout `dir/v=<epoch>/bucket=<hash(key) mod N>`:
+  *    rewrites only the buckets the update set touches, each epoch's
+  *    write is an idempotent overwrite of its own `v=` directory, and
+  *    the merge reads the newest complete (`_SUCCESS`-gated) version
+  *    BEFORE the current epoch — so an at-least-once retry recomputes
+  *    from pre-epoch state instead of double-counting. [[readBucketed]]
+  *    serves the current table; [[compact]] sweeps superseded versions.
+  *
+  * Scale: bucket count is the tuning grain (buckets ≈ executors × small
+  * constant at 100 TB); a batch's IO is proportional to the buckets it
+  * touches, not the table size, and the only driver-side
+  * materialization is the ≤ numBuckets-row touched-bucket list.
+  */
+object MergeInto {
+
+  /** Replace-resolution merge: highest (version, tiebreak) per key
+    * survives. `tiebreak` must make (key, version, tiebreak) a total
+    * order or the surviving row is nondeterministic. */
+  def mergeLatestWins(target: DataFrame, updates: DataFrame,
+      keys: Seq[String], version: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.desc, tiebreak.desc)
+    target.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Accumulate-resolution merge: union + re-aggregate per key.
+    * `updates` must already be at the key grain with the same counter
+    * columns as the target; `aggs` are the counter-combining
+    * aggregates (sums are associative, so batch-at-a-time application
+    * equals one global aggregation — the property the retry spec
+    * checks). A missing target (first batch) passes the updates
+    * through. */
+  def mergeAggregate(target: Option[DataFrame], updates: DataFrame,
+      keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    target match {
+      case Some(t) =>
+        t.unionByName(updates)
+          .groupBy(keys.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      case None => updates
+    }
+
+  // ------- versioned bucket layout: dir/v=<epoch>/bucket=<b> -------
+
+  /** Idempotent accumulate-merge of `updates` into the bucketed layout
+    * at `dir` for epoch `epochId`. Only buckets present in `updates`
+    * are read and rewritten; re-running with the same (updates,
+    * epochId) — Spark's at-least-once batch retry — overwrites
+    * `v=epochId` from pre-epoch state, never double-counts. */
+  def mergeBucketed(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[Column],
+      epochId: Long,
+      bucketOn: Column,
+      numBuckets: Int): Unit = {
+    val contrib = updates.withColumn("bucket", pmod(hash(bucketOn), lit(numBuckets)))
+    val touched = contrib.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: <= numBuckets values
+    if (touched.nonEmpty) {
+      val prior = readVersions(spark, dir, beforeEpoch = Some(epochId))
+        .map(_.withColumn("bucket", pmod(hash(bucketOn), lit(numBuckets)))
+          .filter(col("bucket").isin(touched.map(Int.box): _*)))
+      mergeAggregate(prior, contrib, keys :+ "bucket", aggs)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/v=$epochId")
+    }
+  }
+
+  /** Current merged table: newest COMPLETE (`_SUCCESS`) version of each
+    * bucket. None when the layout doesn't exist yet. */
+  def readBucketed(spark: SparkSession, dir: String): Option[DataFrame] =
+    readVersions(spark, dir, beforeEpoch = None)
+
+  /** Layout state as of before `epochId` — what a (possibly retried)
+    * batch must merge onto. */
+  private[graft] def readVersions(
+      spark: SparkSession,
+      dir: String,
+      beforeEpoch: Option[Long]): Option[DataFrame] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // ONLY "does not exist" means empty state; IO errors propagate and
+    // fail the caller (a swallowed transient read error here would
+    // silently reset every accumulated counter).
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v=")) Some((n.drop(2).toLong, p)) else None
+      }
+      .filter { case (v, p) =>
+        beforeEpoch.forall(v < _) && fs.exists(new Path(p, "_SUCCESS"))
+      }
+      .sortBy { case (v, _) => -v }
+    // newest version wins per bucket
+    val chosen = scala.collection.mutable.LinkedHashMap.empty[String, Path]
+    versions.foreach { case (_, vp) =>
+      fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .foreach { bp => if (!chosen.contains(bp.getName)) chosen(bp.getName) = bp }
+    }
+    if (chosen.isEmpty) None
+    else Some(spark.read.parquet(chosen.values.map(_.toString).toSeq: _*))
+  }
+
+  /** Retention sweep: each bucket's NEWEST complete version survives;
+    * every older bucket directory is deleted, and `v=` directories
+    * left without buckets are removed. Old versions exist only so a
+    * retried epoch can re-merge from pre-epoch state — once batches
+    * have committed they are garbage. Run between pipeline passes,
+    * never concurrently with an in-flight batch. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val versions = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v=")) Some((n.drop(2).toLong, p)) else None
+      }
+      .sortBy { case (v, _) => -v }
+    val seenBuckets = scala.collection.mutable.Set.empty[String]
+    versions.foreach { case (_, vp) =>
+      val complete = fs.exists(new Path(vp, "_SUCCESS"))
+      fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .foreach { bp =>
+          if (complete && seenBuckets.add(bp.getName)) () // newest for this bucket — keep
+          else fs.delete(bp, true)
+        }
+      if (fs.listStatus(vp).forall(!_.isDirectory)) fs.delete(vp, true)
+    }
+  }
+}

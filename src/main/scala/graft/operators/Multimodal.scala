@@ -9,12 +9,13 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * shuffle).
   *
   * The codec boundary: `kind == "image"` payloads are REALLY decoded
-  * via `javax.imageio` (PNG/BMP/GIF/JPEG readers ship in the JDK —
-  * no external libs needed) into row-major luminance samples; other
-  * kinds (audio/video codecs are genuinely absent from this
-  * container) fall back to [[decodeStub]], a deterministic
-  * pass-through that keeps the rest of the pipeline — batching,
-  * histogram, resize, frame sampling — fully exercisable.
+  * via `javax.imageio` (PNG/BMP/GIF/JPEG readers ship in the JDK)
+  * into row-major luminance samples, and `kind == "audio"` payloads
+  * via `javax.sound.sampled` (WAV/AIFF/AU) into 8-bit mono samples —
+  * no external libs needed for either. Video (genuinely no JDK codec)
+  * falls back to [[decodeStub]], a deterministic pass-through that
+  * keeps the rest of the pipeline — batching, histogram, resize,
+  * frame sampling — fully exercisable.
   *
   * Scale: this is a narrow per-partition map. Content bytes never
   * leave their partition, batches bound peak memory (`batchSize` plays
@@ -74,9 +75,74 @@ object Multimodal {
       }
     } catch { case _: java.io.IOException => content }
 
-  /** Codec dispatch: real ImageIO decode for images, stub otherwise. */
+  /** Decode an audio payload (WAV/AIFF/AU — whatever the JDK's
+    * `javax.sound.sampled` readers accept; no external libs) into
+    * 8-bit unsigned mono samples: channels are averaged (integer
+    * downmix) and 16-bit PCM is truncated to its high byte — both
+    * deterministic integer ops. Undecodable or non-PCM payloads fall
+    * back to the stub, the same poison-pill tolerance as
+    * [[decodeImage]]. */
+  def decodeAudio(content: Array[Byte]): Array[Byte] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val ch = math.max(1, fmt.getChannels)
+        val bits = fmt.getSampleSizeInBits
+        val raw = in.readAllBytes()
+        import javax.sound.sampled.AudioFormat.Encoding
+        if (bits == 16 && enc == Encoding.PCM_SIGNED) {
+          val bytesPerFrame = 2 * ch
+          val nFrames = raw.length / bytesPerFrame
+          val out = new Array[Byte](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var sum = 0
+            var c = 0
+            while (c < ch) {
+              val off = f * bytesPerFrame + c * 2
+              val sample =
+                if (fmt.isBigEndian) (raw(off) << 8) | (raw(off + 1) & 0xff)
+                else (raw(off + 1) << 8) | (raw(off) & 0xff)
+              sum += sample
+              c += 1
+            }
+            out(f) = (((sum / ch) >> 8) + 128).toByte // signed 16 → unsigned 8
+            f += 1
+          }
+          out
+        } else if (bits == 8 && (enc == Encoding.PCM_SIGNED || enc == Encoding.PCM_UNSIGNED)) {
+          val shift = if (enc == Encoding.PCM_SIGNED) 128 else 0
+          val nFrames = raw.length / ch
+          val out = new Array[Byte](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var sum = 0
+            var c = 0
+            while (c < ch) {
+              sum += (if (shift == 0) raw(f * ch + c) & 0xff
+                      else raw(f * ch + c).toInt + 128)
+              c += 1
+            }
+            out(f) = (sum / ch).toByte
+            f += 1
+          }
+          out
+        } else content // compressed/float encodings: no JDK codec — stub semantics
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => content }
+
+  /** Codec dispatch: real ImageIO decode for images, real
+    * javax.sound.sampled decode for audio, stub otherwise (video has
+    * no JDK codec). */
   def decode(meta: MediaMeta, content: Array[Byte]): Array[Byte] =
-    if (meta.kind == "image") decodeImage(content) else decodeStub(meta, content)
+    meta.kind match {
+      case "image" => decodeImage(content)
+      case "audio" => decodeAudio(content)
+      case _       => decodeStub(meta, content)
+    }
 
   /** "Resize": stride-resample the decoded samples to `n` bytes. */
   def resizeStub(decoded: Array[Byte], n: Int): Array[Byte] =

@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.domain.MatchTransform
+import graft.operators.MergeInto
 
 /** The reference's micro-batch incremental pipeline (SURVEY.md §2.7) as
   * Structured Streaming: the per-document `processed: False→True` flag
@@ -51,9 +51,6 @@ object Incremental {
   /** Duplicate-arrival horizon for ingest dedup state. */
   val DedupDelay = "24 hours"
 
-  private def bucketCol: org.apache.spark.sql.Column =
-    pmod(hash(col("puuid")), lit(NumBuckets))
-
   /** Bronze directory stream → silver append + gold update, one pass
     * (`Trigger.AvailableNow`): processes the current backlog then
     * stops, the streaming equivalent of one reference poll tick.
@@ -90,7 +87,8 @@ object Incremental {
     query
   }
 
-  /** One micro-batch: silver staging + bucketed gold merge. IDEMPOTENT
+  /** One micro-batch: silver staging + bucketed gold merge (routed
+    * through [[graft.operators.MergeInto.mergeBucketed]]). IDEMPOTENT
     * per (inputs, epochId) — Spark's at-least-once batch retry re-runs
     * this with the same epochId, so both writes overwrite their own
     * epoch-keyed locations and the merge reads only state from BEFORE
@@ -108,97 +106,26 @@ object Incremental {
       .persist()
     try {
       silver.write.mode("overwrite").parquet(s"$silverDir/batch=$epochId")
-      val contrib = MatchTransform.goldFromSilver(silver)
-        .withColumn("bucket", bucketCol)
-      val touched = contrib.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: <= NumBuckets values
-      if (touched.nonEmpty) {
-        val prior = readGoldBefore(spark, goldDir, epochId)
-          .map(_.withColumn("bucket", bucketCol)
-            .filter(col("bucket").isin(touched.map(Int.box): _*)))
-        val merged = prior match {
-          case Some(old) =>
-            old.unionByName(contrib)
-              .groupBy(col("puuid"), col("champion"), col("bucket"))
-              .agg(sum(col("games")).as("games"), sum(col("wins")).as("wins"),
-                sum(col("kda_sum")).as("kda_sum"))
-          case None => contrib
-        }
-        merged.write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$goldDir/v=$epochId")
-      }
+      MergeInto.mergeBucketed(spark, goldDir,
+        updates = MatchTransform.goldFromSilver(silver),
+        keys = Seq("puuid", "champion"),
+        aggs = Seq(sum(col("games")).as("games"), sum(col("wins")).as("wins"),
+          sum(col("kda_sum")).as("kda_sum")),
+        epochId = epochId,
+        bucketOn = col("puuid"),
+        numBuckets = NumBuckets)
     } finally silver.unpersist()
   }
 
   /** Current gold table: newest COMPLETE (`_SUCCESS`) version of each
     * bucket. Columns: puuid, champion, games, wins, kda_sum. */
   def readGold(spark: SparkSession, goldDir: String): Option[DataFrame] =
-    readGoldVersions(spark, goldDir, beforeEpoch = None)
+    MergeInto.readBucketed(spark, goldDir)
 
-  /** Gold state as of before `epochId` — what a (possibly retried)
-    * batch must merge onto. */
-  private def readGoldBefore(spark: SparkSession, goldDir: String, epochId: Long): Option[DataFrame] =
-    readGoldVersions(spark, goldDir, beforeEpoch = Some(epochId))
-
-  private def readGoldVersions(
-      spark: SparkSession,
-      goldDir: String,
-      beforeEpoch: Option[Long]): Option[DataFrame] = {
-    val root = new Path(goldDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // ONLY "does not exist" means empty state; IO errors propagate.
-    if (!fs.exists(root)) return None
-    val versions = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath)
-      .flatMap { p =>
-        val n = p.getName
-        if (n.startsWith("v=")) Some((n.drop(2).toLong, p)) else None
-      }
-      .filter { case (v, p) =>
-        beforeEpoch.forall(v < _) && fs.exists(new Path(p, "_SUCCESS"))
-      }
-      .sortBy { case (v, _) => -v }
-    // newest version wins per bucket
-    val chosen = scala.collection.mutable.LinkedHashMap.empty[String, Path]
-    versions.foreach { case (_, vp) =>
-      fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith("bucket="))
-        .foreach { bp => if (!chosen.contains(bp.getName)) chosen(bp.getName) = bp }
-    }
-    if (chosen.isEmpty) None
-    else Some(spark.read.parquet(chosen.values.map(_.toString).toSeq: _*))
-  }
-
-  /** Retention sweep for the versioned gold layout: each bucket's
-    * NEWEST complete version survives; every older bucket directory is
-    * deleted, and `v=` directories left without buckets are removed.
-    * Old versions exist only so a retried epoch can re-merge from
-    * pre-epoch state — once batches have committed they are garbage.
-    * Run between pipeline passes, never concurrently with an in-flight
-    * batch. */
-  def compactGold(spark: SparkSession, goldDir: String): Unit = {
-    val root = new Path(goldDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
-    val versions = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath)
-      .flatMap { p =>
-        val n = p.getName
-        if (n.startsWith("v=")) Some((n.drop(2).toLong, p)) else None
-      }
-      .sortBy { case (v, _) => -v }
-    val seenBuckets = scala.collection.mutable.Set.empty[String]
-    versions.foreach { case (_, vp) =>
-      val complete = fs.exists(new Path(vp, "_SUCCESS"))
-      fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith("bucket="))
-        .foreach { bp =>
-          if (complete && seenBuckets.add(bp.getName)) () // newest for this bucket — keep
-          else fs.delete(bp, true)
-        }
-      if (fs.listStatus(vp).forall(!_.isDirectory)) fs.delete(vp, true)
-    }
-  }
+  /** Retention sweep for the versioned gold layout — see
+    * [[graft.operators.MergeInto.compact]]. */
+  def compactGold(spark: SparkSession, goldDir: String): Unit =
+    MergeInto.compact(spark, goldDir)
 
   /** Streaming update-mode gold aggregation over an arbitrary silver
     * stream (used by the batch≡streaming equivalence test with

@@ -52,7 +52,8 @@ class OperatorsSpec extends SparkSuite {
     expected.foreach(b => hist((b & 0xf0) >> 4) += 1)
     assert(f.histogram.toSeq == hist.toSeq)
 
-    // non-image kinds still pass through the deterministic stub
+    // bytes tagged "audio" that no JDK reader accepts fall back to the
+    // deterministic stub (poison-pill tolerance at the codec boundary)
     val f2 = Multimodal.extractFeatures(
       spark.createDataset(Seq(MediaRow(8L, MediaMeta("audio", 0, 0, 16000), png))))
       .collect().head
@@ -64,6 +65,41 @@ class OperatorsSpec extends SparkSuite {
       spark.createDataset(Seq(MediaRow(9L, MediaMeta("image", 0, 0, 0), junk))))
       .collect().head
     assert(f3.n_bytes == junk.length)
+  }
+
+  test("multimodal: real WAV decode via javax.sound.sampled yields mono 8-bit samples") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit little-endian PCM, 2 channels, 100 frames of known samples.
+    val nFrames = 100
+    val left = Array.tabulate(nFrames)(i => (i * 300 - 15000).toShort)
+    val right = Array.tabulate(nFrames)(i => (i * 100 - 5000).toShort)
+    val pcm = new Array[Byte](nFrames * 4)
+    for (i <- 0 until nFrames) {
+      pcm(i * 4) = (left(i) & 0xff).toByte
+      pcm(i * 4 + 1) = ((left(i) >> 8) & 0xff).toByte
+      pcm(i * 4 + 2) = (right(i) & 0xff).toByte
+      pcm(i * 4 + 3) = ((right(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val f = Multimodal.extractFeatures(
+      spark.createDataset(Seq(MediaRow(10L, MediaMeta("audio", 0, 0, 16000), wav))))
+      .collect().head
+    // decoded sample count = frame count, NOT the WAV container size
+    assert(f.n_bytes == nFrames && f.n_bytes != wav.length)
+    // histogram matches the integer stereo downmix, truncated to the
+    // high byte and shifted to unsigned — the documented decode
+    val expected = (0 until nFrames).map { i =>
+      ((((left(i) + right(i)) / 2) >> 8) + 128).toByte
+    }
+    val hist = new Array[Long](16)
+    expected.foreach(b => hist((b & 0xf0) >> 4) += 1)
+    assert(f.histogram.toSeq == hist.toSeq)
   }
 
   test("multimodal: schema carries binary payload + typed metadata") {
