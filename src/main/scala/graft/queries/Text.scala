@@ -35,6 +35,74 @@ object Text {
     "de" -> Seq("der", "die", "und"),
   )
 
+  /** Verified MinHash+LSH near-dup pairs — the q33 pipeline, shared
+    * with q68's clustering. 8 minhashes in 2 bands of 4 (collide in a
+    * band iff all 4 agree, ~J⁴ per band), candidates deduped on IDS
+    * ONLY before the shingle payloads are re-joined, then verified
+    * with exact shingle-set Jaccard ≥ `threshold`. Columns: doc_a,
+    * doc_b, jaccard. */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    graft.functions.MinHashSlots.register(s)
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("shingles", TextFns.shingleExpr("toks", 3))
+      .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("shingles"), 8))
+      .select((Seq(col("doc_id"), col("shingles")) ++
+        (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh_$i"))): _*)
+    // Materialize signatures before the self-join: md5-over-shingles
+    // ×8 is the expensive projection and the join would otherwise
+    // recompute it for BOTH sides. At production scale this is the
+    // signatures table you'd persist to storage anyway.
+    val shingleSets = docs
+      .select(col("doc_id"), array_distinct(col("shingles")).as("shset")).persist()
+    val banded = docs.select(col("doc_id"),
+      explode(array(
+        concat_ws("|", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
+        concat_ws("|", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7")),
+      )).as("band")).persist()
+    // Candidate pairs dedupe on IDS ONLY (two bands can produce the
+    // same pair) before the shingle payloads are re-joined — the
+    // band self-join and the distinct exchange ship (id, id) rows,
+    // never the arrays. That's the shape that survives a 100 TB
+    // corpus: payload bytes move only once per verified candidate.
+    val pairs = banded.select(col("doc_id").as("doc_a"), col("band"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    pairs
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), Seq("doc_a"))
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Num.fround(inter / uni, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** DuckDB mirror of [[minhashPairs]] as a CTE list (no leading WITH,
+    * so callers can prefix WITH or WITH RECURSIVE): defines `pairs`
+    * with columns doc_a, doc_b, jaccard. */
+  private def minhashPairsSqlCtes(threshold: Double): String = {
+    val sigs = (0 until 8).map(i => s"${TextFns.minhashSql("shingles", i)} AS mh_$i")
+      .mkString(", ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id, ${TextFns.shingleSql("ws", 3)} AS shingles FROM t),
+        sig AS (SELECT doc_id, shingles, $sigs FROM sh),
+        banded AS (
+          SELECT doc_id, shingles, band FROM sig,
+          UNNEST(['b0|' || mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3,
+                  'b1|' || mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7]) AS u(band)),
+        rawpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            ${Num.froundSql(
+      """len(list_filter(list_distinct(a.shingles), x -> list_contains(b.shingles, x)))
+               / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                  - len(list_filter(list_distinct(a.shingles), x -> list_contains(b.shingles, x))))::DOUBLE""", 4)} AS jaccard
+          FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+        pairs AS (SELECT doc_a, doc_b, jaccard FROM rawpairs WHERE jaccard >= $threshold)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Document fingerprinting (rolling-hash analog): raw + normalized
@@ -193,65 +261,52 @@ object Text {
     // 100 TB. Candidates are then verified with the true Jaccard ≥ 0.5.
     QueryDef(
       "q33_minhash_lsh_pairs",
-      (s, dir) => {
-        graft.functions.MinHashSlots.register(s)
-        val docs = Tables.documents(s, dir)
-          .withColumn("toks", TextFns.tokens(col("text")))
-          .withColumn("shingles", TextFns.shingleExpr("toks", 3))
-          .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("shingles"), 8))
-          .select((Seq(col("doc_id"), col("shingles")) ++
-            (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh_$i"))): _*)
-        // Materialize signatures before the self-join: md5-over-shingles
-        // ×8 is the expensive projection and the join would otherwise
-        // recompute it for BOTH sides. At production scale this is the
-        // signatures table you'd persist to storage anyway.
-        val shingleSets = docs
-          .select(col("doc_id"), array_distinct(col("shingles")).as("shset")).persist()
-        val banded = docs.select(col("doc_id"),
-          explode(array(
-            concat_ws("|", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
-            concat_ws("|", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7")),
-          )).as("band")).persist()
-        // Candidate pairs dedupe on IDS ONLY (two bands can produce the
-        // same pair) before the shingle payloads are re-joined — the
-        // band self-join and the distinct exchange ship (id, id) rows,
-        // never the arrays. That's the shape that survives a 100 TB
-        // corpus: payload bytes move only once per verified candidate.
-        val pairs = banded.select(col("doc_id").as("doc_a"), col("band"))
-          .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .distinct()
-        val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-        val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-        pairs
-          .join(shingleSets.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), Seq("doc_a"))
-          .join(shingleSets.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"), Num.fround(inter / uni, 4).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some {
-        val sigs = (0 until 8).map(i => s"${TextFns.minhashSql("shingles", i)} AS mh_$i")
-          .mkString(", ")
-        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-            sh AS (SELECT doc_id, ${TextFns.shingleSql("ws", 3)} AS shingles FROM t),
-            sig AS (SELECT doc_id, shingles, $sigs FROM sh),
-            banded AS (
-              SELECT doc_id, shingles, band FROM sig,
-              UNNEST(['b0|' || mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3,
-                      'b1|' || mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7]) AS u(band)),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                ${Num.froundSql(
-            """len(list_filter(list_distinct(a.shingles), x -> list_contains(b.shingles, x)))
-                   / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
-                      - len(list_filter(list_distinct(a.shingles), x -> list_contains(b.shingles, x))))::DOUBLE""", 4)} AS jaccard
-              FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+      (s, dir) =>
+        minhashPairs(s, dir, threshold = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH ${minhashPairsSqlCtes(0.5)}
             SELECT doc_a, doc_b, jaccard FROM pairs
-            WHERE jaccard >= 0.5
-            ORDER BY doc_a, doc_b"""
+            ORDER BY doc_a, doc_b"""),
+    ),
+
+    // Near-dup CLUSTERING: connected components over the verified
+    // MinHash pair graph (min-label propagation,
+    // operators/ConnectedComponents.scala) — the step that turns
+    // pairwise similarity into dedup groups, so a pipeline keeps ONE
+    // representative per cluster (the min doc_id) instead of dropping
+    // both ends of every pair. Output: every clustered doc with its
+    // cluster id and cluster size. The DuckDB oracle recomputes the
+    // components with a recursive CTE — a genuinely independent
+    // algorithm (transitive closure) agreeing on the same clusters.
+    QueryDef(
+      "q68_neardup_clusters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val edges = minhashPairs(s, dir, threshold = 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        graft.operators.ConnectedComponents.cluster(edges)
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          .orderBy(col("doc_id"))
       },
+      Some(s"""WITH RECURSIVE ${minhashPairsSqlCtes(0.5)},
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+               reach AS (
+                 SELECT doc_id, doc_id AS label FROM nodes
+                 UNION
+                 SELECT e.dst AS doc_id, r.label
+                 FROM reach r JOIN edges e ON e.src = r.doc_id),
+               comp AS (
+                 SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+               SELECT doc_id, cluster_id,
+                 (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+               FROM comp
+               ORDER BY doc_id"""),
     ),
 
     // Blocked n-gram (unigram-set) Jaccard similarity join. The block

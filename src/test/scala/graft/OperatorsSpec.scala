@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, Upsert}
+import graft.operators.{ConnectedComponents, Multimodal, Upsert}
 import graft.sources.PaginatedSource
 import Multimodal.{MediaMeta, MediaRow}
 
@@ -100,6 +100,25 @@ class OperatorsSpec extends SparkSuite {
     val hist = new Array[Long](16)
     expected.foreach(b => hist((b & 0xf0) >> 4) += 1)
     assert(f.histogram.toSeq == hist.toSeq)
+  }
+
+  test("connected components: min-label propagation clusters an undirected edge list") {
+    // three components: a path, a pair, a triangle-with-extra-edge
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("src", "dst")
+    val out = ConnectedComponents.cluster(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+
+    // a diameter-7 chain still converges to the global minimum label
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val c = ConnectedComponents.cluster(chain).as[(Long, Long)].collect().toMap
+    assert(c.size == 8 && c.values.forall(_ == 1L))
+
+    // deterministic across runs
+    val again = ConnectedComponents.cluster(edges).as[(Long, Long)].collect().toMap
+    assert(out == again)
   }
 
   test("multimodal: schema carries binary payload + typed metadata") {

@@ -91,6 +91,18 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("ScalaUDF"), "must be a native expression, not a UDF")
   }
 
+  test("participantsFlat (q61 core): broadcast dim join, zero shuffle exchanges") {
+    val bronze = graft.queries.Domain.bronzeFromOrders(Tables.orders(spark, sfDir))
+    val dim = graft.queries.Domain.dimFromCustomer(Tables.customer(spark, sfDir))
+    val plan = finalPlan(graft.domain.MatchTransform.participantsFlat(bronze, dim))
+    assert(plan.contains("BroadcastHashJoin"), s"summoners dim must broadcast:\n$plan")
+    // the match decision happens in place (exists over the participants
+    // array) — no entity-resolution exchange, no aggregation, no sort
+    assert(!plan.contains("Exchange hashpartitioning")
+      && !plan.contains("Exchange rangepartitioning"),
+      s"zero-shuffle plan expected:\n$plan")
+  }
+
   test("q58 native session windows: plans as SessionWindow state operator with partial aggregation") {
     val plan = finalPlan(SparkEntry.queries("q58_session_window_native")(spark, sfDir))
     assert(plan.toLowerCase.contains("session"), s"expected session-window operator:\n$plan")
