@@ -329,14 +329,20 @@ object Text {
         // payload bytes move once per candidate, never once per doc
         // per join side. Two bands can generate the same pair twice,
         // so candidate ids are deduped BEFORE the payload re-join.
+        // Both band minhashes come from ONE fused MinHashSlots pass
+        // (bit-identical to the composed TextFns.minhash form the
+        // oracle uses — same md5("<i>|"+tok) definition).
+        graft.functions.MinHashSlots.register(s)
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("source"),
             array_distinct(TextFns.tokens(col("text"))).as("tokset"))
           .persist()
-        val keys = docs.select(col("lang"), col("source"), col("doc_id"),
-          explode(array(
-            concat_ws("|", lit("b0"), TextFns.minhash("tokset", 0)),
-            concat_ws("|", lit("b1"), TextFns.minhash("tokset", 1)))).as("blk"))
+        val keys = docs
+          .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("tokset"), 2))
+          .select(col("lang"), col("source"), col("doc_id"),
+            explode(array(
+              concat_ws("|", lit("b0"), element_at(col("mh"), 1)),
+              concat_ws("|", lit("b1"), element_at(col("mh"), 2)))).as("blk"))
         val pairs = keys.select(col("lang"), col("source"), col("blk"), col("doc_id").as("doc_a"))
           .join(keys.select(col("lang"), col("source"), col("blk"), col("doc_id").as("doc_b")),
             Seq("lang", "source", "blk"))
@@ -696,6 +702,97 @@ object Text {
                WHERE $hammingSql <= 3
                ORDER BY p.doc_a, p.doc_b"""
       },
+    ),
+
+    // TF-IDF top-k terms per document. IDF is kept RATIONAL —
+    // tf·(N+1)/(df+1), no log — so both engines compute exact
+    // rationals (ln's last-ulp varies by libm and could flip
+    // rounding); the ranking is identical because log is monotone.
+    // Scale shape: tf and df are map-side-combined hash aggregates,
+    // the corpus-size scalar is a 1-row broadcast, and the top-k trim
+    // is a per-doc window — no corpus self-join anywhere.
+    QueryDef(
+      "q69_tfidf_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val tf = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tk"))
+          .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tk")).agg(count(lit(1)).as("df")) // tf rows are distinct (doc, tk)
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tk"))
+        tf.join(df, Seq("tk")).crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            Num.fround(col("tf") * (col("n") + 1).cast("double") / (col("df") + 1), 4))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("tk"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+               tf AS (SELECT doc_id, tk, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tk),
+               df AS (SELECT tk, count(*)::BIGINT AS df FROM tf GROUP BY tk),
+               n AS (SELECT count(*)::BIGINT AS n FROM documents),
+               scored AS (
+                 SELECT doc_id, tk, ${Num.froundSql("tf * (n + 1) / (df + 1)::DOUBLE", 4)} AS tfidf
+                 FROM tf JOIN df USING (tk) CROSS JOIN n),
+               ranked AS (
+                 SELECT doc_id, tk, tfidf,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tk) AS rnk
+                 FROM scored)
+               SELECT doc_id, rnk::BIGINT AS rnk, tk, tfidf FROM ranked
+               WHERE rnk <= 3
+               ORDER BY doc_id, rnk"""),
+    ),
+
+    // Fuzzy dedup END-TO-END: pairs (J ≥ 0.8) → connected components
+    // → keep ONE representative per cluster (most tokens, min doc_id
+    // tiebreak) — the full corpus-dedup decision a training pipeline
+    // applies, per doc: its cluster and whether it survives.
+    // Singletons (no near-dup edge) keep themselves. Same recursive-
+    // CTE oracle as q68, composed with a window — two independent
+    // algorithms agreeing on who survives.
+    QueryDef(
+      "q70_fuzzy_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val edges = minhashPairs(s, dir, threshold = 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val labels = graft.operators.ConnectedComponents.cluster(edges)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("ntok"))
+        val w = Window.partitionBy(col("cluster_id")).orderBy(col("ntok").desc, col("doc_id"))
+        docs.join(labels, docs("doc_id") === labels("node"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster_id"), col("ntok"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsSqlCtes(0.8)},
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+               reach AS (
+                 SELECT doc_id, doc_id AS label FROM nodes
+                 UNION
+                 SELECT e.dst AS doc_id, r.label
+                 FROM reach r JOIN edges e ON e.src = r.doc_id),
+               comp AS (
+                 SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+               d AS (
+                 SELECT doc_id,
+                   len(list_distinct(string_split(text, ' ')))::BIGINT AS ntok
+                 FROM documents),
+               j AS (
+                 SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, ntok
+                 FROM d LEFT JOIN comp c USING (doc_id))
+               SELECT doc_id, cluster_id, ntok,
+                 (row_number() OVER (PARTITION BY cluster_id ORDER BY ntok DESC, doc_id) = 1) AS keep
+               FROM j
+               ORDER BY doc_id"""),
     ),
   )
 }

@@ -326,5 +326,63 @@ object Vectors {
                QUALIFY rank <= 3
                ORDER BY probe_id, rank"""),
     ),
+
+    // Int8 scalar quantization — the 4× memory cut that makes a
+    // billion-vector ANN index fit executor RAM: per-dimension global
+    // [min, max] (one tiny aggregate, broadcast back as a 1-row dim
+    // table), each float mapped to floor((x-mn)/(mx-mn)·255 + 0.5).
+    // All arithmetic is IEEE double (floor-based rounding, no libm),
+    // and the reconstruction MSE folds LEFT-TO-RIGHT in both engines
+    // (Spark `aggregate` ≡ DuckDB `list_reduce`) so the differential
+    // hash is exact. Output: codes serialized scalar + per-vector MSE.
+    QueryDef(
+      "q71_quantize_int8",
+      (s, dir) => {
+        val c = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val stats = c.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+          .agg(
+            expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").as("mins"),
+            expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("maxs"))
+        c.crossJoin(broadcast(stats))
+          .withColumn("codes", expr(
+            """transform(embedding, (x, i) ->
+                 CASE WHEN maxs[i] = mins[i] THEN 0
+                 ELSE cast(floor((cast(x AS double) - mins[i])
+                   / (maxs[i] - mins[i]) * 255.0D + 0.5D) AS int) END)"""))
+          .withColumn("deq", expr(
+            """transform(codes, (q, i) ->
+                 mins[i] + cast(q AS double) / 255.0D * (maxs[i] - mins[i]))"""))
+          .withColumn("mse", graft.functions.Num.fround(expr(
+            """aggregate(zip_with(embedding, deq,
+                 (x, d) -> (cast(x AS double) - d) * (cast(x AS double) - d)),
+                 cast(0.0 AS double), (acc, v) -> acc + v) / cast(size(embedding) AS double)"""), 6))
+          .select(col("vec_id"),
+            array_join(expr("transform(codes, q -> cast(q AS string))"), "|").as("codes"),
+            col("mse"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH dims AS (
+                 SELECT i AS pos, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+                 FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+                 GROUP BY i),
+               s AS (
+                 SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM dims),
+               q AS (
+                 SELECT vec_id, embedding, mins, maxs,
+                   [CASE WHEN maxs[i] = mins[i] THEN 0
+                    ELSE floor((embedding[i]::DOUBLE - mins[i])
+                      / (maxs[i] - mins[i]) * 255.0 + 0.5)::INT END
+                    for i in generate_series(1, 64)] AS codes
+                 FROM embeddings CROSS JOIN s)
+               SELECT vec_id, array_to_string(codes, '|') AS codes,
+                 ${graft.functions.Num.froundSql(
+          """list_reduce([(embedding[i]::DOUBLE - (mins[i] + codes[i]::DOUBLE / 255.0 * (maxs[i] - mins[i])))
+                    * (embedding[i]::DOUBLE - (mins[i] + codes[i]::DOUBLE / 255.0 * (maxs[i] - mins[i])))
+                    for i in generate_series(1, 64)], (acc, v) -> acc + v) / 64.0""", 6)} AS mse
+               FROM q
+               ORDER BY vec_id"""),
+    ),
   )
 }
