@@ -66,4 +66,46 @@ object Maintenance {
   /** M3 full wipe — trivially `df.limit(0)` (api_service/main.py:264-275);
     * present for surface completeness. */
   def nuke(df: DataFrame): DataFrame = df.limit(0)
+
+  /** Small-file compaction for an epoch-partitioned parquet zone
+    * (silver's `batch=<epochId>/` layout): every micro-batch write
+    * leaves one file per shuffle partition, so a long-running pipeline
+    * accumulates epochs × partitions tiny files — the classic
+    * small-file problem that murders scan throughput (footer reads +
+    * task-per-file scheduling) long before data size does.
+    *
+    * Rewrites the zone with rows of each epoch coalesced into that
+    * epoch's tasks (`repartition(partitionCol)` then
+    * `partitionBy(partitionCol)`), so each `batch=` directory ends up
+    * with ~1 right-sized file while the LAYOUT — and with it the
+    * retry contract "a replayed epoch overwrites its own directory" —
+    * is preserved. The swap is rename-based (write `.compact.tmp`,
+    * move the live dir aside, move tmp in, drop the old): a crash at
+    * any point leaves either the old or the new complete zone, never
+    * a mix. Like [[graft.operators.MergeInto.compact]], run it
+    * between pipeline passes, never concurrently with a writer. */
+  def compactSmallFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      partitionCol: String = "batch"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val tmp = new Path(root.getParent, root.getName + ".compact.tmp")
+    val old = new Path(root.getParent, root.getName + ".compact.old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(dir)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(tmp.toString)
+    if (!fs.rename(root, old))
+      throw new java.io.IOException(s"compactSmallFiles: cannot move $root aside")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(old, root) // restore the live zone before failing
+      throw new java.io.IOException(s"compactSmallFiles: cannot activate $tmp")
+    }
+    fs.delete(old, true)
+  }
 }

@@ -31,6 +31,44 @@ object Vectors {
         VectorFns.normSqF("embedding").as("nsq"))
   }
 
+  /** Int8-quantized corpus: per-dimension global [min, max] (one tiny
+    * aggregate broadcast back as a 1-row dim table) and floor-based
+    * codes. All double arithmetic, floor rounding — no libm — so the
+    * DuckDB mirror is bit-exact. Shared by q71 (codes + MSE) and q72
+    * (ANN over codes). Columns: vec_id, embedding, mins, maxs, codes. */
+  private def quantized(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val c = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val stats = c.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").as("mins"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("maxs"))
+    c.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        """transform(embedding, (x, i) ->
+             CASE WHEN maxs[i] = mins[i] THEN 0
+             ELSE cast(floor((cast(x AS double) - mins[i])
+               / (maxs[i] - mins[i]) * 255.0D + 0.5D) AS int) END)"""))
+  }
+
+  /** DuckDB mirror of [[quantized]] as CTEs defining `q(vec_id,
+    * embedding, mins, maxs, codes)`. */
+  private val quantizedSqlCtes: String =
+    """dims AS (
+         SELECT i AS pos, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+         FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+         GROUP BY i),
+       s AS (
+         SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM dims),
+       q AS (
+         SELECT vec_id, embedding, mins, maxs,
+           [CASE WHEN maxs[i] = mins[i] THEN 0
+            ELSE floor((embedding[i]::DOUBLE - mins[i])
+              / (maxs[i] - mins[i]) * 255.0 + 0.5)::INT END
+            for i in generate_series(1, 64)] AS codes
+         FROM embeddings CROSS JOIN s)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-label vector stats: counts and mean L2 norm.
@@ -338,19 +376,7 @@ object Vectors {
     QueryDef(
       "q71_quantize_int8",
       (s, dir) => {
-        val c = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        val stats = c.select(posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("pos"))
-          .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
-          .agg(
-            expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").as("mins"),
-            expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("maxs"))
-        c.crossJoin(broadcast(stats))
-          .withColumn("codes", expr(
-            """transform(embedding, (x, i) ->
-                 CASE WHEN maxs[i] = mins[i] THEN 0
-                 ELSE cast(floor((cast(x AS double) - mins[i])
-                   / (maxs[i] - mins[i]) * 255.0D + 0.5D) AS int) END)"""))
+        quantized(s, dir)
           .withColumn("deq", expr(
             """transform(codes, (q, i) ->
                  mins[i] + cast(q AS double) / 255.0D * (maxs[i] - mins[i]))"""))
@@ -363,19 +389,7 @@ object Vectors {
             col("mse"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH dims AS (
-                 SELECT i AS pos, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
-                 FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
-                 GROUP BY i),
-               s AS (
-                 SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM dims),
-               q AS (
-                 SELECT vec_id, embedding, mins, maxs,
-                   [CASE WHEN maxs[i] = mins[i] THEN 0
-                    ELSE floor((embedding[i]::DOUBLE - mins[i])
-                      / (maxs[i] - mins[i]) * 255.0 + 0.5)::INT END
-                    for i in generate_series(1, 64)] AS codes
-                 FROM embeddings CROSS JOIN s)
+      Some(s"""WITH $quantizedSqlCtes
                SELECT vec_id, array_to_string(codes, '|') AS codes,
                  ${graft.functions.Num.froundSql(
           """list_reduce([(embedding[i]::DOUBLE - (mins[i] + codes[i]::DOUBLE / 255.0 * (maxs[i] - mins[i])))
@@ -383,6 +397,75 @@ object Vectors {
                     for i in generate_series(1, 64)], (acc, v) -> acc + v) / 64.0""", 6)} AS mse
                FROM q
                ORDER BY vec_id"""),
+    ),
+
+    // ANN over the int8 codes (the q71 payoff): candidate generation
+    // scans 64-BYTE code rows with pure-integer squared-L2 (exact in
+    // both engines — no float in the selective stage), keeps top-10
+    // per probe, then re-ranks only those 10 with the exact float
+    // cosine. At scale the candidate scan touches 4× less memory than
+    // the float corpus and the expensive kernel runs on 10 rows per
+    // probe instead of the corpus — the classic IVF/SQ serving split.
+    QueryDef(
+      "q72_ann_quantized",
+      (s, dir) => {
+        graft.functions.DotProductF.register(s)
+        val qz = quantized(s, dir)
+          .join(corpus(s, dir).select(col("vec_id"), col("nsq")), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("codes"), col("nsq"))
+          .persist()
+        val probes = qz.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("codes").as("p_codes"),
+            col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val cands = qz.select(col("vec_id"), col("codes"))
+          .crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("adist", expr(
+            """aggregate(zip_with(codes, p_codes, (a, b) -> (a - b) * (a - b)),
+                 0, (acc, v) -> acc + v)""").cast("long"))
+        val w10 = Window.partitionBy(col("probe_id"))
+          .orderBy(col("adist"), col("vec_id"))
+        val w3 = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        cands
+          .withColumn("crank", row_number().over(w10))
+          .filter(col("crank") <= 10)
+          .join(qz.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+          .withColumn("sim", Num.fround(
+            graft.functions.DotProductF.dotCol(col("p_emb"), col("embedding"))
+              / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
+          .withColumn("rank", row_number().over(w3).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("adist"), col("sim"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH $quantizedSqlCtes,
+               nz AS (
+                 SELECT q.vec_id, q.embedding, q.codes,
+                   ${VectorFns.normSqSql("q.embedding::DOUBLE[]")} AS nsq
+                 FROM q),
+               p AS (
+                 SELECT vec_id AS probe_id, codes AS p_codes,
+                   embedding AS p_emb, nsq AS p_nsq
+                 FROM nz WHERE vec_id < $N_PROBES),
+               cand AS (
+                 SELECT p.probe_id, nz.vec_id, nz.embedding, nz.nsq, p.p_emb, p.p_nsq,
+                   list_reduce([(nz.codes[i] - p.p_codes[i]) * (nz.codes[i] - p.p_codes[i])
+                     for i in generate_series(1, 64)], (acc, v) -> acc + v)::BIGINT AS adist
+                 FROM nz CROSS JOIN p
+                 WHERE nz.vec_id <> p.probe_id
+                 QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY adist, nz.vec_id) <= 10),
+               rr AS (
+                 SELECT probe_id, vec_id, adist,
+                   ${Num.froundSql(
+          s"${VectorFns.dotSql("p_emb", "embedding")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                 FROM cand)
+               SELECT probe_id, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                 vec_id, adist, sim
+               FROM rr
+               QUALIFY rank <= 3
+               ORDER BY probe_id, rank"""),
     ),
   )
 }

@@ -87,4 +87,40 @@ class MaintenanceSpec extends SparkSuite {
       .as[String].collect().toSet == Set("k10", "k9", "k8", "k7"))
     assert(Maintenance.nuke(raw).count() == 0)
   }
+
+  test("small-file compaction: merges per-epoch files, preserves layout and contents") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/silver"
+    // three epochs, each deliberately fragmented into 8 files
+    for (epoch <- 0 to 2)
+      (1 to 20).map(i => RawRow(s"m$epoch-$i", s"P${i % 3}", epoch * 100L + i)).toDF()
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/batch=$epoch")
+    val before = spark.read.parquet(dir)
+    val expected = before.select("matchId").as[String].collect().toSet
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def filesPerBatch: Map[String, Int] =
+      fs.listStatus(new Path(dir)).filter(_.isDirectory).map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).count(f => f.getPath.getName.endsWith(".parquet"))
+      }.toMap
+    assert(filesPerBatch.values.forall(_ == 8))
+
+    Maintenance.compactSmallFiles(spark, dir)
+
+    // layout preserved (batch= dirs), exactly one file per epoch now
+    val after = filesPerBatch
+    assert(after.keySet == Set("batch=0", "batch=1", "batch=2"), s"layout changed: $after")
+    assert(after.values.forall(_ == 1), s"expected 1 file per epoch: $after")
+    // contents identical, partition column still readable
+    val re = spark.read.parquet(dir)
+    assert(re.select("matchId").as[String].collect().toSet == expected)
+    assert(re.select("batch").distinct().as[Int].collect().toSet == Set(0, 1, 2))
+    // no temp/old directories left behind
+    assert(!fs.exists(new Path(dir + ".compact.tmp")) && !fs.exists(new Path(dir + ".compact.old")))
+    // an epoch replayed AFTER compaction still overwrites its own dir
+    (1 to 5).map(i => RawRow(s"m1-$i", "P0", 100L + i)).toDF()
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    assert(spark.read.parquet(dir).filter(col("batch") === 1).count() == 5)
+  }
 }
