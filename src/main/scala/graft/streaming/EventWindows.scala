@@ -39,4 +39,32 @@ object EventWindows {
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"))
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+
+  /** Stream-STREAM interval join: pair each right-side event with the
+    * same user's left-side events that happened within the preceding
+    * `gap` (attribution: "which impression led to this click"). Both
+    * sides carry (`user_id`, `ts_us`, `value`).
+    *
+    * Scale/state: BOTH sides are watermarked and the join condition
+    * bounds right-time to [left_time, left_time + gap], so Spark can
+    * evict buffered rows once the other side's watermark passes the
+    * bound — state is (rate × gap), not the stream's history. An
+    * equi-key (user_id) keeps the state hash-partitioned. Without the
+    * time bound this join would buffer forever — the property the
+    * spec pins by checking the batch-equivalent result. */
+  def intervalJoin(left: DataFrame, right: DataFrame, gap: String = "10 minutes"): DataFrame = {
+    val l = left
+      .withColumn("l_time", timestamp_micros(col("ts_us")))
+      .withWatermark("l_time", gap)
+      .select(col("user_id"), col("l_time"), col("ts_us").as("l_us"))
+    val r = right
+      .withColumn("r_time", timestamp_micros(col("ts_us")))
+      .withWatermark("r_time", gap)
+      .select(col("user_id").as("r_user"), col("r_time"),
+        col("ts_us").as("r_us"), col("value"))
+    l.join(r, expr(
+      s"""user_id = r_user AND
+          r_time >= l_time AND r_time <= l_time + interval $gap"""))
+      .select(col("user_id"), col("l_us"), col("r_us"), col("value"))
+  }
 }

@@ -53,6 +53,40 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got == Seq((7L, 2L), (7L, 1L)))
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * 1000000L
+    val min = 60L * 1000000L
+    val imps = Seq( // left: impressions
+      EvRow(base, 1, "imp", 0.0),
+      EvRow(base, 2, "imp", 0.0),
+      EvRow(base + 30 * min, 1, "imp", 0.0))
+    val clicks = Seq( // right: clicks
+      EvRow(base + 5 * min, 1, "click", 1.0), // matches imp@base (5 min later)
+      EvRow(base + 20 * min, 1, "click", 2.0), // matches NOTHING (>10 min from both)
+      EvRow(base + 9 * min, 2, "click", 3.0), // matches user-2 imp (9 min)
+      EvRow(base + 35 * min, 1, "click", 4.0)) // matches imp@+30min
+    val ls = MemoryStream[EvRow]
+    val rs = MemoryStream[EvRow]
+    val q = EventWindows.intervalJoin(ls.toDF(), rs.toDF())
+      .writeStream.format("memory").queryName("ij_mem").outputMode("append").start()
+    ls.addData(imps)
+    rs.addData(clicks)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_mem")
+      .select("user_id", "l_us", "r_us", "value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // batch equivalent of the same interval condition
+    val expected = imps.toDF().select(col("user_id"), col("ts_us").as("l_us"))
+      .join(clicks.toDF().select(col("user_id").as("r_user"),
+        col("ts_us").as("r_us"), col("value")),
+        expr(s"user_id = r_user AND r_us >= l_us AND r_us <= l_us + ${10 * min}"))
+      .select("user_id", "l_us", "r_us", "value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected && got.size == 3, s"got $got")
+  }
+
   test("salted skew join equals plain join and splits the hot key") {
     val left = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
       .toDF("key", "v")
