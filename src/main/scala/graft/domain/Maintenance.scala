@@ -91,9 +91,18 @@ object Maintenance {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
     val tmp = new Path(root.getParent, root.getName + ".compact.tmp")
     val old = new Path(root.getParent, root.getName + ".compact.old")
+    // Crash recovery FIRST: if a prior run died between its two
+    // renames, the live dir is missing and `.compact.old` holds the
+    // complete pre-swap zone — restore it before anything else (in
+    // particular before the `old` cleanup below, which would otherwise
+    // permanently delete the only copy).
+    if (!fs.exists(root)) {
+      if (!fs.exists(old)) return // nothing to compact, nothing to recover
+      if (!fs.rename(old, root))
+        throw new java.io.IOException(s"compactSmallFiles: cannot recover $old to $root")
+    }
     fs.delete(tmp, true)
     fs.delete(old, true)
     spark.read.parquet(dir)

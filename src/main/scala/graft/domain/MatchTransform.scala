@@ -175,8 +175,11 @@ object MatchTransform {
   }
 
   /** P2 per-participant projection as a ZERO-SHUFFLE plan: one output
-    * row per (matched match, participant), with the same standard
-    * extraction as the silver `participants` array.
+    * row per (bronze row, participant) — the bronze grain is
+    * (matchId, puuid): a match fetched for two tracked players has two
+    * bronze rows, and both project here, distinguished by the carried
+    * master `puuid` — with the same standard extraction as the silver
+    * `participants` array.
     *
     * The wide-silver route (includeParticipants = true → posexplode)
     * carries the 10-struct array through the entity-resolution
@@ -201,8 +204,9 @@ object MatchTransform {
         col("s_has_tag"), col("s_game_norm"), col("s_tag_norm")).isNotNull)
     joined
       .filter(matched)
-      .select(col("matchId"), posexplode(col("raw.info.participants")).as(Seq("pos", "p")))
-      .select(Seq(col("matchId"), col("pos")) ++
+      .select(col("matchId"), col("puuid"),
+        posexplode(col("raw.info.participants")).as(Seq("pos", "p")))
+      .select(Seq(col("matchId"), col("puuid"), col("pos")) ++
         extFields(name => col(s"p.$name")): _*)
   }
 

@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each round is one shuffle of (node, label) pairs on the node
   * id plus a map-side-combined min aggregate — no adjacency matrix,
-  * no driver-side graph. Rounds needed = component DIAMETER, and
-  * near-dup clusters are dense (near-cliques), so 2-3 rounds settle
-  * real corpora. The driver sees only the per-round converged?
-  * aggregate (one long), never data. For adversarial long-chain
-  * graphs at extreme scale the large-star/small-star variant
-  * [Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14] bounds rounds at O(log²  n) with the same per-round shape;
-  * `maxRounds` caps the loop either way.
+  * no driver-side graph. Each round also POINTER-JUMPS (a node adopts
+  * its label's current label), so rounds are O(log diameter), not
+  * O(diameter) — 25 rounds cover any component a real corpus can
+  * produce (2²⁵-hop chains). The driver sees only the per-round
+  * converged? scalar, never data. Non-convergence within `maxRounds`
+  * THROWS instead of silently returning split components (callers
+  * compare against exact transitive closures). The large-star/
+  * small-star variant [Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14] is the same per-round shape if an
+  * even stronger bound is ever needed.
   */
 object ConnectedComponents {
 
@@ -32,6 +34,8 @@ object ConnectedComponents {
     *              undirected edge; both orientations implied).
     * @return (node, label) with one row per distinct endpoint; `label`
     *         is the minimum node id of the component. Deterministic.
+    * @throws IllegalStateException if labels have not converged after
+    *         `maxRounds` rounds (would mean silently wrong clusters).
     */
   def cluster(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     // both orientations, so min-propagation flows the undirected graph
@@ -39,32 +43,48 @@ object ConnectedComponents {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    // Lineage MUST be truncated each round (localCheckpoint, the
+    // standard device for iterative dataframe algorithms): each round
+    // references the previous labels three times, so the logical plan
+    // would otherwise grow exponentially with rounds — analysis cost
+    // and plan-string rendering blow up long before the data does.
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .persist()
+      .localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      // candidate labels: my own + each neighbor's current label
+      // candidate labels: my own, each neighbor's current label, and —
+      // pointer jumping — my label's current label. The last halves
+      // the remaining hop distance to the component minimum every
+      // round, which is what makes rounds logarithmic in diameter.
       val viaNeighbors = sym
         .join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
+      val viaPointer = labels.select(col("node"), col("label").as("ptr"))
+        .join(labels.select(col("node").as("p_node"), col("label").as("p_label")),
+          col("ptr") === col("p_node"))
+        .select(col("node"), col("p_label").as("label"))
       val next = labels.select(col("node"), col("label"))
         .unionAll(viaNeighbors)
+        .unionAll(viaPointer)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint(true)
       // converged iff no node's label changed this round — one scalar
       // to the driver, computed distributed
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") < col("prev"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents: labels not converged after $maxRounds rounds " +
+          "— returning would mean silently split components")
     labels
   }
 }

@@ -83,9 +83,13 @@ object MergeInto {
     val touched = contrib.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded: <= numBuckets values
     if (touched.nonEmpty) {
-      val prior = readVersions(spark, dir, beforeEpoch = Some(epochId))
-        .map(_.withColumn("bucket", pmod(hash(bucketOn), lit(numBuckets)))
-          .filter(col("bucket").isin(touched.map(Int.box): _*)))
+      // Prior state read is DIRECTORY-pruned to the touched buckets
+      // (readVersions opens only those bucket= dirs) — a batch's IO
+      // really is proportional to the buckets it touches; a row-level
+      // filter on the re-derived hash column could not prune files.
+      val prior = readVersions(spark, dir, beforeEpoch = Some(epochId),
+        buckets = Some(touched.toSet))
+        .map(_.withColumn("bucket", pmod(hash(bucketOn), lit(numBuckets))))
       mergeAggregate(prior, contrib, keys :+ "bucket", aggs)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/v=$epochId")
@@ -95,14 +99,16 @@ object MergeInto {
   /** Current merged table: newest COMPLETE (`_SUCCESS`) version of each
     * bucket. None when the layout doesn't exist yet. */
   def readBucketed(spark: SparkSession, dir: String): Option[DataFrame] =
-    readVersions(spark, dir, beforeEpoch = None)
+    readVersions(spark, dir, beforeEpoch = None, buckets = None)
 
   /** Layout state as of before `epochId` — what a (possibly retried)
-    * batch must merge onto. */
+    * batch must merge onto. `buckets` restricts the read to those
+    * bucket directories (file-listing-level pruning). */
   private[graft] def readVersions(
       spark: SparkSession,
       dir: String,
-      beforeEpoch: Option[Long]): Option[DataFrame] = {
+      beforeEpoch: Option[Long],
+      buckets: Option[Set[Int]] = None): Option[DataFrame] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // ONLY "does not exist" means empty state; IO errors propagate and
@@ -120,10 +126,12 @@ object MergeInto {
       }
       .sortBy { case (v, _) => -v }
     // newest version wins per bucket
+    val wanted: Option[Set[String]] = buckets.map(_.map(b => s"bucket=$b"))
     val chosen = scala.collection.mutable.LinkedHashMap.empty[String, Path]
     versions.foreach { case (_, vp) =>
       fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("bucket="))
+        .filter(bp => wanted.forall(_.contains(bp.getName)))
         .foreach { bp => if (!chosen.contains(bp.getName)) chosen(bp.getName) = bp }
     }
     if (chosen.isEmpty) None

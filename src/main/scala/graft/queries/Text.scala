@@ -337,12 +337,15 @@ object Text {
           .select(col("doc_id"), col("lang"), col("source"),
             array_distinct(TextFns.tokens(col("text"))).as("tokset"))
           .persist()
+        // keys persisted BELOW the signature projection: the md5 pass
+        // must run once, not once per self-join side.
         val keys = docs
           .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("tokset"), 2))
           .select(col("lang"), col("source"), col("doc_id"),
             explode(array(
               concat_ws("|", lit("b0"), element_at(col("mh"), 1)),
               concat_ws("|", lit("b1"), element_at(col("mh"), 2)))).as("blk"))
+          .persist()
         val pairs = keys.select(col("lang"), col("source"), col("blk"), col("doc_id").as("doc_a"))
           .join(keys.select(col("lang"), col("source"), col("blk"), col("doc_id").as("doc_b")),
             Seq("lang", "source", "blk"))

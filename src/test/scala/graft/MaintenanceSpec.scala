@@ -122,5 +122,15 @@ class MaintenanceSpec extends SparkSuite {
     (1 to 5).map(i => RawRow(s"m1-$i", "P0", 100L + i)).toDF()
       .write.mode("overwrite").parquet(s"$dir/batch=1")
     assert(spark.read.parquet(dir).filter(col("batch") === 1).count() == 5)
+
+    // crash recovery: simulate dying between the two swap renames —
+    // live dir moved aside, tmp never activated. The next run must
+    // restore the .compact.old zone instead of losing it.
+    val expected2 = spark.read.parquet(dir).select("matchId").as[String].collect().toSet
+    assert(fs.rename(new Path(dir), new Path(dir + ".compact.old")))
+    Maintenance.compactSmallFiles(spark, dir)
+    assert(fs.exists(new Path(dir)), "live zone not restored")
+    assert(spark.read.parquet(dir).select("matchId").as[String].collect().toSet == expected2)
+    assert(!fs.exists(new Path(dir + ".compact.tmp")) && !fs.exists(new Path(dir + ".compact.old")))
   }
 }

@@ -111,10 +111,12 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
 
-    // a diameter-7 chain still converges to the global minimum label
-    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    // a diameter-39 chain converges to the global minimum label well
+    // inside maxRounds — pointer jumping makes rounds O(log diameter),
+    // so 40 nodes need ~6 rounds, not 39
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
     val c = ConnectedComponents.cluster(chain).as[(Long, Long)].collect().toMap
-    assert(c.size == 8 && c.values.forall(_ == 1L))
+    assert(c.size == 40 && c.values.forall(_ == 1L))
 
     // deterministic across runs
     val again = ConnectedComponents.cluster(edges).as[(Long, Long)].collect().toMap
