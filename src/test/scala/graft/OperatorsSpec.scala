@@ -123,6 +123,37 @@ class OperatorsSpec extends SparkSuite {
     assert(out == again)
   }
 
+  test("connected components match a reference union-find on random graphs") {
+    // seeded RNG: reproducible, and the graphs exercise mixtures of
+    // singletons-with-self-loops, small cliques, and long paths
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = (1 to n).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // reference: classic driver-side union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map { v =>
+        // component id = min node id of the component
+        val members = nodes.filter(u => find(u) == find(v))
+        v -> members.min
+      }.toMap
+      val got = ConnectedComponents.cluster(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial (n=$n)")
+    }
+  }
+
   test("multimodal: schema carries binary payload + typed metadata") {
     val ds = spark.createDataset(Seq(
       MediaRow(1L, MediaMeta("image", 8, 8, 0), Array[Byte](1, 2, 3))))
