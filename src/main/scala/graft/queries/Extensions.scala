@@ -269,5 +269,58 @@ object Extensions {
               levenshtein(s_name, 'Supplier#000000001')::INT AS dist
               FROM supplier ORDER BY s_suppkey"""),
     ),
+
+    // Data-quality validation profile — the expectations gate a
+    // pipeline runs before publishing a table: row count, null
+    // checks, domain checks, key uniqueness, referential integrity.
+    // ONE pass over the fact computes every scalar check (a stack()
+    // unpivot of a single aggregate row); the FK check is the only
+    // second pass (anti-join against the broadcastable dim). All
+    // outputs are exact integers.
+    QueryDef(
+      "q74_data_quality",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val dim = Tables.customer(s, dir)
+        val base = o.agg(
+          count(lit(1)).as("rows_total"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_totalprice"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+          sum(when(col("o_orderdate") > to_date(lit("1998-12-31")), 1L)
+            .otherwise(0L)).as("future_orderdate"))
+        val orphans = o
+          .join(dim.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_custkey"))
+        base.crossJoin(orphans)
+          .select(expr(
+            """stack(6,
+                 'rows_total', rows_total,
+                 'null_custkey', null_custkey,
+                 'nonpositive_totalprice', nonpositive_totalprice,
+                 'dup_orderkey', dup_orderkey,
+                 'future_orderdate', future_orderdate,
+                 'orphan_custkey', orphan_custkey) AS (chk, violations)"""))
+          .orderBy(col("chk"))
+      },
+      Some("""WITH base AS (
+                SELECT count(*)::BIGINT AS rows_total,
+                  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_custkey,
+                  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS nonpositive_totalprice,
+                  (count(*) - count(DISTINCT o_orderkey))::BIGINT AS dup_orderkey,
+                  sum(CASE WHEN o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END)::BIGINT AS future_orderdate
+                FROM orders),
+              orph AS (
+                SELECT count(*)::BIGINT AS orphan_custkey FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+              SELECT chk, violations FROM (
+                SELECT 'rows_total' AS chk, rows_total AS violations FROM base
+                UNION ALL SELECT 'null_custkey', null_custkey FROM base
+                UNION ALL SELECT 'nonpositive_totalprice', nonpositive_totalprice FROM base
+                UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM base
+                UNION ALL SELECT 'future_orderdate', future_orderdate FROM base
+                UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM orph)
+              ORDER BY chk"""),
+    ),
   )
 }

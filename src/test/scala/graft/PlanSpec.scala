@@ -103,6 +103,13 @@ class PlanSpec extends SparkSuite {
       s"zero-shuffle plan expected:\n$plan")
   }
 
+  test("q73 range frame: window pass, no self-join") {
+    val plan = finalPlan(SparkEntry.queries("q73_range_frame")(spark, sfDir))
+    assert(plan.contains("Window"), s"expected Window operator:\n$plan")
+    // the interval attribution must NOT be a join — that's the point
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+  }
+
   test("q58 native session windows: plans as SessionWindow state operator with partial aggregation") {
     val plan = finalPlan(SparkEntry.queries("q58_session_window_native")(spark, sfDir))
     assert(plan.toLowerCase.contains("session"), s"expected session-window operator:\n$plan")
