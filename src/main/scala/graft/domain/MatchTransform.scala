@@ -264,7 +264,9 @@ object MatchTransform {
   def playerStats(silver: DataFrame, puuid: String, limit: Int = 300): (DataFrame, DataFrame) = {
     val recent = silver
       .filter(col("puuid") === puuid)
-      .orderBy(col("game_timestamp").desc, col("matchId"))
+      // same (timestamp, matchId) DESC tiebreak as recentMatches — the
+      // two paths must pick the same rows on timestamp ties
+      .orderBy(col("game_timestamp").desc, col("matchId").desc)
       .limit(limit)
     val perChampion = championStats(recent)
       .drop("puuid")

@@ -48,6 +48,10 @@ object ConnectedComponents {
     // references the previous labels three times, so the logical plan
     // would otherwise grow exponentially with rounds — analysis cost
     // and plan-string rendering blow up long before the data does.
+    // Superseded checkpoints are released by the ContextCleaner once
+    // the driver drops its reference (labels = next below); rounds are
+    // few (log diameter), so at most a handful of label snapshots
+    // coexist before cleanup.
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)

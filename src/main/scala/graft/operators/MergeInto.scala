@@ -138,12 +138,18 @@ object MergeInto {
     else Some(spark.read.parquet(chosen.values.map(_.toString).toSeq: _*))
   }
 
-  /** Retention sweep: each bucket's NEWEST complete version survives;
-    * every older bucket directory is deleted, and `v=` directories
-    * left without buckets are removed. Old versions exist only so a
-    * retried epoch can re-merge from pre-epoch state — once batches
-    * have committed they are garbage. Run between pipeline passes,
-    * never concurrently with an in-flight batch. */
+  /** Retention sweep: each bucket keeps its TWO newest complete
+    * versions — the current state AND the state it was merged from.
+    * The parent must survive because the newest epoch may still be
+    * REPLAYED (its write committed but the caller's checkpoint did
+    * not): the replay rebuilds `v=newest` from pre-epoch state, and
+    * keeping only the newest would make that replay see an empty
+    * prior and silently reset every counter. Anything older than the
+    * parent cannot be needed by any replay (the checkpoint had
+    * advanced past it before the parent's epoch started) and is
+    * deleted, as are `v=` directories left without buckets. Run
+    * between pipeline passes, never concurrently with an in-flight
+    * batch. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -155,13 +161,14 @@ object MergeInto {
         if (n.startsWith("v=")) Some((n.drop(2).toLong, p)) else None
       }
       .sortBy { case (v, _) => -v }
-    val seenBuckets = scala.collection.mutable.Set.empty[String]
+    val keptPerBucket = scala.collection.mutable.Map.empty[String, Int]
     versions.foreach { case (_, vp) =>
       val complete = fs.exists(new Path(vp, "_SUCCESS"))
       fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("bucket="))
         .foreach { bp =>
-          if (complete && seenBuckets.add(bp.getName)) () // newest for this bucket — keep
+          val kept = keptPerBucket.getOrElse(bp.getName, 0)
+          if (complete && kept < 2) keptPerBucket(bp.getName) = kept + 1 // newest + parent — keep
           else fs.delete(bp, true)
         }
       if (fs.listStatus(vp).forall(!_.isDirectory)) fs.delete(vp, true)

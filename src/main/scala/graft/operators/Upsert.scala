@@ -1,8 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 /** S5 — keyed upsert semantics (`update_one({key}, {$set}, upsert=True)`,
   * api_service/main.py:151 and three sibling sites) in batch form:

@@ -311,8 +311,14 @@ object Extensions {
                   sum(CASE WHEN o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END)::BIGINT AS future_orderdate
                 FROM orders),
               orph AS (
-                SELECT count(*)::BIGINT AS orphan_custkey FROM orders
-                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                -- NOT EXISTS, not NOT IN: NOT IN returns NULL (row
+                -- dropped) for a NULL o_custkey and zeroes the whole
+                -- count if any c_custkey is NULL — exactly the dirty
+                -- shapes this check exists to catch. NOT EXISTS
+                -- matches Spark's left_anti: NULL keys are orphans.
+                SELECT count(*)::BIGINT AS orphan_custkey FROM orders o
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
               SELECT chk, violations FROM (
                 SELECT 'rows_total' AS chk, rows_total AS violations FROM base
                 UNION ALL SELECT 'null_custkey', null_custkey FROM base

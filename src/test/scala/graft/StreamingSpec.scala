@@ -137,16 +137,26 @@ class StreamingSpec extends SparkSuite {
       .select("matchId").as[String].collect().sorted.toSeq
     assert(silverIds == Seq("A", "B", "C"))
 
-    // retention sweep: both epochs merged the same bucket, so after
-    // compaction only the newest version remains — and readGold is
-    // unchanged
+    // retention sweep keeps each bucket's newest version AND its merge
+    // parent (the newest epoch may still be replayed and must rebuild
+    // from pre-epoch state) — readGold is unchanged
     Incremental.compactGold(spark, goldDir)
     val afterCompact = Incremental.readGold(spark, goldDir).get.collect()
     assert(afterCompact.head.getAs[Long]("games") == 3
       && afterCompact.head.getAs[Long]("wins") == 2)
     val vDirs = new java.io.File(goldDir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
-    assert(vDirs.length == 1, s"expected one surviving version, got ${vDirs.map(_.getName).toSeq}")
+    assert(vDirs.length == 2,
+      s"expected newest + parent to survive, got ${vDirs.map(_.getName).toSeq}")
+
+    // the exact replay-after-compaction scenario the parent exists
+    // for: epoch 1 re-runs AFTER the sweep — it must still merge from
+    // epoch-0 state, not from nothing
+    Incremental.processBatch(spark, b1, summoners, silverDir, goldDir, epochId = 1L)
+    val replayed = Incremental.readGold(spark, goldDir).get.collect()
+    assert(replayed.head.getAs[Long]("games") == 3
+      && replayed.head.getAs[Long]("wins") == 2,
+      "replay after compaction must not reset accumulated counters")
   }
 
   test("stateful TTL: dormant keys evicted by event-time timeout; live keys keep counting") {
