@@ -46,6 +46,6 @@ object AsOfJoin {
     p.unionByName(bAligned)
       .withColumn("__matched", last(col("__b"), ignoreNulls = true).over(w))
       .filter(col("__is_b") === 0)
-      .select((probe.columns.map(col) :+ col("__matched")): _*)
+      .select((probe.columns.toIndexedSeq.map(col) :+ col("__matched")): _*)
   }
 }
