@@ -57,18 +57,25 @@ object Text {
     val shingleSets = docs
       .select(col("doc_id"), array_distinct(col("shingles")).as("shset")).persist()
     val banded = docs.select(col("doc_id"),
+      size(array_distinct(col("shingles"))).as("sz"),
       explode(array(
         concat_ws("|", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
         concat_ws("|", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7")),
       )).as("band")).persist()
     // Candidate pairs dedupe on IDS ONLY (two bands can produce the
     // same pair) before the shingle payloads are re-joined — the
-    // band self-join and the distinct exchange ship (id, id) rows,
-    // never the arrays. That's the shape that survives a 100 TB
+    // band self-join and the distinct exchange ship (id, size, id)
+    // rows, never the arrays. That's the shape that survives a 100 TB
     // corpus: payload bytes move only once per verified candidate.
-    val pairs = banded.select(col("doc_id").as("doc_a"), col("band"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+    // SIZE pre-filter at the id stage: J(a,b) >= t forces
+    // |a| >= t*|b| (and symmetrically), so size-mismatched candidates
+    // are dropped BEFORE the payload join ever sees them — provably
+    // output-preserving, the oracle needs no mirror.
+    val pairs = banded.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("band"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("sz_a").cast("double") >= lit(threshold) * col("sz_b")
+        && col("sz_b").cast("double") >= lit(threshold) * col("sz_a"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -338,18 +345,26 @@ object Text {
             array_distinct(TextFns.tokens(col("text"))).as("tokset"))
           .persist()
         // keys persisted BELOW the signature projection: the md5 pass
-        // must run once, not once per self-join side.
+        // must run once, not once per self-join side. Token-set size
+        // rides along so the J >= 0.8 size implication
+        // (|a| >= 0.8|b|, symmetric) prunes candidates at the id
+        // stage, before any payload join — output-preserving, so the
+        // oracle needs no mirror.
         val keys = docs
           .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("tokset"), 2))
-          .select(col("lang"), col("source"), col("doc_id"),
+          .select(col("lang"), col("source"), col("doc_id"), size(col("tokset")).as("sz"),
             explode(array(
               concat_ws("|", lit("b0"), element_at(col("mh"), 1)),
               concat_ws("|", lit("b1"), element_at(col("mh"), 2)))).as("blk"))
           .persist()
-        val pairs = keys.select(col("lang"), col("source"), col("blk"), col("doc_id").as("doc_a"))
-          .join(keys.select(col("lang"), col("source"), col("blk"), col("doc_id").as("doc_b")),
+        val pairs = keys.select(col("lang"), col("source"), col("blk"),
+            col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+          .join(keys.select(col("lang"), col("source"), col("blk"),
+            col("doc_id").as("doc_b"), col("sz").as("sz_b")),
             Seq("lang", "source", "blk"))
           .filter(col("doc_a") < col("doc_b"))
+          .filter(col("sz_a").cast("double") >= lit(0.8) * col("sz_b")
+            && col("sz_b").cast("double") >= lit(0.8) * col("sz_a"))
           .select(col("lang"), col("source"), col("doc_a"), col("doc_b"))
           .distinct()
         val inter = size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
