@@ -54,9 +54,18 @@ object Incremental {
   /** Bronze directory stream → silver append + gold update, one pass
     * (`Trigger.AvailableNow`): processes the current backlog then
     * stops, the streaming equivalent of one reference poll tick.
+    *
     * `timestamp` (the ingest audit column, extractor/main.py:427) must
-    * be populated by the bronze writer — it drives the dedup
-    * watermark. */
+    * be populated by the bronze writer WITH WRITE TIME — it drives the
+    * dedup watermark, and streaming state drops input older than the
+    * watermark: a row stamped more than [[DedupDelay]] earlier than
+    * the maximum already seen is SILENTLY DISCARDED as late. That is
+    * the documented price of bounded dedup state, and it is safe
+    * exactly because write time is monotone up to clock skew « 24 h.
+    * Do NOT stamp business/event time from inside the payload (it can
+    * predate the watermark by years); a backfill writer must either
+    * stamp backfill-run time or use a fresh checkpoint. The
+    * PipelineSmoke main demonstrates the failure mode. */
   def runOnce(
       spark: SparkSession,
       bronzeDir: String,
