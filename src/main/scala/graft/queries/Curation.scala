@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{Num, TextFns}
+
+/** Corpus-curation operators over the `documents` table — the second
+  * wave of the LLM-data-pipeline surface (SURVEY.md §7.2 step 5, same
+  * family as [[Text]]): cross-document duplicated-chunk removal
+  * (C4-style), stratified deterministic sampling with per-language
+  * rates, corpus-wide n-gram heavy hitters, overlapping sequence
+  * windowing for training shards, and a per-document contamination
+  * gate. The reference has no analog for any of these (its corpus is
+  * match JSON, not text); they are the at-scale extension surface the
+  * blueprint mandates.
+  *
+  * Scale design notes, per query, are inline — the shared rule is the
+  * same as [[Text]]'s: per-doc projections stay narrow and map-side;
+  * anything that crosses documents is either keyed by content hash
+  * (chunk dedup), keyed by a broadcast set (contamination), or a
+  * partial-aggregate heavy-hitter count — never a corpus self-join.
+  */
+object Curation {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Cross-document duplicated-chunk removal — the C4/RefinedWeb
+    // "remove repeated paragraphs corpus-wide, keep first occurrence"
+    // pass. Docs are cut into consecutive 10-token chunks; a chunk
+    // survives iff it is the FIRST occurrence corpus-wide in
+    // (doc_id, idx) order. Per doc we emit total/kept chunk counts
+    // and the md5 of the surviving text (order-preserved reassembly).
+    //
+    // Scale: the only exchange is the window partitioned BY CHUNK
+    // CONTENT — i.e. a hash shuffle whose key cardinality grows with
+    // the corpus (every distinct chunk is its own group, typically a
+    // handful of rows each), so no partition ever concentrates. The
+    // reassembly aggregate re-partitions by doc_id. At 100 TB you'd
+    // key the first window on md5(chunk) to shrink shuffle bytes and
+    // carry (doc_id, idx) only, re-deriving text map-side after the
+    // keep-decision join; here the chunk rides along because a second
+    // tokenize pass costs more than it saves at bench scale.
+    QueryDef(
+      "q75_chunk_dedup_corpus",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nChunks = ceil(size(toks).cast("double") / 10.0).cast("int")
+        val chunks = Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("ws"), nChunks.as("nc"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
+          .withColumnsRenamed(Map("pos" -> "idx", "col" -> "chunk"))
+        val firstWins = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+        val kept = array_sort(collect_list(struct(col("idx"), col("kept"), col("chunk"))))
+        chunks
+          .withColumn("kept", row_number().over(firstWins) === 1)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            md5(array_join(
+              transform(filter(kept, c => c.getField("kept")), c => c.getField("chunk")),
+              " ")).as("kept_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              c AS (
+                SELECT doc_id, g.i AS idx,
+                  array_to_string(array_slice(ws, 10 * g.i + 1, 10 * g.i + 10), ' ') AS chunk
+                FROM t, LATERAL (SELECT unnest(generate_series(0,
+                  CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS i) g),
+              f AS (
+                SELECT doc_id, idx, chunk,
+                  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+                FROM c)
+              SELECT doc_id,
+                count(*)::BIGINT AS n_chunks,
+                sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), ''))
+                  AS kept_fp
+              FROM f GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
+    // Stratified deterministic sampling — per-language rates (the
+    // domain-mixture knob of a training-data pipeline: oversample en,
+    // downsample the tail). Same md5-bucket mechanism as q65 (pure
+    // function of doc_id → reproducible on any engine/partitioning),
+    // but the keep-threshold is a per-stratum map lookup with a
+    // default. Narrow per-row map, zero shuffles before the sort.
+    QueryDef(
+      "q76_stratified_sample",
+      (s, dir) => {
+        val rates = map(
+          lit("en"), lit(6), lit("zh"), lit(4), lit("es"), lit(3), lit("fr"), lit(2))
+        val bucket = expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 10")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+            coalesce(element_at(rates, col("lang")), lit(1)).as("rate"))
+          .filter(col("bucket") < col("rate"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+                SELECT doc_id, lang,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10 AS bucket,
+                  CASE lang WHEN 'en' THEN 6 WHEN 'zh' THEN 4 WHEN 'es' THEN 3
+                            WHEN 'fr' THEN 2 ELSE 1 END AS rate
+                FROM documents)
+              SELECT doc_id, lang, bucket, rate FROM b
+              WHERE bucket < rate ORDER BY doc_id"""),
+    ),
+
+    // Corpus-wide n-gram heavy hitters — top-50 word bigrams by
+    // frequency (vocabulary/boilerplate audit; the exact-count
+    // baseline a sketch would approximate). Shape: explode → ONE
+    // HashAggregate with map-side partial counts (bigram cardinality
+    // ≪ token count, so partials collapse hard) → TakeOrdered 50.
+    // The total order (n DESC, ngram) makes the cut deterministic.
+    QueryDef(
+      "q77_ngram_heavy_hitters",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("toks", TextFns.tokens(col("text")))
+          .select(explode(TextFns.shingleExpr("toks", 2)).as("ngram"))
+          .groupBy(col("ngram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram"))
+          .limit(50),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               g AS (SELECT unnest(${TextFns.shingleSql("ws", 2)}) AS ngram FROM t)
+               SELECT ngram, count(*)::BIGINT AS n FROM g
+               GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50"""),
+    ),
+
+    // Overlapping sequence windows — cutting documents into
+    // fixed-size training sequences (window 32 tokens, stride 16,
+    // short tail merged into the last window; short docs → one
+    // window). The per-window fingerprint is what a packing stage
+    // downstream would dedup/shard on. Pure per-row flatMap: no
+    // exchange at all before the output sort, pipelines into the scan
+    // at any corpus size.
+    QueryDef(
+      "q78_sequence_windows",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        val nWin = when(n <= 32, lit(1))
+          .otherwise(ceil((n - lit(32)).cast("double") / 16.0).cast("int") + 1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("ws"), nWin.as("nw"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, nw - 1), i -> array_join(slice(ws, i * 16 + 1, 32), ' '))")))
+          .select(col("doc_id"), col("pos").as("win_idx"),
+            size(split(col("col"), " ")).as("n_win_tokens"),
+            md5(col("col")).as("win_fp"))
+          .orderBy(col("doc_id"), col("win_idx"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              w AS (
+                SELECT doc_id, g.i AS win_idx,
+                  array_slice(ws, 16 * g.i + 1, 16 * g.i + 32) AS win
+                FROM t, LATERAL (SELECT unnest(generate_series(0,
+                  CASE WHEN len(ws) <= 32 THEN 0
+                       ELSE CAST(ceil((len(ws) - 32) / 16.0) AS INT) END)) AS i) g)
+              SELECT doc_id, win_idx,
+                len(win)::BIGINT AS n_win_tokens,
+                md5(array_to_string(win, ' ')) AS win_fp
+              FROM w ORDER BY doc_id, win_idx"""),
+    ),
+
+    // Per-document contamination gate — q64's scan turned into the
+    // decision a pipeline actually ships: fraction of each corpus
+    // doc's DISTINCT 5-shingles that appear in the benchmark set
+    // (docs 0-4), keeping docs at or under 10% overlap. The 10% gate
+    // is integer math (10·hits ≤ shingles) so no float threshold can
+    // diverge between engines. Shape: benchmark shingles broadcast;
+    // the corpus explodes once, left-joins the broadcast, and
+    // aggregates per doc — one corpus pass, no self-join, the same
+    // 100 TB posture as q64.
+    QueryDef(
+      "q79_contamination_gate",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .withColumn("toks", TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(array_distinct(TextFns.shingleExpr("toks", 5))).as("sh"))
+        val benchSh = sh.filter(col("doc_id") < 5)
+          .select(col("sh")).distinct().withColumn("hit", lit(1))
+        sh.filter(col("doc_id") >= 5)
+          .join(broadcast(benchSh), Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          .filter(col("n_hit") * 10 <= col("n_shingles"))
+          .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+            Num.fround(col("n_hit").cast("double") / col("n_shingles"), 4).as("hit_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               sh AS (SELECT doc_id,
+                        unnest(list_distinct(${TextFns.shingleSql("ws", 5)})) AS s
+                      FROM t),
+               bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+               per AS (
+                 SELECT doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS n_hit
+                 FROM sh WHERE doc_id >= 5 GROUP BY doc_id)
+               SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_hit::BIGINT AS n_hit,
+                 ${Num.froundSql("n_hit / n_shingles::DOUBLE", 4)} AS hit_frac
+               FROM per WHERE n_hit * 10 <= n_shingles ORDER BY doc_id"""),
+    ),
+  )
+}

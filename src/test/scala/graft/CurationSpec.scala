@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the corpus-curation family (q75-q79) that
+  * the row/hash differential can't express directly: conservation laws
+  * of the dedup, windowing coverage, and gate soundness. Value-level
+  * equality stays with the DuckDB oracle. */
+class CurationSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q75 conservation: total kept chunks == distinct chunks corpus-wide") {
+    val out = q("q75_chunk_dedup_corpus")
+    val keptTotal = out.agg(sum("n_kept")).first().getLong(0)
+    // Independent recount of the same 10-token chunking.
+    val toks = split(col("text"), " ")
+    val nc = ceil(size(toks).cast("double") / 10.0).cast("int")
+    val distinctChunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("ws"), nc.as("nc"))
+      .select(explode(expr(
+        "transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"))
+        .as("chunk"))
+      .select(countDistinct("chunk")).first().getLong(0)
+    assert(keptTotal == distinctChunks,
+      s"kept $keptTotal chunks but corpus has $distinctChunks distinct")
+    // Nothing invents chunks: kept never exceeds total per doc.
+    assert(out.filter(col("n_kept") > col("n_chunks")).count() == 0)
+  }
+
+  test("q78 windows cover every doc exactly: count and tail-size laws") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val wins = q("q78_sequence_windows")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), max("win_idx").as("last_idx"),
+        min("n_win_tokens").as("min_tok"), max("n_win_tokens").as("max_tok"),
+        sum(when(col("n_win_tokens") =!= 32, 1).otherwise(0)).as("n_short"))
+      .join(docs, "doc_id")
+    // Window count matches the stride formula; idx is dense 0..nw-1.
+    val badCount = wins.filter(
+      col("nw") =!= when(col("n") <= 32, lit(1))
+        .otherwise(ceil((col("n") - 32).cast("double") / 16.0).cast("int") + 1)
+        || col("last_idx") =!= col("nw") - 1)
+    assert(badCount.count() == 0)
+    // At most the LAST window is shorter than 32, and its length is
+    // n - 16*(nw-1) (i.e. stride coverage ends exactly at the doc end).
+    val badTail = wins.filter(
+      col("n_short") > 1
+        || (col("n") > 32 && col("min_tok") =!= least(lit(32), col("n") - (col("nw") - 1) * 16))
+        || (col("n") <= 32 && col("min_tok") =!= col("n")))
+    assert(badTail.count() == 0)
+  }
+
+  test("q76 sampling is deterministic and respects the per-stratum rate") {
+    val a = q("q76_stratified_sample")
+    assert(a.filter(col("bucket") >= col("rate")).count() == 0)
+    // Pure function of doc_id: a second run is set-identical.
+    val b = q("q76_stratified_sample")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("q79 gate soundness: every surviving doc is >=5 and under 10%") {
+    val out = q("q79_contamination_gate")
+    assert(out.filter(col("doc_id") < 5).count() == 0)
+    assert(out.filter(col("n_hit") * 10 > col("n_shingles")).count() == 0)
+    // hit_frac is consistent with the integer columns it was derived from.
+    assert(out.filter(
+      abs(col("hit_frac") - col("n_hit").cast("double") / col("n_shingles")) > 0.001)
+      .count() == 0)
+  }
+
+  test("q77 heavy hitters are ranked and honest counts") {
+    val rows = q("q77_ngram_heavy_hitters").collect()
+    assert(rows.length == 50)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y }, "counts must be non-increasing")
+    assert(ns.forall(_ >= 1))
+  }
+}
