@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{Num, TextFns}
 
@@ -32,30 +31,41 @@ object Curation {
     // (doc_id, idx) order. Per doc we emit total/kept chunk counts
     // and the md5 of the surviving text (order-preserved reassembly).
     //
-    // Scale: the only exchange is the window partitioned BY CHUNK
-    // CONTENT — i.e. a hash shuffle whose key cardinality grows with
-    // the corpus (every distinct chunk is its own group, typically a
-    // handful of rows each), so no partition ever concentrates. The
-    // reassembly aggregate re-partitions by doc_id. At 100 TB you'd
-    // key the first window on md5(chunk) to shrink shuffle bytes and
-    // carry (doc_id, idx) only, re-deriving text map-side after the
-    // keep-decision join; here the chunk rides along because a second
-    // tokenize pass costs more than it saves at bench scale.
+    // Scale: the keep-decision is argmin(doc_id, idx) PER CHUNK as an
+    // AGGREGATE, not a window — min(struct) partially aggregates
+    // map-side, so a boilerplate chunk repeated a billion times (the
+    // exact workload this op models) collapses to one row per mapper
+    // before the shuffle; a row_number window over the same key would
+    // concentrate every copy of a hot chunk in one partition and sort
+    // it. The winners join back on (doc_id, idx) — a unique,
+    // skew-free key — and the reassembly aggregate re-partitions by
+    // doc_id. Chunk text is re-derived on the probe side instead of
+    // riding the dedup shuffle.
     QueryDef(
       "q75_chunk_dedup_corpus",
       (s, dir) => {
         val toks = split(col("text"), " ")
         val nChunks = ceil(size(toks).cast("double") / 10.0).cast("int")
+        // Materialized once: both the dedup aggregate and the probe
+        // side read it (the minhashPairs signature-table pattern — at
+        // production scale this is the chunk table you'd persist to
+        // storage rather than tokenize the corpus twice).
         val chunks = Tables.documents(s, dir)
           .select(col("doc_id"), toks.as("ws"), nChunks.as("nc"))
           .select(col("doc_id"),
             posexplode(expr(
               "transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
           .withColumnsRenamed(Map("pos" -> "idx", "col" -> "chunk"))
-        val firstWins = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+          .persist()
+        val winners = chunks
+          .groupBy(col("chunk"))
+          .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+          .select(col("first.doc_id").as("doc_id"), col("first.idx").as("idx"),
+            lit(true).as("kept"))
         val kept = array_sort(collect_list(struct(col("idx"), col("kept"), col("chunk"))))
         chunks
-          .withColumn("kept", row_number().over(firstWins) === 1)
+          .join(winners, Seq("doc_id", "idx"), "left")
+          .withColumn("kept", coalesce(col("kept"), lit(false)))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_chunks"),
@@ -149,12 +159,14 @@ object Curation {
         val nWin = when(n <= 32, lit(1))
           .otherwise(ceil((n - lit(32)).cast("double") / 16.0).cast("int") + 1)
         Tables.documents(s, dir)
-          .select(col("doc_id"), toks.as("ws"), nWin.as("nw"))
-          .select(col("doc_id"),
+          .select(col("doc_id"), toks.as("ws"), n.as("n"), nWin.as("nw"))
+          .select(col("doc_id"), col("n"),
             posexplode(expr(
               "transform(sequence(0, nw - 1), i -> array_join(slice(ws, i * 16 + 1, 32), ' '))")))
           .select(col("doc_id"), col("pos").as("win_idx"),
-            size(split(col("col"), " ")).as("n_win_tokens"),
+            // |slice(ws, 16i+1, 32)| = min(32, n - 16i): derived, not
+            // re-counted by re-splitting the joined window string.
+            least(lit(32), col("n") - col("pos") * 16).as("n_win_tokens"),
             md5(col("col")).as("win_fp"))
           .orderBy(col("doc_id"), col("win_idx"))
       },

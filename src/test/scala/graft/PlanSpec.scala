@@ -116,4 +116,23 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
       s"expected aggregation over sessions:\n$plan")
   }
+
+  test("q75 chunk dedup: keep-decision is an aggregate (skew-robust), not a content-keyed window") {
+    val plan = finalPlan(SparkEntry.queries("q75_chunk_dedup_corpus")(spark, sfDir))
+    // A row_number window partitioned by chunk content would pile every
+    // copy of a hot boilerplate chunk into one partition; min(struct)
+    // partially aggregates map-side instead.
+    assert(!plan.contains("Window"), s"no window over chunk content expected:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("min(struct"),
+      s"expected partial min(struct) keep-decision aggregate:\n$plan")
+  }
+
+  test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
+    val plan = finalPlan(SparkEntry.queries("q78_sequence_windows")(spark, sfDir))
+    assert(plan.contains("Generate"), s"expected posexplode Generate:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no hash exchange expected before the output sort:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"pure flatMap expected:\n$plan")
+  }
 }
