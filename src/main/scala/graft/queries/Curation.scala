@@ -22,6 +22,11 @@ import graft.functions.{Num, TextFns}
   */
 object Curation {
 
+  // Same stop list as Text (private there): the shared heuristic
+  // vocabulary of the quality/selection family.
+  private val STOPWORDS = Seq("the", "a", "and", "of", "to", "in")
+  private def stopList = STOPWORDS.map(w => s"'$w'").mkString("(", ", ", ")")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Cross-document duplicated-chunk removal — the C4/RefinedWeb
@@ -223,6 +228,112 @@ object Curation {
                SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_hit::BIGINT AS n_hit,
                  ${Num.froundSql("n_hit / n_shingles::DOUBLE", 4)} AS hit_frac
                FROM per WHERE n_hit * 10 <= n_shingles ORDER BY doc_id"""),
+    ),
+
+    // Gopher-style rule filter — the published hard-threshold quality
+    // rules (Rae et al. 2021 §A1.1 shape): word-count band, mean word
+    // length band, duplicate 2-/3-gram fraction caps, minimum
+    // stop-word coverage. Emits every metric plus the keep verdict so
+    // the filter is auditable. Everything is counting + rational
+    // arithmetic (no libm), and the whole query is a narrow per-row
+    // map — the cheapest possible 100 TB pass.
+    QueryDef(
+      "q80_gopher_rules",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+        def dupFrac(k: Int) = {
+          val sh = TextFns.shingleExpr("toks", k)
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+        }
+        val stopHits = size(array_intersect(
+          array_distinct(col("toks")), array(STOPWORDS.map(w => lit(w)): _*)))
+        Tables.documents(s, dir)
+          .withColumn("toks", toks)
+          .select(col("doc_id"), nTok.as("n_words"),
+            Num.fround(meanLen, 4).as("mean_word_len"),
+            Num.fround(dupFrac(2), 4).as("dup_2gram_frac"),
+            Num.fround(dupFrac(3), 4).as("dup_3gram_frac"),
+            stopHits.as("stop_hits"))
+          .withColumn("keep",
+            col("n_words").between(20, 100000)
+              && col("mean_word_len").between(3.0, 10.0)
+              && col("dup_2gram_frac") <= 0.2
+              && col("dup_3gram_frac") <= 0.18
+              && col("stop_hits") >= 2)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def dupSql(k: Int) =
+          s"1.0 - len(list_distinct(${TextFns.shingleSql("ws", k)})) / len(${TextFns.shingleSql("ws", k)})::DOUBLE"
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+            m AS (
+              SELECT doc_id, len(ws) AS n_words,
+                ${Num.froundSql("(length(text) - (len(ws) - 1)) / len(ws)::DOUBLE", 4)} AS mean_word_len,
+                ${Num.froundSql(dupSql(2), 4)} AS dup_2gram_frac,
+                ${Num.froundSql(dupSql(3), 4)} AS dup_3gram_frac,
+                len(list_filter(list_distinct(ws), t -> t IN $stopList)) AS stop_hits
+              FROM t)
+            SELECT doc_id, n_words, mean_word_len, dup_2gram_frac, dup_3gram_frac,
+              stop_hits,
+              (n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18
+               AND stop_hits >= 2) AS keep
+            FROM m ORDER BY doc_id"""
+      },
+    ),
+
+    // Cross-document sequence packing — the actual training-prep cut:
+    // concatenate each language's docs (deterministic doc_id order)
+    // into one token stream and emit fixed 32-token sequences, with
+    // doc-boundary attribution (how many docs feed each sequence).
+    // Complements q66 (whole-doc shard budgeting) and q78 (within-doc
+    // windows): here sequences CROSS doc boundaries, which is what a
+    // packed pretraining shard really looks like.
+    //
+    // Scale: doc offsets are one cumulative-sum window per language;
+    // the token explode shuffles by (lang, seq_idx) whose groups are
+    // exactly 32 tokens — bounded fan-in, key space grows linearly
+    // with corpus tokens, nothing concentrates. That token-granular
+    // exchange is the honest cost of producing token-packed output.
+    QueryDef(
+      "q81_sequence_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = split(col("text"), " ")
+        val cum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val withOff = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), toks.as("ws"), size(toks).cast("long").as("n"))
+          .withColumn("off", sum(col("n")).over(cum) - col("n"))
+        val seq = array_sort(collect_list(struct(col("gpos"), col("tok"))))
+        withOff
+          .select(col("doc_id"), col("lang"), col("off"), posexplode(col("ws")))
+          .select(col("doc_id"), col("lang"),
+            (col("off") + col("pos")).as("gpos"), col("col").as("tok"))
+          .withColumn("seq_idx", floor(col("gpos") / 32).cast("long"))
+          .groupBy(col("lang"), col("seq_idx"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            md5(array_join(transform(seq, t => t.getField("tok")), " ")).as("seq_fp"))
+          .orderBy(col("lang"), col("seq_idx"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+              o AS (
+                SELECT doc_id, lang, ws,
+                  sum(len(ws)) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(ws) AS off
+                FROM t),
+              tok AS (
+                SELECT lang, doc_id, off + u.i - 1 AS gpos, ws[u.i] AS tok
+                FROM o, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u)
+              SELECT lang, CAST(floor(gpos / 32.0) AS BIGINT) AS seq_idx,
+                count(*)::BIGINT AS n_tokens,
+                count(DISTINCT doc_id)::BIGINT AS n_docs,
+                md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_fp
+              FROM tok GROUP BY lang, seq_idx
+              ORDER BY lang, seq_idx"""),
     ),
   )
 }

@@ -328,5 +328,40 @@ object Extensions {
                 UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM orph)
               ORDER BY chk"""),
     ),
+
+    // Range join — point-in-interval lookup against a small interval
+    // dimension (price bands), the non-equi join family (as-of's
+    // batch sibling; reference analog: rank-tier bucketing,
+    // dashboard/app.py style cuts). The interval table is literal and
+    // tiny, so the plan is a BroadcastNestedLoopJoin: the fact side
+    // streams through the broadcast band list with NO shuffle — the
+    // only shape under which a non-equi join survives 100 TB (a
+    // shuffled theta-join would not; if the dim outgrew a broadcast,
+    // the scale path is binning both sides to equi-keys first).
+    QueryDef(
+      "q82_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          (0, 0d, 100000d), (1, 100000d, 200000d), (2, 200000d, 300000d),
+          (3, 300000d, 400000d), (4, 400000d, 600000d),
+        ).toDF("band_id", "lo", "hi")
+        Tables.orders(s, dir)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            Num.fround(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy(col("band_id"))
+      },
+      Some("""WITH bands(band_id, lo, hi) AS (VALUES
+                (0, 0.0, 100000.0), (1, 100000.0, 200000.0), (2, 200000.0, 300000.0),
+                (3, 300000.0, 400000.0), (4, 400000.0, 600000.0))
+              SELECT band_id, count(*)::BIGINT AS n_orders,
+                floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS sum_price
+              FROM orders o JOIN bands b
+                ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+              GROUP BY band_id ORDER BY band_id"""),
+    ),
   )
 }

@@ -71,6 +71,37 @@ class CurationSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("q81 packing conservation: per-lang token totals survive, sequences dense and full") {
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(sum(size(split(col("text"), " "))).as("n_corpus"))
+    val packed = q("q81_sequence_packing")
+      .groupBy("lang")
+      .agg(sum("n_tokens").as("n_packed"), count(lit(1)).as("n_seqs"),
+        max("seq_idx").as("last_idx"),
+        sum(when(col("n_tokens") =!= 32, 1).otherwise(0)).as("n_partial"))
+      .join(totals, "lang")
+    // Packing must not invent or drop a single token, sequence ids are
+    // dense 0..n-1, and only the final tail sequence may be short.
+    val bad = packed.filter(
+      col("n_packed") =!= col("n_corpus")
+        || col("last_idx") =!= col("n_seqs") - 1
+        || col("n_partial") > 1)
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+  }
+
+  test("q80 gopher verdict is exactly the conjunction of its emitted metrics") {
+    val out = q("q80_gopher_rules")
+    val recomputed = col("n_words").between(20, 100000)
+      .and(col("mean_word_len").between(3.0, 10.0))
+      .and(col("dup_2gram_frac") <= 0.2)
+      .and(col("dup_3gram_frac") <= 0.18)
+      .and(col("stop_hits") >= 2)
+    assert(out.filter(col("keep") =!= recomputed).count() == 0)
+    // The filter must be non-degenerate on the corpus: both verdicts occur.
+    assert(out.filter(col("keep")).count() > 0)
+    assert(out.filter(!col("keep")).count() > 0)
+  }
+
   test("q77 heavy hitters are ranked and honest counts") {
     val rows = q("q77_ngram_heavy_hitters").collect()
     assert(rows.length == 50)

@@ -127,6 +127,19 @@ class PlanSpec extends SparkSuite {
       s"expected partial min(struct) keep-decision aggregate:\n$plan")
   }
 
+  test("q82 range join: interval dim broadcast, fact never shuffles for the join") {
+    val plan = finalPlan(SparkEntry.queries("q82_range_join")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join must stream against the broadcast band list:\n$plan")
+    // Operators BELOW the join print after it: nothing between the
+    // scan and the join may shuffle (the band list arrives broadcast).
+    // lastIndexOf: AQE appends an "Initial Plan" dump whose own BNLJ
+    // is the deepest occurrence — below it only scan + broadcast.
+    val belowJoin = plan.substring(plan.lastIndexOf("BroadcastNestedLoopJoin"))
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"fact side must reach the join unshuffled:\n$plan")
+  }
+
   test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
     val plan = finalPlan(SparkEntry.queries("q78_sequence_windows")(spark, sfDir))
     assert(plan.contains("Generate"), s"expected posexplode Generate:\n$plan")
