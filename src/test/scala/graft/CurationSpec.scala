@@ -102,6 +102,24 @@ class CurationSpec extends SparkSuite {
     assert(out.filter(!col("keep")).count() > 0)
   }
 
+  test("q83 first locations are real span starts and every span recurs") {
+    val out = q("q83_repeated_substrings")
+    assert(out.filter(col("n_occurrences") < 2).count() == 0)
+    val docLens = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("first_doc"), size(split(col("text"), " ")).as("n"))
+    // A claimed first occurrence must fit a 20-token window in its doc.
+    val bad = out.join(docLens, "first_doc")
+      .filter(col("first_pos") < 0 || col("first_pos") > col("n") - 20)
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+    // Re-derive the span at each first location and check it hashes to span_fp.
+    val spans = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("first_doc"), split(col("text"), " ").as("ws"))
+    val mismatch = out.join(spans, "first_doc")
+      .filter(md5(concat_ws(" ",
+        slice(col("ws"), col("first_pos") + 1, lit(20)))) =!= col("span_fp"))
+    assert(mismatch.count() == 0)
+  }
+
   test("q77 heavy hitters are ranked and honest counts") {
     val rows = q("q77_ngram_heavy_hitters").collect()
     assert(rows.length == 50)
