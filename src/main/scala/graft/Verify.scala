@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries persist() intra-query tables (q33/q75/q84); without a
+      // sweep each run pins its cache for the rest of the dump and the
+      // tail queries inherit the memory pressure (same rationale as
+      // Bench's per-query clear).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

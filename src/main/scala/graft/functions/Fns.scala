@@ -39,6 +39,15 @@ object Num {
   * surrounds them at any data size.
   */
 object TextFns {
+  /** The shared stop list of the quality/selection family (q30
+    * quality score, q63 selection, q80/q84 Gopher verdicts): ONE
+    * definition so the heuristic can't silently fork between queries
+    * or between engines. */
+  val STOPWORDS: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** [[STOPWORDS]] as a SQL IN-list literal for the DuckDB oracles. */
+  def stopListSql: String = STOPWORDS.map(w => s"'$w'").mkString("(", ", ", ")")
+
   /** Whitespace tokens. Reference tokenizes the same way for name
     * matching (transformer_loader/main.py:62-73 lower/strip). */
   def tokens(text: Column): Column = split(text, " ")

@@ -22,10 +22,70 @@ import graft.functions.{Num, TextFns}
   */
 object Curation {
 
-  // Same stop list as Text (private there): the shared heuristic
-  // vocabulary of the quality/selection family.
-  private val STOPWORDS = Seq("the", "a", "and", "of", "to", "in")
-  private def stopList = STOPWORDS.map(w => s"'$w'").mkString("(", ", ", ")")
+  private val STOPWORDS = TextFns.STOPWORDS
+  private def stopList = TextFns.stopListSql
+
+  // ---- Shared stage logic -------------------------------------------
+  // q84 chains the standalone queries' stages; these helpers are the
+  // SINGLE definition of each stage's expressions (Spark) and SQL
+  // fragments (DuckDB oracle) so an edit to a threshold, rate, or
+  // metric cannot silently desynchronize the pipeline from the
+  // standalone query — or either engine from the other.
+
+  /** Gopher metrics over a `toks` array column (+ `text`). */
+  private def gopherMeanLen =
+    Num.fround((length(col("text")) - (size(col("toks")) - 1)).cast("double")
+      / size(col("toks")), 4)
+  private def gopherDupFrac(k: Int) = {
+    val sh = TextFns.shingleExpr("toks", k)
+    Num.fround(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
+  }
+  private def gopherStopHits = size(array_intersect(
+    array_distinct(col("toks")), array(STOPWORDS.map(w => lit(w)): _*)))
+
+  /** The verdict conjunction — ONE place for the thresholds. */
+  private def gopherVerdict(nWords: org.apache.spark.sql.Column,
+      meanLen: org.apache.spark.sql.Column, dup2: org.apache.spark.sql.Column,
+      dup3: org.apache.spark.sql.Column, stops: org.apache.spark.sql.Column) =
+    nWords.between(20, 100000) && meanLen.between(3.0, 10.0) &&
+      dup2 <= 0.2 && dup3 <= 0.18 && stops >= 2
+
+  private def gopherMeanLenSql =
+    Num.froundSql("(length(text) - (len(ws) - 1)) / len(ws)::DOUBLE", 4)
+  private def gopherDupSql(k: Int) = Num.froundSql(
+    s"1.0 - len(list_distinct(${TextFns.shingleSql("ws", k)})) / len(${TextFns.shingleSql("ws", k)})::DOUBLE", 4)
+  private def gopherStopHitsSql =
+    s"len(list_filter(list_distinct(ws), x -> x IN $stopList))"
+  private def gopherVerdictSql(nWords: String, meanLen: String, dup2: String,
+      dup3: String, stops: String) =
+    s"""($nWords BETWEEN 20 AND 100000 AND $meanLen BETWEEN 3.0 AND 10.0
+        AND $dup2 <= 0.2 AND $dup3 <= 0.18 AND $stops >= 2)"""
+
+  /** Per-doc contamination stats + the integer 10·hits ≤ shingles
+    * gate, over `docs`(doc_id, toks) vs a broadcastable
+    * `benchSh`(sh, hit) set. Returns survivors as
+    * (doc_id, n_sh, n_hit). Shared by q79 and q84's stage 3. */
+  private def contaminationSurvivors(docs: org.apache.spark.sql.DataFrame,
+      benchSh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(TextFns.shingleExpr("toks", 5))).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .filter(col("n_hit") * 10 <= col("n_sh"))
+
+  /** Stratified-sampling rates + deterministic md5 bucket (q76, q84). */
+  private def strataRate = coalesce(element_at(map(
+    lit("en"), lit(6), lit("zh"), lit(4), lit("es"), lit(3), lit("fr"), lit(2)),
+    col("lang")), lit(1))
+  private def strataBucket = expr(
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 10")
+  private val strataRateSql =
+    """CASE lang WHEN 'en' THEN 6 WHEN 'zh' THEN 4 WHEN 'es' THEN 3
+              WHEN 'fr' THEN 2 ELSE 1 END"""
+  private val strataBucketSql =
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -106,25 +166,19 @@ object Curation {
     // default. Narrow per-row map, zero shuffles before the sort.
     QueryDef(
       "q76_stratified_sample",
-      (s, dir) => {
-        val rates = map(
-          lit("en"), lit(6), lit("zh"), lit(4), lit("es"), lit(3), lit("fr"), lit(2))
-        val bucket = expr(
-          "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 10")
+      (s, dir) =>
         Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), bucket.as("bucket"),
-            coalesce(element_at(rates, col("lang")), lit(1)).as("rate"))
+          .select(col("doc_id"), col("lang"), strataBucket.as("bucket"),
+            strataRate.as("rate"))
           .filter(col("bucket") < col("rate"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH b AS (
-                SELECT doc_id, lang,
-                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10 AS bucket,
-                  CASE lang WHEN 'en' THEN 6 WHEN 'zh' THEN 4 WHEN 'es' THEN 3
-                            WHEN 'fr' THEN 2 ELSE 1 END AS rate
-                FROM documents)
-              SELECT doc_id, lang, bucket, rate FROM b
-              WHERE bucket < rate ORDER BY doc_id"""),
+          .orderBy(col("doc_id")),
+      Some(s"""WITH b AS (
+                 SELECT doc_id, lang,
+                   $strataBucketSql AS bucket,
+                   $strataRateSql AS rate
+                 FROM documents)
+               SELECT doc_id, lang, bucket, rate FROM b
+               WHERE bucket < rate ORDER BY doc_id"""),
     ),
 
     // Corpus-wide n-gram heavy hitters — top-50 word bigrams by
@@ -200,20 +254,14 @@ object Curation {
     QueryDef(
       "q79_contamination_gate",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
+        val docs = Tables.documents(s, dir)
           .withColumn("toks", TextFns.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(array_distinct(TextFns.shingleExpr("toks", 5))).as("sh"))
-        val benchSh = sh.filter(col("doc_id") < 5)
-          .select(col("sh")).distinct().withColumn("hit", lit(1))
-        sh.filter(col("doc_id") >= 5)
-          .join(broadcast(benchSh), Seq("sh"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-          .filter(col("n_hit") * 10 <= col("n_shingles"))
-          .select(col("doc_id"), col("n_shingles"), col("n_hit"),
-            Num.fround(col("n_hit").cast("double") / col("n_shingles"), 4).as("hit_frac"))
+        val benchSh = docs.filter(col("doc_id") < 5)
+          .select(explode(array_distinct(TextFns.shingleExpr("toks", 5))).as("sh"))
+          .distinct().withColumn("hit", lit(1))
+        contaminationSurvivors(docs.filter(col("doc_id") >= 5), benchSh)
+          .select(col("doc_id"), col("n_sh").as("n_shingles"), col("n_hit"),
+            Num.fround(col("n_hit").cast("double") / col("n_sh"), 4).as("hit_frac"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -239,49 +287,31 @@ object Curation {
     // map — the cheapest possible 100 TB pass.
     QueryDef(
       "q80_gopher_rules",
-      (s, dir) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks)
-        val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
-        def dupFrac(k: Int) = {
-          val sh = TextFns.shingleExpr("toks", k)
-          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
-        }
-        val stopHits = size(array_intersect(
-          array_distinct(col("toks")), array(STOPWORDS.map(w => lit(w)): _*)))
+      (s, dir) =>
         Tables.documents(s, dir)
-          .withColumn("toks", toks)
-          .select(col("doc_id"), nTok.as("n_words"),
-            Num.fround(meanLen, 4).as("mean_word_len"),
-            Num.fround(dupFrac(2), 4).as("dup_2gram_frac"),
-            Num.fround(dupFrac(3), 4).as("dup_3gram_frac"),
-            stopHits.as("stop_hits"))
-          .withColumn("keep",
-            col("n_words").between(20, 100000)
-              && col("mean_word_len").between(3.0, 10.0)
-              && col("dup_2gram_frac") <= 0.2
-              && col("dup_3gram_frac") <= 0.18
-              && col("stop_hits") >= 2)
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        def dupSql(k: Int) =
-          s"1.0 - len(list_distinct(${TextFns.shingleSql("ws", k)})) / len(${TextFns.shingleSql("ws", k)})::DOUBLE"
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), size(col("toks")).as("n_words"),
+            gopherMeanLen.as("mean_word_len"),
+            gopherDupFrac(2).as("dup_2gram_frac"),
+            gopherDupFrac(3).as("dup_3gram_frac"),
+            gopherStopHits.as("stop_hits"))
+          .withColumn("keep", gopherVerdict(col("n_words"), col("mean_word_len"),
+            col("dup_2gram_frac"), col("dup_3gram_frac"), col("stop_hits")))
+          .orderBy(col("doc_id")),
+      Some(
         s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
             m AS (
               SELECT doc_id, len(ws) AS n_words,
-                ${Num.froundSql("(length(text) - (len(ws) - 1)) / len(ws)::DOUBLE", 4)} AS mean_word_len,
-                ${Num.froundSql(dupSql(2), 4)} AS dup_2gram_frac,
-                ${Num.froundSql(dupSql(3), 4)} AS dup_3gram_frac,
-                len(list_filter(list_distinct(ws), t -> t IN $stopList)) AS stop_hits
+                $gopherMeanLenSql AS mean_word_len,
+                ${gopherDupSql(2)} AS dup_2gram_frac,
+                ${gopherDupSql(3)} AS dup_3gram_frac,
+                $gopherStopHitsSql AS stop_hits
               FROM t)
             SELECT doc_id, n_words, mean_word_len, dup_2gram_frac, dup_3gram_frac,
               stop_hits,
-              (n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
-               AND dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18
-               AND stop_hits >= 2) AS keep
-            FROM m ORDER BY doc_id"""
-      },
+              ${gopherVerdictSql("n_words", "mean_word_len", "dup_2gram_frac",
+          "dup_3gram_frac", "stop_hits")} AS keep
+            FROM m ORDER BY doc_id"""),
     ),
 
     // Cross-document sequence packing — the actual training-prep cut:
@@ -405,26 +435,17 @@ object Curation {
     QueryDef(
       "q84_curation_pipeline",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks)
-        val meanLen = Num.fround(
-          (length(col("text")) - (nTok - 1)).cast("double") / nTok, 4)
-        def dupFrac(k: Int) = {
-          val sh = TextFns.shingleExpr("toks", k)
-          Num.fround(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
-        }
-        val stopHits = size(array_intersect(
-          array_distinct(col("toks")), array(STOPWORDS.map(w => lit(w)): _*)))
-        val raw = Tables.documents(s, dir).withColumn("toks", toks)
-        // Stage 1+2a: Gopher rules (rounded metrics, q80's verdict) +
-        // content fingerprint, computed ONCE and persisted narrow
-        // (doc_id, lang, text, fp): the survivor table every later
-        // stage probes — without it the lazy DAG re-runs the 2-/3-gram
-        // metric projection for each downstream consumer (measured
-        // 11.6 s → the single evaluation is ~2 s).
+        val raw = Tables.documents(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+        // Stage 1+2a: Gopher rules (the SHARED gopher* helpers — the
+        // exact q80 verdict) + content fingerprint, computed ONCE and
+        // persisted narrow (doc_id, lang, text, fp): the survivor
+        // table every later stage probes — without it the lazy DAG
+        // re-runs the 2-/3-gram metric projection for each downstream
+        // consumer (measured 11.6 s → the single evaluation is ~2 s).
         val withFp = raw.filter(
-          nTok.between(20, 100000) && meanLen.between(3.0, 10.0)
-            && dupFrac(2) <= 0.2 && dupFrac(3) <= 0.18 && stopHits >= 2)
+          gopherVerdict(size(col("toks")), gopherMeanLen,
+            gopherDupFrac(2), gopherDupFrac(3), gopherStopHits))
           .select(col("doc_id"), col("lang"), col("text"),
             TextFns.fingerprint(col("text")).as("fp"))
           .persist()
@@ -438,24 +459,14 @@ object Curation {
         val benchSh = raw.filter(col("doc_id") < 5)
           .select(explode(array_distinct(TextFns.shingleExpr("toks", 5))).as("sh"))
           .distinct().withColumn("hit", lit(1))
-        val gateKeep = deduped.filter(col("doc_id") >= 5)
-          .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"),
-            explode(array_distinct(TextFns.shingleExpr("toks", 5))).as("sh"))
-          .join(broadcast(benchSh), Seq("sh"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_sh"),
-            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-          .filter(col("n_hit") * 10 <= col("n_sh"))
-          .select(col("doc_id"))
+        val gateKeep = contaminationSurvivors(
+          deduped.filter(col("doc_id") >= 5)
+            .withColumn("toks", split(col("text"), " ")),
+          benchSh).select(col("doc_id"))
         val gated = deduped.join(gateKeep, Seq("doc_id"), "left_semi")
-        // Stage 4: stratified deterministic sample (q76 rates).
-        val rates = map(
-          lit("en"), lit(6), lit("zh"), lit(4), lit("es"), lit(3), lit("fr"), lit(2))
-        val bucket = expr(
-          "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 10")
-        val sampled = gated
-          .filter(bucket < coalesce(element_at(rates, col("lang")), lit(1)))
+        // Stage 4: stratified deterministic sample (the SHARED q76
+        // strata* helpers).
+        val sampled = gated.filter(strataBucket < strataRate)
         // Stage 5: per-lang stream assembly — the packer's exact input.
         val nTokSurv = size(split(col("text"), " "))
         val stream = array_sort(collect_list(struct(col("doc_id"), col("text"))))
@@ -467,17 +478,12 @@ object Curation {
               .as("stream_fp"))
           .orderBy(col("lang"))
       },
-      Some {
-        def dupSql(k: Int) =
-          s"1.0 - len(list_distinct(${TextFns.shingleSql("ws", k)})) / len(${TextFns.shingleSql("ws", k)})::DOUBLE"
+      Some(
         s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
             g AS (
               SELECT * FROM t
-              WHERE len(ws) BETWEEN 20 AND 100000
-                AND ${Num.froundSql("(length(text) - (len(ws) - 1)) / len(ws)::DOUBLE", 4)} BETWEEN 3.0 AND 10.0
-                AND ${Num.froundSql(dupSql(2), 4)} <= 0.2
-                AND ${Num.froundSql(dupSql(3), 4)} <= 0.18
-                AND len(list_filter(list_distinct(ws), x -> x IN $stopList)) >= 2),
+              WHERE ${gopherVerdictSql("len(ws)", gopherMeanLenSql,
+          gopherDupSql(2), gopherDupSql(3), gopherStopHitsSql)}),
             gf AS (SELECT *, ${TextFns.fingerprintSql} AS fp FROM g),
             d AS (
               SELECT gf.* FROM gf
@@ -496,15 +502,12 @@ object Curation {
               JOIN (SELECT doc_id FROM per WHERE n_hit * 10 <= n_sh) k USING (doc_id)),
             sampled AS (
               SELECT * FROM gated
-              WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10 <
-                CASE lang WHEN 'en' THEN 6 WHEN 'zh' THEN 4 WHEN 'es' THEN 3
-                          WHEN 'fr' THEN 2 ELSE 1 END)
+              WHERE $strataBucketSql < $strataRateSql)
             SELECT lang, count(*)::BIGINT AS n_docs,
               sum(len(ws))::BIGINT AS n_tokens,
               ceil(sum(len(ws)) / 32.0)::BIGINT AS n_seqs,
               md5(string_agg(text, ' ' ORDER BY doc_id)) AS stream_fp
-            FROM sampled GROUP BY lang ORDER BY lang"""
-      },
+            FROM sampled GROUP BY lang ORDER BY lang"""),
     ),
   )
 }

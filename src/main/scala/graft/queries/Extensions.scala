@@ -342,9 +342,13 @@ object Extensions {
       "q82_range_join",
       (s, dir) => {
         import s.implicits._
+        // The top band is open-ended (1e12 ≫ any price): an order can
+        // never fall outside every interval and silently vanish from
+        // the inner join — a latent-loss hazard if the price
+        // distribution ever outgrows a closed band list.
         val bands = Seq(
           (0, 0d, 100000d), (1, 100000d, 200000d), (2, 200000d, 300000d),
-          (3, 300000d, 400000d), (4, 400000d, 600000d),
+          (3, 300000d, 400000d), (4, 400000d, 1e12),
         ).toDF("band_id", "lo", "hi")
         Tables.orders(s, dir)
           .join(broadcast(bands),
@@ -356,7 +360,7 @@ object Extensions {
       },
       Some("""WITH bands(band_id, lo, hi) AS (VALUES
                 (0, 0.0, 100000.0), (1, 100000.0, 200000.0), (2, 200000.0, 300000.0),
-                (3, 300000.0, 400000.0), (4, 400000.0, 600000.0))
+                (3, 300000.0, 400000.0), (4, 400000.0, 1e12))
               SELECT band_id, count(*)::BIGINT AS n_orders,
                 floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS sum_price
               FROM orders o JOIN bands b

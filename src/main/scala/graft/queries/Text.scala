@@ -22,8 +22,10 @@ import graft.functions.{Num, TextFns}
   */
 object Text {
 
-  private val STOPWORDS = Seq("the", "a", "and", "of", "to", "in")
-  private def stopList = STOPWORDS.map(w => s"'$w'").mkString("(", ", ", ")")
+  // Shared with Curation via TextFns — one stop list for the whole
+  // quality/selection family (review finding: private copies fork).
+  private val STOPWORDS = TextFns.STOPWORDS
+  private def stopList = TextFns.stopListSql
 
   // Language marker sets for the n-gram-heuristic language ID. (The
   // synthetic corpus shares one vocabulary across langs, so this checks

@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Structural invariants of the corpus-curation family (q75-q79) that
+/** Structural invariants of the corpus-curation family (q75-q84) that
   * the row/hash differential can't express directly: conservation laws
-  * of the dedup, windowing coverage, and gate soundness. Value-level
-  * equality stays with the DuckDB oracle. */
+  * of the dedups, windowing/packing coverage, verdict and gate
+  * soundness. Value-level equality stays with the DuckDB oracle. */
 class CurationSpec extends SparkSuite {
 
   private val sfDir = "/root/testdata/sf0.001"

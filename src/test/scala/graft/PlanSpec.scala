@@ -131,11 +131,15 @@ class PlanSpec extends SparkSuite {
     val plan = finalPlan(SparkEntry.queries("q82_range_join")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join must stream against the broadcast band list:\n$plan")
-    // Operators BELOW the join print after it: nothing between the
-    // scan and the join may shuffle (the band list arrives broadcast).
-    // lastIndexOf: AQE appends an "Initial Plan" dump whose own BNLJ
-    // is the deepest occurrence — below it only scan + broadcast.
-    val belowJoin = plan.substring(plan.lastIndexOf("BroadcastNestedLoopJoin"))
+    // Assert against the FINAL (post-AQE) plan only: the executed-plan
+    // string prints the final plan first, then an "Initial Plan" dump —
+    // cut the latter off so a re-planned shuffle can't hide behind a
+    // clean static plan. Operators BELOW the join print after it:
+    // nothing between the scan and the join may shuffle (the band
+    // list arrives broadcast).
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastNestedLoopJoin"), s"BNLJ missing in final plan:\n$plan")
+    val belowJoin = finalSection.substring(finalSection.indexOf("BroadcastNestedLoopJoin"))
     assert(!belowJoin.contains("Exchange hashpartitioning"),
       s"fact side must reach the join unshuffled:\n$plan")
   }
