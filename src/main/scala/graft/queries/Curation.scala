@@ -50,6 +50,14 @@ object Curation {
     nWords.between(20, 100000) && meanLen.between(3.0, 10.0) &&
       dup2 <= 0.2 && dup3 <= 0.18 && stops >= 2
 
+  /** The full q80 verdict over a row carrying `toks` + `text` —
+    * package-visible so the STREAMING ingest path
+    * ([[graft.streaming.CorpusIngest]]) applies the identical filter
+    * definition as the batch queries. */
+  private[graft] def gopherKeepExpr: org.apache.spark.sql.Column =
+    gopherVerdict(size(col("toks")), gopherMeanLen,
+      gopherDupFrac(2), gopherDupFrac(3), gopherStopHits)
+
   private def gopherMeanLenSql =
     Num.froundSql("(length(text) - (len(ws) - 1)) / len(ws)::DOUBLE", 4)
   private def gopherDupSql(k: Int) = Num.froundSql(
@@ -443,9 +451,7 @@ object Curation {
         // table every later stage probes — without it the lazy DAG
         // re-runs the 2-/3-gram metric projection for each downstream
         // consumer (measured 11.6 s → the single evaluation is ~2 s).
-        val withFp = raw.filter(
-          gopherVerdict(size(col("toks")), gopherMeanLen,
-            gopherDupFrac(2), gopherDupFrac(3), gopherStopHits))
+        val withFp = raw.filter(gopherKeepExpr)
           .select(col("doc_id"), col("lang"), col("text"),
             TextFns.fingerprint(col("text")).as("fp"))
           .persist()

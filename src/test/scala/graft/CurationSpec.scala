@@ -120,6 +120,46 @@ class CurationSpec extends SparkSuite {
     assert(mismatch.count() == 0)
   }
 
+  test("streaming corpus ingest == batch curation (filter + first-arrival dedup)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // Real corpus rows (so the Gopher filter bites), delivered in
+    // doc_id order with cross-batch duplicate re-deliveries.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stamped = docs.zipWithIndex.map { case ((id, lang, text), i) =>
+      (id, new java.sql.Timestamp(1700000000000L + i * 1000L), lang, text)
+    }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = graft.streaming.CorpusIngest.curatedStream(
+      stream.toDF().toDF("doc_id", "ingest_ts", "lang", "text"))
+      .writeStream.format("memory").queryName("curated_mem")
+      .outputMode("append").start()
+    stream.addData(stamped.take(30))
+    q.processAllAvailable()
+    stream.addData(stamped.drop(30) ++ stamped.take(10)) // re-deliver first 10
+    q.processAllAvailable()
+    stream.addData(stamped.take(5)) // third-batch re-delivery
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("curated_mem")
+      .select("doc_id").as[Long].collect().toSet
+    // Batch reference: same filter, first (min doc_id) per fingerprint
+    // — equal here because delivery followed doc_id order.
+    val batch = Tables.documents(spark, sfDir)
+      .orderBy(col("doc_id")).limit(60)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(graft.queries.Curation.gopherKeepExpr)
+      .withColumn("fp", graft.functions.TextFns.fingerprint(col("text")))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streaming == batch,
+      s"streaming-only: ${streaming.diff(batch)}; batch-only: ${batch.diff(streaming)}")
+  }
+
   test("q77 heavy hitters are ranked and honest counts") {
     val rows = q("q77_ngram_heavy_hitters").collect()
     assert(rows.length == 50)
