@@ -138,26 +138,27 @@ class CurationSpec extends SparkSuite {
       stream.toDF().toDF("doc_id", "ingest_ts", "lang", "text"))
       .writeStream.format("memory").queryName("curated_mem")
       .outputMode("append").start()
-    stream.addData(stamped.take(30))
-    q.processAllAvailable()
-    stream.addData(stamped.drop(30) ++ stamped.take(10)) // re-deliver first 10
-    q.processAllAvailable()
-    stream.addData(stamped.take(5)) // third-batch re-delivery
-    q.processAllAvailable()
-    q.stop()
+    try {
+      stream.addData(stamped.take(30))
+      q.processAllAvailable()
+      stream.addData(stamped.drop(30) ++ stamped.take(10)) // re-deliver first 10
+      q.processAllAvailable()
+      stream.addData(stamped.take(5)) // third-batch re-delivery
+      q.processAllAvailable()
+    } finally q.stop() // leak-proof: a throw above must not strand the stateful query
+    // Contract is the FINGERPRINT set (exactly one survivor per fp);
+    // which doc_id represents an intra-batch duplicate is arbitrary.
     val streaming = spark.table("curated_mem")
-      .select("doc_id").as[Long].collect().toSet
-    // Batch reference: same filter, first (min doc_id) per fingerprint
-    // — equal here because delivery followed doc_id order.
+      .select("fp").as[String].collect().toList
+    assert(streaming.size == streaming.toSet.size, "duplicate fingerprint emitted")
     val batch = Tables.documents(spark, sfDir)
       .orderBy(col("doc_id")).limit(60)
       .withColumn("toks", split(col("text"), " "))
       .filter(graft.queries.Curation.gopherKeepExpr)
-      .withColumn("fp", graft.functions.TextFns.fingerprint(col("text")))
-      .groupBy("fp").agg(min("doc_id").as("doc_id"))
-      .select("doc_id").as[Long].collect().toSet
-    assert(streaming == batch,
-      s"streaming-only: ${streaming.diff(batch)}; batch-only: ${batch.diff(streaming)}")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+      .distinct().as[String].collect().toSet
+    assert(streaming.toSet == batch,
+      s"streaming-only: ${streaming.toSet.diff(batch)}; batch-only: ${batch.diff(streaming.toSet)}")
   }
 
   test("q77 heavy hitters are ranked and honest counts") {

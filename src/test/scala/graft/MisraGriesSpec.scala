@@ -47,8 +47,10 @@ class MisraGriesSpec extends SparkSuite {
     // 8 shards, pairwise-merged in a tree — the shape partial
     // aggregation produces.
     val shards = tokens.grouped(288).toSeq.map(sh => sh.foldLeft(agg.zero)(agg.reduce))
+    // merge mutates its FIRST argument — copy it so the shard buffers
+    // stay pure and reusable after the fold.
     val merged = shards.reduce { (a, b) =>
-      agg.merge(a, mutable.Map(b.toSeq: _*)) // defensive copy: merge mutates
+      agg.merge(mutable.Map(a.toSeq: _*), b)
     }
     assertGuarantees(agg.finish(merged), tokens)
   }
