@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Num, VectorFns}
+
+/** Embedding-space clustering for corpus curation: distributed k-means
+  * (Lloyd) over the `embeddings` table and the SemDeDup-style
+  * cluster-local semantic dedup built on top of it (Abbas et al. 2023:
+  * cluster the corpus, then drop near-identical neighbors WITHIN each
+  * cluster — the trick that makes embedding dedup sub-quadratic).
+  * The reference has no embedding surface at all; this is part of the
+  * at-scale extension family (SURVEY.md §7.2 step 5) next to
+  * [[Vectors]].
+  *
+  * Scale design:
+  *  - Assignment is a narrow map: the k·64-double centroid set rides
+  *    into the plan as a literal (the broadcast-variable pattern), so
+  *    the corpus never shuffles to be assigned.
+  *  - The centroid update is posexplode(dim) → one HashAggregate with
+  *    map-side partial sums — k·64 rows cross the wire per mapper.
+  *    The per-iteration driver collect is k·64 doubles (bounded,
+  *    corpus-independent): the standard iterative-k-means driver
+  *    state, same shape MLlib uses.
+  *  - SemDeDup's pair scan is confined WITHIN a cluster; in production
+  *    k grows ∝ corpus / target-cluster-size, so per-cluster fan-out
+  *    stays bounded — the same "never a corpus self-join" discipline
+  *    as q33/q39.
+  *
+  * Cross-engine determinism: seeds are vec_id < k (floats cast to
+  * double — exact); every updated centroid coordinate is rounded to
+  * 6dp with the [[Num.fround]] formula ON BOTH ENGINES before the next
+  * assignment, so both engines assign against bit-identical centroids;
+  * per-row distance is a fixed-order left fold over the 64 dims;
+  * argmin ties break on centroid id. Clusters that lose all members
+  * simply disappear from the next round's centroid set (both engines
+  * derive the set from the same assignment groups).
+  */
+object Clustering {
+
+  private val K = 8
+  private val DIM = 64
+  /** SemDeDup cosine threshold — calibrated to the synthetic
+    * embeddings (max pairwise cosine ≈ 0.51), so the dedup actually
+    * drops rows at every sf instead of passing vacuously. */
+  private val TAU = 0.35
+
+  /** Corpus with the float embedding, its double-cast array `e`, and
+    * the codegen'd squared norm. */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProductF.register(s)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"),
+        VectorFns.normSqF("embedding").as("nsq"))
+  }
+
+  /** Squared L2 distance from `e` to a constant centroid — fixed
+    * left-to-right fold, mirrored by the DuckDB list comprehension. */
+  private def sqDistTo(c: Seq[Double]): Column =
+    aggregate(
+      zip_with(col("e"), typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid assignment: adds `cid` (centroid id) and `dist`.
+    * array_min over struct(dist, cid) = argmin with id tie-break,
+    * identical to the oracle's ORDER BY dist, cid row_number. */
+  private def assign(df: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    df.withColumn("best", array_min(array(cents.map { case (cid, c) =>
+        struct(sqDistTo(c).as("dist"), lit(cid).as("cid")) }: _*)))
+      .withColumn("cid", col("best.cid"))
+      .withColumn("dist", col("best.dist"))
+      .drop("best")
+
+  /** Element-wise mean per surviving cluster, rounded to 6dp with the
+    * exact [[Num.fround]] IEEE formula (floor(x·1e6 + 0.5)/1e6) so the
+    * collected literals match the oracle's rounded centroids bit for
+    * bit. The collect is ≤ K·DIM rows — bounded driver state. */
+  private def updatedCentroids(assigned: DataFrame): Seq[(Long, Seq[Double])] = {
+    val p = 1000000d
+    assigned.select(col("cid"), posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i")).agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getAs[Long]("cid"))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getAs[Int]("i"))
+          .map(r => math.floor(r.getAs[Double]("m") * p + 0.5) / p).toSeq
+      }
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Final k-means state after seed → assign → update → assign:
+    * (vec_id, embedding, e, nsq, cid, dist). Shared by q85 and q86. */
+  private def kmeansFinal(s: SparkSession, dir: String): DataFrame = {
+    val df = emb(s, dir).persist()
+    val seeds = df.filter(col("vec_id") < K).select(col("vec_id"), col("e"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
+      .toSeq.sortBy(_._1)
+    assign(df, updatedCentroids(assign(df, seeds)))
+  }
+
+  /** DuckDB mirror of [[kmeansFinal]] as CTEs (no leading WITH)
+    * defining `e(vec_id, emb, nsq)` and `a2(vec_id, cid, dist)`. */
+  private def kmeansSqlCtes: String = {
+    def distList(c: String) =
+      s"list_sum([(e.emb[i] - $c[i]) * (e.emb[i] - $c[i]) for i in generate_series(1, $DIM)])"
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+              FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < $K),
+        d1 AS (SELECT e.vec_id, c0.cid, ${distList("c0.c")} AS dist FROM e, c0),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        upd AS (SELECT a1.cid, t.i,
+                  ${Num.froundSql("avg(e.emb[t.i])", 6)} AS x
+                FROM a1 JOIN e USING (vec_id),
+                  LATERAL (SELECT unnest(generate_series(1, $DIM)) AS i) t
+                GROUP BY a1.cid, t.i),
+        c1 AS (SELECT cid, list(x ORDER BY i) AS c FROM upd GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c1.cid, ${distList("c1.c")} AS dist FROM e, c1),
+        a2 AS (SELECT vec_id, cid, dist FROM (
+                 SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                 FROM d2) WHERE rn = 1)"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Distributed k-means (Lloyd): seed with vec_id < k, one rounded
+    // centroid refinement, final nearest-centroid assignment. The
+    // oracle recomputes both Lloyd steps from scratch in SQL — two
+    // independent implementations agreeing on every assignment and
+    // (rounded) distance.
+    QueryDef(
+      "q85_kmeans_assign",
+      (s, dir) =>
+        kmeansFinal(s, dir)
+          .select(col("vec_id"), col("cid").as("cluster_id"),
+            Num.fround(col("dist"), 4).as("dist"))
+          .orderBy(col("vec_id")),
+      Some(s"""WITH $kmeansSqlCtes
+               SELECT vec_id, cid AS cluster_id,
+                 ${Num.froundSql("dist", 4)} AS dist
+               FROM a2 ORDER BY vec_id"""),
+    ),
+
+    // SemDeDup: within each k-means cluster, a vector is dropped when
+    // a LOWER-id cluster-mate sits within cosine ≥ τ — keep-first
+    // dominance, the deterministic core of the published algorithm
+    // (which keeps one member per semantic-duplicate neighborhood).
+    // Emits every vector with its cluster and survive verdict, so the
+    // filter is auditable like q80.
+    QueryDef(
+      "q86_semantic_dedup",
+      (s, dir) => {
+        val m = kmeansFinal(s, dir)
+          .select(col("vec_id"), col("cid"), col("embedding"), col("nsq"))
+          .persist()
+        val a = m.select(col("cid"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nsq").as("na"))
+        val b = m.select(col("cid"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nsq").as("nb"))
+        val drops = a.join(b, Seq("cid"))
+          .filter(col("va") < col("vb"))
+          .filter(VectorFns.dotF("ea", "eb")
+            / (sqrt(col("na")) * sqrt(col("nb"))) >= TAU)
+          .select(col("vb").as("vec_id")).distinct()
+          .withColumn("dropped", lit(true))
+        m.join(drops, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid").as("cluster_id"),
+            col("dropped").isNull.as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $kmeansSqlCtes,
+               mem AS (SELECT a2.vec_id, a2.cid, e.emb, e.nsq
+                       FROM a2 JOIN e USING (vec_id)),
+               drops AS (
+                 SELECT DISTINCT b.vec_id
+                 FROM mem a JOIN mem b
+                   ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 WHERE ${VectorFns.dotSql("a.emb", "b.emb")}
+                   / (sqrt(a.nsq) * sqrt(b.nsq)) >= $TAU)
+               SELECT m.vec_id, m.cid AS cluster_id,
+                 (d.vec_id IS NULL) AS keep
+               FROM mem m LEFT JOIN drops d ON m.vec_id = d.vec_id
+               ORDER BY m.vec_id"""),
+    ),
+  )
+}

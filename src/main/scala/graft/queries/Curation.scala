@@ -515,5 +515,49 @@ object Curation {
               md5(string_agg(text, ' ' ORDER BY doc_id)) AS stream_fp
             FROM sampled GROUP BY lang ORDER BY lang"""),
     ),
+
+    // Unigram-LM quality scoring — the CCNet-style "score each doc by
+    // a language model trained on the corpus itself" pass, with the
+    // simplest possible LM (corpus unigram MLE). Per doc: token count
+    // and mean negative log-likelihood (low = in-distribution, high =
+    // unusual/junk — the ranking signal CCNet buckets on). The LM here
+    // is self-trained on the same corpus; in production it would be a
+    // reference-corpus vocab table, same shapes.
+    //
+    // Scale: the vocab build is explode → HashAggregate with map-side
+    // partials (vocab ≪ token count, partials collapse hard); the
+    // grand total is a 1-row broadcast. Scoring re-joins tokens to
+    // vocab on the token key — cardinality grows with the corpus, and
+    // hot stop-word keys are exactly the AQE skew-join case, noted
+    // because at 100 TB the vocab no longer broadcasts. Per-doc mean
+    // is one partial-agg'd HashAggregate.
+    //
+    // Determinism: p(w) = c/N is exact double division; ln may differ
+    // by 1 ulp between libm implementations, which the 4dp fround
+    // absorbs (error 1e-16 vs boundary width 5e-5).
+    QueryDef(
+      "q87_unigram_lm_score",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum(col("c")).cast("double").as("n"))
+        toks.join(vocab, Seq("w"))
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            Num.fround(avg(-log(col("c").cast("double") / col("n"))), 4)
+              .as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+               vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+               tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab)
+               SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 ${Num.froundSql("avg(-ln(c::DOUBLE / n))", 4)} AS avg_nll
+               FROM tok JOIN vocab USING (w), tot
+               GROUP BY doc_id ORDER BY doc_id"""),
+    ),
   )
 }

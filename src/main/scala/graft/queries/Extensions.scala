@@ -367,5 +367,56 @@ object Extensions {
                 ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
               GROUP BY band_id ORDER BY band_id"""),
     ),
+
+    // SCD type-2 dimension build — compress each customer's order
+    // stream into priority-validity intervals (gaps-and-islands change
+    // detection): a version starts where o_orderpriority differs from
+    // the previous order, valid_to is the next version's start, the
+    // open interval is flagged current. The classic CDC-history →
+    // warehouse-dimension ETL op; the reference's upsert sinks only
+    // keep latest state (transformer_loader/main.py:184-190) — this is
+    // the history-preserving variant.
+    //
+    // Scale: two window passes over the SAME (custkey, date, key)
+    // ordering — one shuffle+sort total (Catalyst reuses the sort for
+    // both lag and lead); key cardinality grows with customers; change
+    // compression shrinks output before the final sort. No joins.
+    QueryDef(
+      "q88_scd2_intervals",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("ts"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderpriority").as("prio"),
+            unix_timestamp(col("o_orderdate")).as("ts"))
+          .withColumn("changed",
+            lag(col("prio"), 1).over(w).isNull
+              || lag(col("prio"), 1).over(w) =!= col("prio"))
+          .filter(col("changed"))
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("o_custkey"), col("version"), col("prio"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy(col("o_custkey"), col("version"))
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey, o_orderkey, o_orderpriority AS prio,
+                  epoch(o_orderdate)::BIGINT AS ts,
+                  lag(o_orderpriority, 1) OVER w AS prev
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+              v AS (
+                SELECT o_custkey, prio, ts,
+                  row_number() OVER w AS version,
+                  lead(ts, 1) OVER w AS valid_to
+                FROM o WHERE prev IS NULL OR prev <> prio
+                WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, o_orderkey))
+              SELECT o_custkey, version, prio, ts AS valid_from, valid_to,
+                (valid_to IS NULL) AS is_current
+              FROM v ORDER BY o_custkey, version"""),
+    ),
   )
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the embedding-clustering family (q85-q87)
+  * beyond the DuckDB value differential: Lloyd-assignment optimality,
+  * SemDeDup keep-set laws, and the LM score's probability-space
+  * bounds. */
+class ClusteringSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q85 assigns every vector exactly once, to a seed-derived cluster") {
+    val out = q("q85_kmeans_assign").persist()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.count() == n, "every vector assigned")
+    assert(out.select("vec_id").distinct().count() == n, "exactly once")
+    // Cluster ids are seed vec_ids (< k), distances are non-negative.
+    assert(out.filter(col("cluster_id") >= 8 || col("cluster_id") < 0).count() == 0)
+    assert(out.filter(col("dist") < 0).count() == 0)
+    assert(out.select("cluster_id").distinct().count() > 1,
+      "degenerate single-cluster result")
+    out.unpersist()
+  }
+
+  test("q85 matches an independent driver-side Lloyd reimplementation") {
+    // Pure-Scala rerun of the exact algorithm (seed vec_id<8 → assign →
+    // 6dp-rounded mean update → assign) over the 50-vector sf0.001
+    // corpus: an independent implementation agreeing on every cluster
+    // and 4dp distance.
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).sortBy(_._1)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def argmin(e: Seq[Double], cents: Seq[(Long, Seq[Double])]) =
+      cents.map { case (cid, c) => (d2(e, c), cid) }.min
+    val seeds = emb.filter(_._1 < 8).toSeq
+    val a1 = emb.map { case (id, e) => (id, e, argmin(e, seeds)._2) }
+    val c1 = a1.groupBy(_._3).map { case (cid, rs) =>
+      cid -> (0 until 64).map(i =>
+        math.floor(rs.map(_._2(i)).sum / rs.size * 1e6 + 0.5) / 1e6)
+    }.toSeq.sortBy(_._1)
+    val expect = emb.map { case (id, e) =>
+      val (d, cid) = argmin(e, c1)
+      (id, cid, math.floor(d * 1e4 + 0.5) / 1e4)
+    }.toSet
+    val got = q("q85_kmeans_assign").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Double]("dist"))).toSet
+    assert(got == expect,
+      s"only-spark: ${got.diff(expect)}; only-local: ${expect.diff(got)}")
+  }
+
+  test("q86 dedup drops exactly the dominated vectors and keeps all cluster minima") {
+    val out = q("q86_semantic_dedup").persist()
+    val assigns = q("q85_kmeans_assign")
+    // Same universe and clusters as q85.
+    assert(out.count() == assigns.count())
+    assert(out.join(assigns, Seq("vec_id"))
+      .filter(out("cluster_id") =!= assigns("cluster_id")).count() == 0,
+      "q86 must reuse q85's clustering")
+    // The lowest vec_id of every cluster can never be dominated.
+    val minPerCluster = out.groupBy("cluster_id").agg(min("vec_id").as("vec_id"))
+    assert(out.join(minPerCluster, Seq("cluster_id", "vec_id"))
+      .filter(!col("keep")).count() == 0, "cluster-minimum vec dropped")
+    out.unpersist()
+  }
+
+  test("q87 scores are positive and bounded by the rarest-token NLL") {
+    val out = q("q87_unigram_lm_score").persist()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() == docs.count(), "every doc scored")
+    // p(w) <= 1 => -ln p >= 0; and mean NLL can't exceed ln(N) (the
+    // NLL of a hapax), N = corpus token count.
+    val nTok = docs.select(sum(size(split(col("text"), " ")))).first().getLong(0)
+    val maxNll = math.log(nTok.toDouble)
+    assert(out.filter(col("avg_nll") < 0).count() == 0)
+    assert(out.filter(col("avg_nll") > maxNll + 1e-9).count() == 0,
+      s"avg_nll above ln(N)=$maxNll")
+    // Token counts match an independent recount.
+    val recount = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n2"))
+    assert(out.join(recount, "doc_id")
+      .filter(col("n_tokens") =!= col("n2")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q88 SCD2 intervals: dense versions, one open row, contiguous, compressed") {
+    val out = SparkEntry.queries("q88_scd2_intervals")(spark, sfDir).persist()
+    // Exactly one open (current) interval per customer.
+    val open = out.filter(col("is_current"))
+      .groupBy("o_custkey").count().filter(col("count") =!= 1)
+    assert(open.count() == 0, "customer without exactly one current row")
+    // Versions are dense 1..n per customer.
+    val dense = out.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), min("version").as("lo"), max("version").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(dense.count() == 0, "version gap")
+    // Contiguity: valid_to equals the NEXT version's valid_from; and
+    // adjacent versions really changed priority (compression law).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    val chained = out
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("next_prio", lead(col("prio"), 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() == 0, "interval gap/overlap")
+    assert(chained.filter(col("next_prio").isNotNull &&
+      col("prio") === col("next_prio")).count() == 0, "uncompressed adjacent versions")
+    out.unpersist()
+  }
+}
