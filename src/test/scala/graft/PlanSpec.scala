@@ -144,6 +144,31 @@ class PlanSpec extends SparkSuite {
       s"fact side must reach the join unshuffled:\n$plan")
   }
 
+  test("q85 k-means: final assignment is a narrow map — no join, no hash exchange") {
+    // Centroids ride into the plan as literals (the broadcast-variable
+    // pattern), so assigning the corpus must not join or shuffle it;
+    // the only exchange is the output sort's range partitioning.
+    val plan = finalPlan(SparkEntry.queries("q85_kmeans_assign")(spark, sfDir))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert(!finalSection.contains("Join"), s"no join expected in assignment:\n$plan")
+    assert(!finalSection.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle to be assigned:\n$plan")
+  }
+
+  test("q87 unigram LM: grand total broadcast; vocab and doc aggregates partial") {
+    val plan = finalPlan(SparkEntry.queries("q87_unigram_lm_score")(spark, sfDir))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    // The 1-row corpus total must arrive broadcast (BNLJ from the
+    // crossJoin), never via a shuffle against the token stream.
+    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+      s"1-row total must broadcast:\n$plan")
+    // Vocab counts and per-doc NLL means both combine map-side.
+    assert(finalSection.contains("partial_count"),
+      s"vocab count should partially aggregate:\n$plan")
+    assert(finalSection.contains("partial_avg") || finalSection.contains("partial_sum"),
+      s"doc mean should partially aggregate:\n$plan")
+  }
+
   test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
     val plan = finalPlan(SparkEntry.queries("q78_sequence_windows")(spark, sfDir))
     assert(plan.contains("Generate"), s"expected posexplode Generate:\n$plan")
