@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   * representation while DuckDB rounds the decimal string half-away —
   * they disagree on values like 0.335 (→0.33 vs →0.34). `floor(x*10^d +
   * 0.5)/10^d` is pure IEEE-754 arithmetic, bit-identical on any engine,
-  * so the differential oracle can mirror it exactly. Positive inputs
-  * only (all our derived metrics are ≥ 0). */
+  * so the differential oracle can mirror it exactly. The formula is
+  * round-half-toward-+inf for ANY sign (negative halves round up, e.g.
+  * -0.0000005 → 0 at 6dp): deterministic and engine-identical as long
+  * as every consumer mirrors this exact formula — which is the
+  * contract (q85's negative centroid coordinates rely on it). Any
+  * replacement (e.g. a half-away variant) must change the Scala, SQL,
+  * and driver-side (Clustering/ClusteringSpec) copies together. */
 object Num {
   def fround(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)

@@ -26,7 +26,7 @@ class ClusteringSpec extends SparkSuite {
 
   test("q85 matches an independent driver-side Lloyd reimplementation") {
     // Pure-Scala rerun of the exact algorithm (seed vec_id<8 → assign →
-    // 6dp-rounded mean update → assign) over the 50-vector sf0.001
+    // 6dp-rounded mean update → assign) over the 500-vector sf0.001
     // corpus: an independent implementation agreeing on every cluster
     // and 4dp distance.
     val emb = Tables.embeddings(spark, sfDir)
@@ -77,7 +77,9 @@ class ClusteringSpec extends SparkSuite {
     val nTok = docs.select(sum(size(split(col("text"), " ")))).first().getLong(0)
     val maxNll = math.log(nTok.toDouble)
     assert(out.filter(col("avg_nll") < 0).count() == 0)
-    assert(out.filter(col("avg_nll") > maxNll + 1e-9).count() == 0,
+    // 5e-5 headroom: the query's 4dp fround can round a mean sitting
+    // just under ln(N) up past it.
+    assert(out.filter(col("avg_nll") > maxNll + 5e-5).count() == 0,
       s"avg_nll above ln(N)=$maxNll")
     // Token counts match an independent recount.
     val recount = docs.select(col("doc_id"),
