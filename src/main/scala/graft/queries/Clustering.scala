@@ -189,5 +189,39 @@ object Clustering {
                FROM mem m LEFT JOIN drops d ON m.vec_id = d.vec_id
                ORDER BY m.vec_id"""),
     ),
+
+    // Cluster-balanced representative sampling — per k-means cluster,
+    // keep the 16 members closest to the centroid (rank by distance,
+    // id tie-break): the "diverse subset selection" curation op — a
+    // budget of n·k samples spread across semantic regions instead of
+    // dominated by the densest one.
+    //
+    // Scale: ranking partitions by cluster id; k grows ∝ corpus /
+    // target-cluster-size in production (same contract as q86), so
+    // per-partition membership is bounded — and a top-16 trim would
+    // drop into the O2 per-key-top-K aggregate form if it weren't.
+    // Rank order uses the UNROUNDED distance (ulp-identical inputs on
+    // both engines; vec_id breaks any exact tie).
+    QueryDef(
+      "q89_cluster_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("cid")).orderBy(col("dist"), col("vec_id"))
+        kmeansFinal(s, dir)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 16)
+          .select(col("cid").as("cluster_id"), col("rank"), col("vec_id"),
+            Num.fround(col("dist"), 4).as("dist"))
+          .orderBy(col("cluster_id"), col("rank"))
+      },
+      Some(s"""WITH $kmeansSqlCtes,
+               r AS (SELECT vec_id, cid, dist,
+                       row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rank
+                     FROM a2)
+               SELECT cid AS cluster_id, rank, vec_id,
+                 ${Num.froundSql("dist", 4)} AS dist
+               FROM r WHERE rank <= 16
+               ORDER BY cluster_id, rank"""),
+    ),
   )
 }

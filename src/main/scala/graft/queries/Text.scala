@@ -814,5 +814,72 @@ object Text {
                FROM j
                ORDER BY doc_id"""),
     ),
+
+    // Duplication-hub scoring: PageRank (two fixed power iterations,
+    // damping 0.85) over the symmetric verified near-dup graph. High
+    // rank = a document at the center of a dense duplication
+    // neighborhood — the template/boilerplate hubs a curation pass
+    // inspects (or down-weights) first; degree alone misses hubs whose
+    // neighbors are themselves highly duplicated.
+    //
+    // Scale: each iteration is one shuffle — edges join the current
+    // rank on src (contributions), then one partial-agg'd sum by dst;
+    // the node count rides as a broadcast 1-row aggregate. Iteration
+    // count is fixed (2), so the lineage is bounded — no driver loop,
+    // no collect. Determinism: rank values are rational arithmetic on
+    // integer degrees/counts; cross-row sum ulp noise is absorbed by
+    // the 8dp fround (values ~1/N).
+    QueryDef(
+      "q90_neardup_pagerank",
+      (s, dir) => {
+        val p = minhashPairs(s, dir, threshold = 0.5)
+        val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persist()
+        val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .select(col("src").as("doc_id"), col("deg")).persist()
+        val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+        val pr0 = nodes.crossJoin(nDf)
+          .select(col("doc_id"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+        // One power iteration: prev (doc_id, deg, pr) -> next. Every
+        // node of the symmetric graph has >= 1 in-edge, so the groupBy
+        // covers all nodes.
+        def step(prev: org.apache.spark.sql.DataFrame) =
+          edges
+            .join(prev.select(col("doc_id").as("src"),
+              (col("pr") / col("deg")).as("share")), Seq("src"))
+            .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+            .select(col("dst").as("doc_id"), col("inflow"))
+            .join(nodes, Seq("doc_id"))
+            .crossJoin(nDf)
+            .select(col("doc_id"), col("deg"),
+              (lit(0.15) / col("n") + lit(0.85) * col("inflow")).as("pr"))
+        step(step(pr0))
+          .select(col("doc_id"), col("deg"), Num.fround(col("pr"), 8).as("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${minhashPairsSqlCtes(0.5)},
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY src),
+               tot AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+               p0 AS (SELECT doc_id, deg, 1.0 / n AS pr FROM nodes, tot),
+               p1 AS (
+                 SELECT e.dst AS doc_id, nd.deg, 0.15 / t.n + 0.85 * sum(p.pr / p.deg) AS pr
+                 FROM edges e
+                 JOIN p0 p ON e.src = p.doc_id
+                 JOIN nodes nd ON e.dst = nd.doc_id, tot t
+                 GROUP BY e.dst, nd.deg, t.n),
+               p2 AS (
+                 SELECT e.dst AS doc_id, nd.deg, 0.15 / t.n + 0.85 * sum(p.pr / p.deg) AS pr
+                 FROM edges e
+                 JOIN p1 p ON e.src = p.doc_id
+                 JOIN nodes nd ON e.dst = nd.doc_id, tot t
+                 GROUP BY e.dst, nd.deg, t.n)
+               SELECT doc_id, deg::BIGINT AS deg, ${Num.froundSql("pr", 8)} AS pagerank
+               FROM p2 ORDER BY doc_id"""),
+    ),
   )
 }

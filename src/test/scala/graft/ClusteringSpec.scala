@@ -89,6 +89,41 @@ class ClusteringSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("q89 cluster sample: <=16 per cluster, dense ranks, distance-monotone, q85-consistent") {
+    val out = SparkEntry.queries("q89_cluster_sample")(spark, sfDir).persist()
+    val per = out.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+    assert(per.filter(col("n") > 16 || col("lo") =!= 1 || col("hi") =!= col("n"))
+      .count() == 0, "rank gap or oversized sample")
+    // Distance never decreases as rank increases (4dp rounding can
+    // only make neighbors equal, never invert by more than 1e-4).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("rank"))
+    assert(out.withColumn("prev", lag(col("dist"), 1).over(w))
+      .filter(col("prev").isNotNull && col("dist") < col("prev") - 1e-4)
+      .count() == 0, "distance not monotone in rank")
+    // Sampled members carry their q85 cluster.
+    val assigns = q("q85_kmeans_assign")
+    assert(out.join(assigns, Seq("vec_id"))
+      .filter(out("cluster_id") =!= assigns("cluster_id")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q90 pagerank: mass conserved, floor respected, degree matches the pair graph") {
+    val out = SparkEntry.queries("q90_neardup_pagerank")(spark, sfDir).persist()
+    val n = out.count()
+    assert(n > 0, "near-dup graph is empty — pagerank vacuous")
+    // No dangling nodes in a symmetric graph => total mass stays 1
+    // (up to n * the 8dp rounding).
+    val mass = out.agg(sum("pagerank")).first().getDouble(0)
+    assert(math.abs(mass - 1.0) <= n * 5e-9 + 1e-9, s"mass $mass != 1")
+    // Every rank >= the damping floor 0.15/N.
+    assert(out.filter(col("pagerank") < lit(0.15) / lit(n.toDouble) - 5e-9)
+      .count() == 0, "rank below damping floor")
+    assert(out.filter(col("deg") < 1).count() == 0)
+    out.unpersist()
+  }
+
   test("q88 SCD2 intervals: dense versions, one open row, contiguous, compressed") {
     val out = SparkEntry.queries("q88_scd2_intervals")(spark, sfDir).persist()
     // Exactly one open (current) interval per customer.
