@@ -54,6 +54,81 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two `array<double>` columns, as a
+  * native codegen expression — the assignment kernel of k-means
+  * (q85/q86/q89), where the higher-order form
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, +)` would run
+  * an interpreted boxed lambda per element × k centroids per row.
+  * Accumulation is the identical left-to-right double fold (the DuckDB
+  * list-comprehension mirror is unchanged, bit for bit); null on
+  * length mismatch or null element, matching zip_with/aggregate. */
+case class SqDistF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sqdist_f"
+
+  // Null even for non-null inputs (length mismatch, null element) —
+  // same hazard as DotProductF: without the override a folded null
+  // would read back as 0.0 from a non-nullable slot.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<DOUBLE> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqDistF.sqDistOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("sqd")
+      s"""
+         |java.lang.Double $r = graft.functions.SqDistF.sqDistOrNull($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistF =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistF {
+
+  /** The kernel (also called from generated code). */
+  def sqDistOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  private val FN = "sqdist_f"
+
+  /** Idempotently register `sqdist_f(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FN)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FN, exprs => SqDistF(exprs.head, exprs(1)), "built-in")
+
+  /** Column form (requires [[register]] on the session first). */
+  def distCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(FN, a, b)
+}
+
 object DotProductF {
 
   /** The kernel (also called from generated code). Null on length

@@ -50,18 +50,20 @@ object Clustering {
     * the codegen'd squared norm. */
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProductF.register(s)
+    graft.functions.SqDistF.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"),
         VectorFns.normSqF("embedding").as("nsq"))
   }
 
-  /** Squared L2 distance from `e` to a constant centroid — fixed
-    * left-to-right fold, mirrored by the DuckDB list comprehension. */
+  /** Squared L2 distance from `e` to a constant centroid — the native
+    * codegen [[graft.functions.SqDistF]] kernel, whose accumulation is
+    * bit-identical to the `aggregate(zip_with(...))` left fold and to
+    * the DuckDB list-comprehension mirror (the HOF form would run an
+    * interpreted lambda per element × k centroids per row). */
   private def sqDistTo(c: Seq[Double]): Column =
-    aggregate(
-      zip_with(col("e"), typedLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.SqDistF.distCol(col("e"), typedLit(c))
 
   /** Nearest-centroid assignment: adds `cid` (centroid id) and `dist`.
     * array_min over struct(dist, cid) = argmin with id tie-break,

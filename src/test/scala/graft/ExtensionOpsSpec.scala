@@ -189,6 +189,39 @@ class ExtensionOpsSpec extends SparkSuite {
       spark.sql("SELECT dot_f(array(1, 2), array(1, 2))").collect()
     }
   }
+
+  test("SqDistF == higher-order aggregate/zip_with form, bit-identical") {
+    import graft.functions.SqDistF
+    SqDistF.register(spark)
+    // double vectors whose fold is order-sensitive — the fused kernel
+    // must match the HOF left fold bit for bit (q85's oracle depends
+    // on the accumulation order).
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(j => ((i * 31 + j * 17) % 97 - 48) / 7.0),
+        Array.tabulate(64)(j => ((i * 13 + j * 29) % 89 - 44) / 5.0))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "a", "b")
+    val hof = org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.zip_with(col("a"), col("b"),
+        (x, y) => (x - y) * (x - y)),
+      org.apache.spark.sql.functions.lit(0.0), (acc, v) => acc + v)
+    val both = df.select(col("id"),
+      SqDistF.distCol(col("a"), col("b")).as("fused"), hof.as("hof")).collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"row ${r.getLong(0)}: fused != hof")
+    }
+    // null semantics: length mismatch / null element / null array
+    val edge = spark.sql(
+      "SELECT sqdist_f(array(1.0D), array(1.0D, 2.0D)) AS a, " +
+        "sqdist_f(array(CAST(NULL AS DOUBLE)), array(1.0D)) AS b, " +
+        "sqdist_f(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS c").collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    // non-double-array input is an analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sqdist_f(array(1, 2), array(1, 2))").collect()
+    }
+  }
 }
 
 case class EvRow(ts_us: Long, user_id: Long, event_type: String, value: Double)

@@ -169,6 +169,19 @@ class PlanSpec extends SparkSuite {
       s"doc mean should partially aggregate:\n$plan")
   }
 
+  test("q90 pagerank: node count broadcast, inflow sums aggregate map-side") {
+    val plan = finalPlan(SparkEntry.queries("q90_neardup_pagerank")(spark, sfDir))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    // The 1-row node-count aggregate must reach both iterations via
+    // broadcast (BNLJ from the crossJoin), never a shuffle.
+    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+      s"node count must broadcast:\n$plan")
+    // Contribution sums combine map-side before the by-destination
+    // exchange — the property that keeps an iteration one shuffle.
+    assert(finalSection.contains("partial_sum"),
+      s"inflow should partially aggregate:\n$plan")
+  }
+
   test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
     val plan = finalPlan(SparkEntry.queries("q78_sequence_windows")(spark, sfDir))
     assert(plan.contains("Generate"), s"expected posexplode Generate:\n$plan")
