@@ -68,4 +68,39 @@ class MisraGriesSpec extends SparkSuite {
     // survive the n/k decrement budget at least once.
     assert(sketch.nonEmpty)
   }
+
+  test("streaming path: guarantees hold across incremental micro-batch merges") {
+    // The sketch's merge rule is what makes it streaming-state safe:
+    // each micro-batch's partial merges into the running state, and
+    // the guarantees are merge-order independent. Feed the corpus
+    // token stream in three uneven batches (with a re-delivered hot
+    // head) and check the final COMPLETE-mode sketch against the full
+    // delivered stream.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .as[String].collect().toSeq
+    val agg = new MisraGriesAgg(K)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    // The aggregator's output encoder is kryo (opaque binary in a
+    // sink); project the sketch to typed (token, count) pairs so the
+    // memory table round-trips.
+    val q = stream.toDS().select(agg.toColumn.name("sketch"))
+      .map(_.toSeq.sortBy(_._1))
+      .writeStream.format("memory").queryName("mg_mem")
+      .outputMode("complete").start()
+    val batches = Seq(
+      corpus.take(5000),
+      corpus.slice(5000, 6000) ++ corpus.take(500), // re-delivery
+      corpus.drop(6000))
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val sketch = spark.table("mg_mem")
+      .as[Seq[(String, Long)]].collect().last.toMap
+    val delivered = batches.flatten
+    assertGuarantees(sketch, delivered)
+    assert(sketch.nonEmpty)
+  }
 }
