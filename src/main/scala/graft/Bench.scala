@@ -104,14 +104,19 @@ object Bench {
       val ts = timings.map(_(name))
       name -> (if (ts.exists(_._1 < 0)) (-1.0, -1.0) else ts.minBy(_._1))
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    // 3dp is below measurement noise; keeping the line short matters
+    // because the driver captures the TAIL of the output — the
+    // wall-time map goes LAST so truncation from the front can never
+    // eat it (round 3 lost the per-query times that way).
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errs,"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":${errors.size},"errors":$errs,"gc_sec":$gcs,"queries":$qs}""")
     spark.stop()
   }
 }

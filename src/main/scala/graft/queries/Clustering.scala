@@ -23,10 +23,18 @@ import graft.functions.{Num, VectorFns}
   *    The per-iteration driver collect is k·64 doubles (bounded,
   *    corpus-independent): the standard iterative-k-means driver
   *    state, same shape MLlib uses.
-  *  - SemDeDup's pair scan is confined WITHIN a cluster; in production
-  *    k grows ∝ corpus / target-cluster-size, so per-cluster fan-out
-  *    stays bounded — the same "never a corpus self-join" discipline
-  *    as q33/q39.
+  *  - SemDeDup's pair scan is confined WITHIN a cluster, and the
+  *    boundedness contract is enforced by construction, not prose:
+  *    k = max(8, n / [[Clustering.TargetClusterSize]]) is derived from
+  *    the corpus count (the q53 centroid-modulus trick), so expected
+  *    cluster size — and with it the per-cluster quadratic pair work —
+  *    stays ≈ TargetClusterSize no matter how big the corpus grows.
+  *    The flip side is k ∝ n: centroid state (k·DIM doubles of plan
+  *    literals / driver memory) grows linearly at fixed target size,
+  *    so a 100 TB deployment raises TargetClusterSize (or goes
+  *    two-level: cluster a sample, then assign) to keep k ≤ ~10⁴;
+  *    what must NOT happen — k pinned constant while n grows, making
+  *    the pair scan quadratic — is now impossible by construction.
   *
   * Cross-engine determinism: seeds are vec_id < k (floats cast to
   * double — exact); every updated centroid coordinate is rounded to
@@ -39,7 +47,13 @@ import graft.functions.{Num, VectorFns}
   */
 object Clustering {
 
-  private val K = 8
+  /** Target expected cluster size; k is DERIVED as
+    * max([[MinK]], n / TargetClusterSize) so per-cluster pair-scan work
+    * stays bounded as the corpus grows (500-row sf0.001/sf0.01 → k=8,
+    * 2000-row sf0.1 → k=13 — the derived path is exercised by the
+    * standard test SFs). */
+  private val TargetClusterSize = 150L
+  private val MinK = 8L
   private val DIM = 64
   /** SemDeDup cosine threshold — calibrated to the synthetic
     * embeddings (max pairwise cosine ≈ 0.51), so the dedup actually
@@ -93,10 +107,14 @@ object Clustering {
   }
 
   /** Final k-means state after seed → assign → update → assign:
-    * (vec_id, embedding, e, nsq, cid, dist). Shared by q85 and q86. */
+    * (vec_id, embedding, e, nsq, cid, dist). Shared by q85 and q86.
+    * k is derived from the corpus count (one cheap scalar job — the
+    * same bounded driver state the seed collect already is); seeds are
+    * the k smallest vec_ids, deterministic on both engines. */
   private def kmeansFinal(s: SparkSession, dir: String): DataFrame = {
     val df = emb(s, dir).persist()
-    val seeds = df.filter(col("vec_id") < K).select(col("vec_id"), col("e"))
+    val k = math.max(MinK, df.count() / TargetClusterSize)
+    val seeds = df.filter(col("vec_id") < k).select(col("vec_id"), col("e"))
       .collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
       .toSeq.sortBy(_._1)
@@ -111,7 +129,8 @@ object Clustering {
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
                 ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
               FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < $K),
+        c0 AS (SELECT vec_id AS cid, emb AS c FROM e
+               WHERE vec_id < greatest($MinK, (SELECT count(*) FROM e) // $TargetClusterSize)),
         d1 AS (SELECT e.vec_id, c0.cid, ${distList("c0.c")} AS dist FROM e, c0),
         a1 AS (SELECT vec_id, cid FROM (
                  SELECT vec_id, cid,
@@ -198,10 +217,11 @@ object Clustering {
     // budget of n·k samples spread across semantic regions instead of
     // dominated by the densest one.
     //
-    // Scale: ranking partitions by cluster id; k grows ∝ corpus /
-    // target-cluster-size in production (same contract as q86), so
-    // per-partition membership is bounded — and a top-16 trim would
-    // drop into the O2 per-key-top-K aggregate form if it weren't.
+    // Scale: ranking partitions by cluster id; k is derived from the
+    // corpus count in kmeansFinal (k = max(8, n / TargetClusterSize)),
+    // so per-partition membership is bounded BY CONSTRUCTION — and a
+    // top-16 trim would drop into the O2 per-key-top-K aggregate form
+    // if it weren't.
     // Rank order uses the UNROUNDED distance (ulp-identical inputs on
     // both engines; vec_id breaks any exact tie).
     QueryDef(

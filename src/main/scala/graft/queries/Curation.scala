@@ -211,6 +211,65 @@ object Curation {
                GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50"""),
     ),
 
+    // Bounded-memory heavy hitters — the Misra-Gries sketch
+    // ([[graft.functions.MisraGriesAgg]], q77's O(k)-memory sibling)
+    // surfaced as a driver-checkable query. Sketch CONTENTS are
+    // arrival-order-dependent, but the guarantees are not: with k
+    // counters over n items, every item with true count > n/k is
+    // present, and each estimate e satisfies true − n/k ≤ e ≤ true
+    // (Misra & Gries 1982; mergeable form Agarwal et al. 2013). So the
+    // query emits, for every TRUE heavy hitter (exact count > n/k),
+    // the exact count (hash-checked cross-engine) plus boolean
+    // verdicts that the guarantee held; the oracle computes the same
+    // exact heavy set and the verdicts theory proves must be 1 — any
+    // violation flips a bit and fails the hash. Same verdict-banding
+    // policy as q45's sketches. The stream is corpus CHARACTERS
+    // (25 distinct vs k=16): unlike the near-uniform word/bigram
+    // distributions of the synthetic corpus, characters are genuinely
+    // skewed AND outnumber the counters, so the sketch actually
+    // evicts — the regime the guarantee is about.
+    //
+    // Scale: the sketch is one typed partial aggregate — O(k) state
+    // per partition, mergeable, no shuffle of raw items; the driver
+    // holds ≤ k-1 (item, count) pairs. The exact side exists only to
+    // VERIFY the sketch and pays the full groupBy; a production
+    // frequent-items scan ships the sketch alone.
+    QueryDef(
+      "q91_heavy_hitters_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val SketchK = 16
+        // Spark's regex split keeps a trailing "" per doc (Java
+        // split(s, -1) semantics); DuckDB's char split does not —
+        // drop empties so both engines stream identical items.
+        // chars is NOT persisted: caching millions of single-char rows
+        // costs more than re-running the codegen'd split/explode; the
+        // 25-row exact table is what gets persisted.
+        val chars = Tables.documents(s, dir)
+          .select(explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+        val sketch: Map[String, Long] = chars.as[String]
+          .select(new graft.functions.MisraGriesAgg(SketchK).toColumn)
+          .head()
+        val exact = chars.groupBy(col("ch")).agg(count(lit(1)).as("n")).persist()
+        val total = exact.agg(sum(col("n"))).head().getLong(0)
+        val thresh = total.toDouble / SketchK
+        val est = element_at(typedLit(sketch), col("ch"))
+        exact.filter(col("n") > lit(thresh))
+          .select(col("ch"), col("n"),
+            est.isNotNull.cast("int").as("in_sketch"),
+            (est.isNotNull && est <= col("n") && est >= col("n") - lit(thresh))
+              .cast("int").as("bounds_ok"))
+          .orderBy(col("ch"))
+      },
+      Some("""WITH g AS (SELECT unnest(string_split(text, '')) AS ch FROM documents),
+              c AS (SELECT ch, count(*)::BIGINT AS n FROM g GROUP BY ch),
+              tot AS (SELECT sum(n)::DOUBLE AS total FROM c)
+              SELECT ch, n, 1::INT AS in_sketch, 1::INT AS bounds_ok
+              FROM c, tot WHERE n > total / 16
+              ORDER BY ch"""),
+    ),
+
     // Overlapping sequence windows — cutting documents into
     // fixed-size training sequences (window 32 tokens, stride 16,
     // short tail merged into the last window; short docs → one
@@ -525,24 +584,45 @@ object Curation {
     // reference-corpus vocab table, same shapes.
     //
     // Scale: the vocab build is explode → HashAggregate with map-side
-    // partials (vocab ≪ token count, partials collapse hard); the
-    // grand total is a 1-row broadcast. Scoring re-joins tokens to
-    // vocab on the token key — cardinality grows with the corpus, and
-    // hot stop-word keys are exactly the AQE skew-join case, noted
-    // because at 100 TB the vocab no longer broadcasts. Per-doc mean
-    // is one partial-agg'd HashAggregate.
+    // partials (vocab ≪ token count, partials collapse hard; a hot
+    // stop word collapses to one partial row per mapper BEFORE the
+    // exchange, so the build is skew-safe by shape); the grand total
+    // is a 1-row broadcast. The score re-join is where skew bites:
+    // token keys follow a Zipf law, so a single shuffle join on the
+    // raw token would pile every "the" into one reducer at 100 TB.
+    // The fix is STRUCTURAL, not an AQE config: the vocabulary is
+    // split into a broadcast HEAD (exact top-HeadK tokens by count —
+    // precisely the keys that are hot) and a shuffled TAIL. Hot
+    // tokens join map-side against the broadcast head; the token
+    // stream is head-filtered by a broadcast anti-join BEFORE the
+    // tail shuffle, so no heavy key ever enters an exchange. The
+    // tail's per-key cardinality is ≤ the head threshold count by
+    // construction — bounded reducers, no salting needed.
     //
     // Determinism: p(w) = c/N is exact double division; ln may differ
     // by 1 ulp between libm implementations, which the 4dp fround
-    // absorbs (error 1e-16 vs boundary width 5e-5).
+    // absorbs (error 1e-16 vs boundary width 5e-5). The head/tail
+    // split is output-invariant (every token still meets its exact
+    // (c, N)), so the oracle needs no mirror of the split.
     QueryDef(
       "q87_unigram_lm_score",
       (s, dir) => {
+        // HeadK: sized so head ∪ tail both carry real traffic at the
+        // 31-word test vocab while the production contract (head =
+        // every token whose frequency could overload one reducer)
+        // holds — at 100 TB this is ~10⁴ entries, trivially broadcast.
+        val HeadK = 16
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+        val head = vocab.orderBy(col("c").desc, col("w")).limit(HeadK)
+        val tail = vocab.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
         val total = vocab.agg(sum(col("c")).cast("double").as("n"))
-        toks.join(vocab, Seq("w"))
+        val scoredHead = toks.join(broadcast(head), Seq("w"))
+        val scoredTail = toks
+          .join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+          .join(tail, Seq("w"))
+        scoredHead.unionByName(scoredTail)
           .crossJoin(broadcast(total))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),

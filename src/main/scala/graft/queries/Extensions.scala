@@ -36,10 +36,16 @@ object Extensions {
     ),
 
     // Approximate sketches: HLL distinct + approximate quantiles.
-    // No oracle — sketch algorithms are engine-specific by design
-    // (driver records the weaker rows-only check). The exact
-    // counterpart lives in q59 so this query's bench cost is the
-    // sketches' real cost, not the exact countDistinct's.
+    // Sketch VALUES are engine-specific by design (Spark HLL++ vs
+    // DuckDB HLL produce different estimates), so the oracle checks
+    // tolerance-banded VERDICTS instead: each engine computes its own
+    // sketch AND the exact answer, then emits the boolean
+    // "sketch within band of exact" — identical on both engines when
+    // both sketches honor their accuracy contracts, so rows/schema/
+    // hash all match. Bands: 15% for HLL (3σ of the default 5% rsd),
+    // 5% for the 1000-bucket median at this group size. The exact
+    // side rides along (hash-checked cross-engine), so the row pins
+    // real values, not just two `true`s.
     QueryDef(
       "q45_sketches",
       (s, dir) =>
@@ -47,9 +53,22 @@ object Extensions {
           .groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+            expr("percentile(l_extendedprice, 0.5D)").as("exact_median"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")).cast("double")
+              / col("exact_parts") <= lit(0.15)).cast("int").as("distinct_ok"),
+            (abs(col("approx_median") - col("exact_median"))
+              / col("exact_median") <= lit(0.05)).cast("int").as("median_ok"))
           .orderBy(col("l_returnflag")),
-      None,
+      Some("""SELECT l_returnflag,
+              count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+              (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))::DOUBLE
+                 / count(DISTINCT l_partkey) <= 0.15)::INT AS distinct_ok,
+              (abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+                 / quantile_cont(l_extendedprice, 0.5) <= 0.05)::INT AS median_ok
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     ),
 
     // Exact distinct counts (the ground truth q45's HLL approximates;

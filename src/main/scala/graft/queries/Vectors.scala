@@ -319,13 +319,23 @@ object Vectors {
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nsq").as("c_nsq"))
         val simToCent = Num.fround(
           VectorFns.dotF("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cent_sim").desc, col("cid"))
+        // Best-centroid selection is a map-side argmax AGGREGATE, not a
+        // row_number window: the window form hash-exchanges and sorts
+        // k× the corpus to pick one centroid per vector (the q24
+        // lesson, round 1). The cross join emits each vec_id's k
+        // candidates in place, so min_by over (-sim, cid) collapses
+        // them to one row per vector with a PARTIAL stage before the
+        // exchange — the shuffle carries one row per vector, not k.
+        // embedding/nsq are constant within the group and ride via
+        // first(). Tie-break matches the oracle: sim DESC, cid ASC.
         val assigned = c.crossJoin(broadcast(cents))
           .withColumn("cent_sim", simToCent)
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("embedding"), col("nsq"), col("cid").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(
+            min_by(col("cid"), struct((-col("cent_sim")).as("negsim"), col("cid"))).as("cell"),
+            first(col("embedding")).as("embedding"),
+            first(col("nsq")).as("nsq"))
+          .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"))
           .persist()
         val probes = assigned.filter(col("vec_id") < N_PROBES)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),

@@ -24,19 +24,21 @@ class ClusteringSpec extends SparkSuite {
     out.unpersist()
   }
 
-  test("q85 matches an independent driver-side Lloyd reimplementation") {
-    // Pure-Scala rerun of the exact algorithm (seed vec_id<8 → assign →
-    // 6dp-rounded mean update → assign) over the 500-vector sf0.001
-    // corpus: an independent implementation agreeing on every cluster
-    // and 4dp distance.
-    val emb = Tables.embeddings(spark, sfDir)
+  /** Pure-Scala rerun of the exact algorithm — seed vec_id < k (k
+    * derived the way the query derives it: max(8, n/150)) → assign →
+    * 6dp-rounded mean update → assign — agreeing on every cluster and
+    * 4dp distance. An independent implementation of both the Lloyd
+    * steps AND the derived-k contract. */
+  private def lloydCheck(dir: String): Unit = {
+    val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).sortBy(_._1)
     def d2(a: Seq[Double], b: Seq[Double]) =
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
     def argmin(e: Seq[Double], cents: Seq[(Long, Seq[Double])]) =
       cents.map { case (cid, c) => (d2(e, c), cid) }.min
-    val seeds = emb.filter(_._1 < 8).toSeq
+    val k = math.max(8L, emb.length.toLong / 150L)
+    val seeds = emb.filter(_._1 < k).toSeq
     val a1 = emb.map { case (id, e) => (id, e, argmin(e, seeds)._2) }
     val c1 = a1.groupBy(_._3).map { case (cid, rs) =>
       cid -> (0 until 64).map(i =>
@@ -46,11 +48,19 @@ class ClusteringSpec extends SparkSuite {
       val (d, cid) = argmin(e, c1)
       (id, cid, math.floor(d * 1e4 + 0.5) / 1e4)
     }.toSet
-    val got = q("q85_kmeans_assign").collect()
+    val got = SparkEntry.queries("q85_kmeans_assign")(spark, dir).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
         r.getAs[Double]("dist"))).toSet
     assert(got == expect,
       s"only-spark: ${got.diff(expect)}; only-local: ${expect.diff(got)}")
+  }
+
+  test("q85 matches an independent driver-side Lloyd reimplementation") {
+    lloydCheck(sfDir) // 500 vectors → k = max(8, 3) = 8
+  }
+
+  test("q85 derived-k path: sf0.1's 2000 vectors give k=13, still Lloyd-exact") {
+    lloydCheck("/root/testdata/sf0.1")
   }
 
   test("q86 dedup drops exactly the dominated vectors and keeps all cluster minima") {

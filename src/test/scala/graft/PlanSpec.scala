@@ -11,9 +11,15 @@ class PlanSpec extends SparkSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** The FINAL (post-AQE) physical plan only. The executed-plan string
+    * prints the final plan first, then an "== Initial Plan ==" dump;
+    * asserting against the whole string lets a positive match (e.g.
+    * "BroadcastHashJoin") be satisfied by the initial plan while AQE
+    * re-planned the final one — so the initial section is cut off for
+    * EVERY assertion in this suite. */
   private def finalPlan(df: DataFrame): String = {
     df.collect() // materialize so AQE settles on the final plan
-    df.queryExecution.executedPlan.toString
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("q01 flagship: dimension join is a broadcast hash join (no fact shuffle for the join)") {
@@ -31,11 +37,13 @@ class PlanSpec extends SparkSuite {
     val plan = finalPlan(SparkEntry.queries("q03_derived_projection")(spark, sfDir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)")
       || plan.contains("GreaterThanOrEqual(l_shipdate"), s"filter not pushed:\n$plan")
-    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
-    // 11-column lineitem pruned to just what the query touches
-    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"),
-      s"scan not column-pruned: $readSchema")
-    assert(readSchema.contains("l_shipdate"), s"unexpected schema: $readSchema")
+    // The scan's output column list (complete, unlike the ReadSchema
+    // detail, which the plan printer truncates mid-struct): 11-column
+    // lineitem pruned to just what the query touches.
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(!scanCols.contains("l_returnflag") && !scanCols.contains("l_partkey"),
+      s"scan not column-pruned: $scanCols")
+    assert(scanCols.contains("l_shipdate"), s"unexpected scan columns: $scanCols")
   }
 
   test("q05 serving scan: sort+limit plans as TakeOrderedAndProject (no global sort)") {
@@ -131,15 +139,9 @@ class PlanSpec extends SparkSuite {
     val plan = finalPlan(SparkEntry.queries("q82_range_join")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join must stream against the broadcast band list:\n$plan")
-    // Assert against the FINAL (post-AQE) plan only: the executed-plan
-    // string prints the final plan first, then an "Initial Plan" dump —
-    // cut the latter off so a re-planned shuffle can't hide behind a
-    // clean static plan. Operators BELOW the join print after it:
-    // nothing between the scan and the join may shuffle (the band
-    // list arrives broadcast).
-    val finalSection = plan.split("== Initial Plan ==")(0)
-    assert(finalSection.contains("BroadcastNestedLoopJoin"), s"BNLJ missing in final plan:\n$plan")
-    val belowJoin = finalSection.substring(finalSection.indexOf("BroadcastNestedLoopJoin"))
+    // Operators BELOW the join print after it: nothing between the
+    // scan and the join may shuffle (the band list arrives broadcast).
+    val belowJoin = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
     assert(!belowJoin.contains("Exchange hashpartitioning"),
       s"fact side must reach the join unshuffled:\n$plan")
   }
@@ -149,37 +151,50 @@ class PlanSpec extends SparkSuite {
     // pattern), so assigning the corpus must not join or shuffle it;
     // the only exchange is the output sort's range partitioning.
     val plan = finalPlan(SparkEntry.queries("q85_kmeans_assign")(spark, sfDir))
-    val finalSection = plan.split("== Initial Plan ==")(0)
-    assert(!finalSection.contains("Join"), s"no join expected in assignment:\n$plan")
-    assert(!finalSection.contains("Exchange hashpartitioning"),
+    assert(!plan.contains("Join"), s"no join expected in assignment:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
       s"corpus must not shuffle to be assigned:\n$plan")
   }
 
   test("q87 unigram LM: grand total broadcast; vocab and doc aggregates partial") {
     val plan = finalPlan(SparkEntry.queries("q87_unigram_lm_score")(spark, sfDir))
-    val finalSection = plan.split("== Initial Plan ==")(0)
     // The 1-row corpus total must arrive broadcast (BNLJ from the
     // crossJoin), never via a shuffle against the token stream.
-    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+    assert(plan.contains("BroadcastNestedLoopJoin"),
       s"1-row total must broadcast:\n$plan")
     // Vocab counts and per-doc NLL means both combine map-side.
-    assert(finalSection.contains("partial_count"),
+    assert(plan.contains("partial_count"),
       s"vocab count should partially aggregate:\n$plan")
-    assert(finalSection.contains("partial_avg") || finalSection.contains("partial_sum"),
+    assert(plan.contains("partial_avg") || plan.contains("partial_sum"),
       s"doc mean should partially aggregate:\n$plan")
+    // Hot tokens must score against the BROADCAST head vocabulary
+    // (and be head-filtered off the tail path by a broadcast
+    // anti-join) — no Zipf-heavy key may enter a shuffle join.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"head vocab join must broadcast:\n$plan")
   }
 
   test("q90 pagerank: node count broadcast, inflow sums aggregate map-side") {
     val plan = finalPlan(SparkEntry.queries("q90_neardup_pagerank")(spark, sfDir))
-    val finalSection = plan.split("== Initial Plan ==")(0)
     // The 1-row node-count aggregate must reach both iterations via
     // broadcast (BNLJ from the crossJoin), never a shuffle.
-    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+    assert(plan.contains("BroadcastNestedLoopJoin"),
       s"node count must broadcast:\n$plan")
     // Contribution sums combine map-side before the by-destination
     // exchange — the property that keeps an iteration one shuffle.
-    assert(finalSection.contains("partial_sum"),
+    assert(plan.contains("partial_sum"),
       s"inflow should partially aggregate:\n$plan")
+  }
+
+  test("q53 IVF: centroid assignment is a partial min_by aggregate, not a window over the cross join") {
+    val plan = finalPlan(SparkEntry.queries("q53_ann_ivf")(spark, sfDir))
+    // one row per vector reaches the assignment exchange (map-side
+    // argmax), instead of the k× corpus rows a row_number window
+    // would hash-exchange and sort.
+    assert(plan.contains("partial_min_by"), s"assignment should partially aggregate:\n$plan")
+    // the only window left is the final per-probe top-k rank
+    assert(!"windowspecdefinition\\(vec_id".r.findFirstIn(plan).isDefined,
+      s"no window keyed by vec_id expected:\n$plan")
   }
 
   test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
