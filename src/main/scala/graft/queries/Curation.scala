@@ -270,6 +270,90 @@ object Curation {
               ORDER BY ch"""),
     ),
 
+    // Bloom-filter decontamination — the FIXED-SIZE form of q64's
+    // benchmark-overlap scan. q64 broadcasts the benchmark's raw
+    // shingle set, which works while that set is small; the production
+    // decontamination suite (every benchmark ever published) can be
+    // billions of shingles, and the Bloom form caps what ships to
+    // executors at M bits NO MATTER how big the benchmark grows —
+    // false positives only (a flagged doc gets the exact recheck),
+    // never false negatives (contamination cannot slip through).
+    //
+    // Everything is engine-portable arithmetic: position i of shingle
+    // s is md5("<i>|"+s) hex → 48-bit int → mod M (the established
+    // TextFns md5 idiom), so the DuckDB oracle computes bit-identical
+    // positions and the membership answers — including which false
+    // positives occur — match EXACTLY, no tolerance banding needed.
+    // The Spark side tests the REAL packed form (array<long> literal +
+    // element_at/&/shiftleft — all codegen'd built-ins, no UDF); the
+    // oracle's positions-in-set formulation is semantically identical
+    // by construction (bitmap bit p set ⟺ p ∈ positions).
+    //
+    // Scale: the bitmap builds in one partial-agg'd distinct over
+    // benchmark positions and collapses to M/8 = 2 KiB of driver
+    // state; the corpus side is a narrow per-row projection against
+    // the broadcast literal — no join, no shuffle of corpus text. The
+    // exact-side join here exists only to VERIFY the no-false-negative
+    // law; production ships the bitmap alone.
+    QueryDef(
+      "q92_bloom_decontamination",
+      (s, dir) => {
+        val M = 16384 // bits (2 KiB packed); ~220 bench shingles, K=3
+        val W = M / 64 //   → FP rate ≈ (1-e^(-K·n/M))^K ≈ 2e-5 here
+        val K = 3
+        def posSpark(i: Int) =
+          s"pmod(cast(conv(substring(md5(concat('$i|', sh)), 1, 12), 16, 10) as bigint), $M)"
+        val sh = Tables.documents(s, dir)
+          .withColumn("toks", TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(array_distinct(TextFns.shingleExpr("toks", 3))).as("sh"))
+        val benchSh = sh.filter(col("doc_id") < 5).select(col("sh")).distinct().persist()
+        val bits = benchSh
+          .select(explode(array((0 until K).map(i => expr(posSpark(i))): _*)).as("p"))
+          .distinct().collect().map(_.getLong(0)) // ≤ M values — bounded
+        val bm = new Array[Long](W)
+        bits.foreach(p => bm((p / 64).toInt) |= (1L << (p % 64).toInt))
+        def hitExpr(i: Int) = {
+          val p = posSpark(i)
+          s"((element_at(bm, cast($p div 64 as int) + 1) & shiftleft(cast(1 as bigint), cast($p % 64 as int))) != 0)"
+        }
+        sh.filter(col("doc_id") >= 5)
+          .withColumn("bm", typedLit(bm.toSeq))
+          .join(broadcast(benchSh.withColumn("exact", lit(true))), Seq("sh"), "left")
+          .select(col("doc_id"),
+            expr((0 until K).map(hitExpr).mkString(" AND ")).as("b"),
+            coalesce(col("exact"), lit(false)).as("e"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(col("b").cast("long")).as("n_bloom_hits"),
+            sum(col("e").cast("long")).as("n_exact_hits"),
+            sum((col("b") && !col("e")).cast("long")).as("n_false_pos"),
+            sum((col("e") && !col("b")).cast("long")).as("n_false_neg"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val M = 16384
+        val K = 3
+        def posSql(i: Int) = s"(('0x' || substr(md5('$i|' || s), 1, 12))::BIGINT % $M)"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM
+                     (SELECT doc_id, unnest(${TextFns.shingleSql("ws", 3)}) AS s FROM t)),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+            bits AS (SELECT DISTINCT p FROM bench,
+                       UNNEST([${(0 until K).map(posSql).mkString(", ")}]) AS u(p)),
+            f AS (SELECT doc_id,
+                    (${(0 until K).map(i => s"${posSql(i)} IN (SELECT p FROM bits)").mkString(" AND ")}) AS b,
+                    s IN (SELECT s FROM bench) AS e
+                  FROM sh WHERE doc_id >= 5)
+            SELECT doc_id, count(*)::BIGINT AS n_shingles,
+              sum(b::INT)::BIGINT AS n_bloom_hits,
+              sum(e::INT)::BIGINT AS n_exact_hits,
+              sum((b AND NOT e)::INT)::BIGINT AS n_false_pos,
+              sum((e AND NOT b)::INT)::BIGINT AS n_false_neg
+            FROM f GROUP BY doc_id ORDER BY doc_id"""
+      },
+    ),
+
     // Overlapping sequence windows — cutting documents into
     // fixed-size training sequences (window 32 tokens, stride 16,
     // short tail merged into the last window; short docs → one
