@@ -89,6 +89,77 @@ object Extensions {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     ),
 
+    // Mergeable distinct-count sketches — the 100 TB pattern q45's
+    // opaque approx_count_distinct can't express: build a PERSISTABLE
+    // HLL sketch per shard (here: per l_orderkey%8, standing in for
+    // per-day/per-ingest-partition), then answer the cross-shard
+    // distinct question by sketch UNION — register-wise max, exactly
+    // commutative/associative, so the estimate is partitioning-
+    // independent and a year of daily sketches merges in milliseconds
+    // without rescanning raw data. Datasketches HLL via the public
+    // hll_sketch_agg / hll_union_agg / hll_sketch_estimate functions.
+    // Verdict-banded like q45 (each engine bands its own sketch
+    // against its own exact answer); the exact side and the shard
+    // count are hash-checked cross-engine.
+    QueryDef(
+      "q93_hll_shard_merge",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val shards = li
+          .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(8)).as("shard"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        val merged = shards.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_shards"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        merged.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_shards"), col("exact_parts"),
+            (abs(col("est") - col("exact_parts")).cast("double")
+              / col("exact_parts") <= lit(0.05)).cast("int").as("merged_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+              count(DISTINCT l_orderkey % 8)::BIGINT AS n_shards,
+              count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+              (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))::DOUBLE
+                 / count(DISTINCT l_partkey) <= 0.05)::INT AS merged_ok
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    ),
+
+    // Salted skew join — [[graft.operators.SaltedJoin]] driven through
+    // a fact⋈dim revenue rollup. The oracle is the PLAIN join: salting
+    // must be result-invariant (the salt only chooses reducers), which
+    // is exactly what the hash check proves. The build side carries a
+    // merge-join hint so the salted exchange is real in the plan even
+    // at test scale, where the 15k-row orders table would otherwise
+    // broadcast and make the demo vacuous (at the operator's target
+    // scale the build side is above the broadcast threshold by
+    // definition — that's when you reach for salting).
+    QueryDef(
+      "q94_salted_skew_join",
+      (s, dir) => {
+        val probe = Tables.lineitem(s, dir).select(col("l_orderkey").as("okey"),
+          col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
+        val build = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+          .hint("merge")
+        graft.operators.SaltedJoin.inner(probe, build, Seq("okey"),
+            saltOn = struct(col("okey"), col("l_linenumber")), factor = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            Num.fround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority,
+              ${Num.froundSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+              count(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    ),
+
     // Binary-payload plumbing at the expression layer: byte length,
     // byte-slice fingerprints, strided frame sampling — the codegen'd
     // complement of operators.Multimodal's mapPartitions stage.

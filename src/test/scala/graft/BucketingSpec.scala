@@ -41,6 +41,31 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("directory-partitioned layout: a filter on the partition column prunes at the file index") {
+    // The storage-side complement of predicate pushdown: partitionBy
+    // writes one directory per value, and a filter on that column
+    // becomes a PartitionFilter — pruned at LISTING time, before any
+    // footer is opened. At 100 TB this is the difference between
+    // scanning a day and scanning a decade.
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val read = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+      read.collect()
+      val plan = read.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), s"no partition filter:\n$plan")
+      assert("PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(plan).isDefined,
+        s"filter not pushed to partition pruning:\n$plan")
+      // And no row-group filter remains on the partition column — the
+      // predicate is fully consumed by pruning.
+      assert(read.count() == li.filter(col("l_returnflag") === "R").count())
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("mapGroupsWithState running stats equal the declarative gold aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -197,6 +197,14 @@ class PlanSpec extends SparkSuite {
       s"no window keyed by vec_id expected:\n$plan")
   }
 
+  test("q94 salted join: the exchange keys on (okey, __salt) — hot keys spread factor ways") {
+    val plan = finalPlan(SparkEntry.queries("q94_salted_skew_join")(spark, sfDir))
+    // the salt column must survive into the join's partitioning
+    assert(plan.contains("__salt"), s"salt column missing from the plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"salting demo needs a real shuffle join:\n$plan")
+  }
+
   test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
     val plan = finalPlan(SparkEntry.queries("q78_sequence_windows")(spark, sfDir))
     assert(plan.contains("Generate"), s"expected posexplode Generate:\n$plan")
