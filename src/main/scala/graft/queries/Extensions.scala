@@ -48,20 +48,30 @@ object Extensions {
     // real values, not just two `true`s.
     QueryDef(
       "q45_sketches",
-      (s, dir) =>
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
+      (s, dir) => {
+        // The exact distinct count lives in its OWN two-level
+        // aggregate (groupBy key+value, then count per key) joined
+        // back on the 3-row group key: mixing countDistinct with
+        // non-distinct aggregates makes Catalyst plan an Expand that
+        // duplicates every input row per aggregate family — measured
+        // 3× the cost of the split form at sf0.1.
+        val li = Tables.lineitem(s, dir)
+        val exact = li.groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(count(lit(1)))
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+        li.groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            countDistinct(col("l_partkey")).as("exact_parts"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
             expr("percentile(l_extendedprice, 0.5D)").as("exact_median"))
+          .join(broadcast(exact), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")).cast("double")
               / col("exact_parts") <= lit(0.15)).cast("int").as("distinct_ok"),
             (abs(col("approx_median") - col("exact_median"))
               / col("exact_median") <= lit(0.05)).cast("int").as("median_ok"))
-          .orderBy(col("l_returnflag")),
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
               count(DISTINCT l_partkey)::BIGINT AS exact_parts,
               (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))::DOUBLE

@@ -189,4 +189,26 @@ class OperatorsSpec extends SparkSuite {
       .orderBy("k").select("k", "v").as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "a3"), (2L, "b"), (3L, "c")))
   }
+
+  test("salted join equals the plain join on random skewed inputs") {
+    // Seeded RNG; probe keys drawn Zipf-ishly (half the rows on one
+    // hot key) — exactly the distribution the operator exists for.
+    // The law: salting changes WHERE rows are joined, never WHICH.
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val probe = (1 to 400).map { i =>
+        val k = if (rng.nextBoolean()) 0L else rng.nextInt(20).toLong
+        (k, i.toLong)
+      }.toDF("k", "pid")
+      val build = (0 to 20).flatMap { k =>
+        if (rng.nextBoolean()) Some((k.toLong, s"v$k")) else None
+      }.toDF("k", "payload")
+      val salted = graft.operators.SaltedJoin
+        .inner(probe, build, Seq("k"), col("pid"), factor = 4)
+        .select("k", "pid", "payload").as[(Long, Long, String)].collect().sorted.toSeq
+      val plain = probe.join(build, Seq("k"))
+        .select("k", "pid", "payload").as[(Long, Long, String)].collect().sorted.toSeq
+      assert(salted == plain, s"trial $trial: salted join changed the result set")
+    }
+  }
 }
