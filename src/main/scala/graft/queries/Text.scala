@@ -881,5 +881,69 @@ object Text {
                SELECT doc_id, deg::BIGINT AS deg, ${Num.froundSql("pr", 8)} AS pagerank
                FROM p2 ORDER BY doc_id"""),
     ),
+
+    // Windowed co-occurrence statistics (PMI) — the corpus-linguistics
+    // op behind collocation mining and word-vector preprocessing:
+    // count unordered token pairs co-occurring within a ±2-position
+    // window and score association as the PMI RATIO
+    // (p(a,b)/(p(a)·p(b)) — log-free like q69's rational IDF: log is
+    // monotone, libm's last ulp is engine-specific, the ratio is
+    // plain IEEE division).
+    //
+    // Scale shape: pair generation is an EQUI-join of the position
+    // table against itself on (doc_id, pos + δ), δ ∈ {1,2} — linear
+    // fan-out (2 pairs per token), never the per-doc quadratic a
+    // range-predicate self-join would produce. Pair and unigram
+    // counts are map-side-combined HashAggregates; the unigram join
+    // happens AFTER pair aggregation, on a vocab²-bounded table —
+    // vocab-key skew never touches the token stream (the q87 lesson;
+    // here the hot path aggregates before any join). The two scalar
+    // totals broadcast.
+    QueryDef(
+      "q96_cooccurrence_pmi",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+          .persist()
+        val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nTok = uni.agg(sum(col("c")).cast("double").as("nt"))
+        val left = tok
+          .withColumn("d", explode(array(lit(1), lit(2))))
+          .select(col("doc_id"), (col("pos") + col("d")).as("pos_b"), col("w").as("wa"))
+        val pairs = left
+          .join(tok.select(col("doc_id"), col("pos").as("pos_b"), col("w").as("wb")),
+            Seq("doc_id", "pos_b"))
+          .select(least(col("wa"), col("wb")).as("a"), greatest(col("wa"), col("wb")).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        val nPairs = pairs.agg(sum(col("c_ab")).cast("double").as("np"))
+        pairs.filter(col("c_ab") >= 5)
+          .join(broadcast(uni.select(col("w").as("a"), col("c").as("c_a"))), Seq("a"))
+          .join(broadcast(uni.select(col("w").as("b"), col("c").as("c_b"))), Seq("b"))
+          .crossJoin(broadcast(nPairs)).crossJoin(broadcast(nTok))
+          .select(col("a"), col("b"), col("c_ab"),
+            Num.fround((col("c_ab") / col("np"))
+              / ((col("c_a") / col("nt")) * (col("c_b") / col("nt"))), 4).as("pmi_ratio"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               tok AS (SELECT doc_id, i AS pos, ws[i] AS w FROM t,
+                       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+               uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+               nt AS (SELECT count(*)::DOUBLE AS nt FROM tok),
+               pr AS (SELECT least(a.w, b.w) AS pa, greatest(a.w, b.w) AS pb
+                      FROM tok a JOIN tok b
+                        ON a.doc_id = b.doc_id AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+               pairs AS (SELECT pa AS a, pb AS b, count(*)::BIGINT AS c_ab
+                         FROM pr GROUP BY pa, pb),
+               np AS (SELECT sum(c_ab)::DOUBLE AS np FROM pairs)
+               SELECT p.a, p.b, p.c_ab,
+                 ${Num.froundSql(
+          "(p.c_ab / np.np) / ((ca.c / nt.nt) * (cb.c / nt.nt))", 4)} AS pmi_ratio
+               FROM pairs p
+               JOIN uni ca ON ca.w = p.a
+               JOIN uni cb ON cb.w = p.b, np, nt
+               WHERE p.c_ab >= 5
+               ORDER BY p.a, p.b"""),
+    ),
   )
 }
