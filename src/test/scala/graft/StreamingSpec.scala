@@ -193,4 +193,39 @@ class StreamingSpec extends SparkSuite {
     val bFinal = rows.filter(_._1 == "B").maxBy(_._3)
     assert(bFinal._3 == 3 && bFinal._4 == 2) // live key unaffected by A's eviction
   }
+
+  test("streaming funnel (O(1)-per-user state) == batch q95 window attribution") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    import graft.streaming.Funnel.Ev
+    val sfDir = "/root/testdata/sf0.001"
+    // Real corpus events, split into two micro-batches at the global
+    // time median — per-user event time never regresses across the
+    // split, the ordering contract the operator documents.
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .as[Ev].collect().sortBy(e => (e.ts_us, e.user_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[Ev]
+    val q = Funnel.running(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_mem").outputMode("update").start()
+    stream.addData(b1.toSeq)
+    q.processAllAvailable()
+    stream.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // Update mode emits one row per touched user per batch; the FINAL
+    // state per user is recoverable without batch tags because every
+    // counter is monotone non-decreasing and min_delay monotone
+    // non-increasing over a user's updates.
+    val streaming = spark.table("funnel_mem")
+      .groupBy(col("user_id"))
+      .agg(max("n_clicks").as("n_clicks"), max("n_purchases").as("n_purchases"),
+        max("n_converted").as("n_converted"), min("min_delay_us").as("min_delay_us"))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    val batch = SparkEntry.queries("q95_event_funnel")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(streaming == batch,
+      s"stream-only: ${streaming.diff(batch)}; batch-only: ${batch.diff(streaming)}")
+  }
 }
