@@ -34,6 +34,12 @@ object SaltedJoin {
   def inner(probe: DataFrame, build: DataFrame, keys: Seq[String],
       saltOn: Column, factor: Int): DataFrame = {
     require(factor >= 2, s"salting with factor $factor is a no-op")
+    // A pre-existing __salt column would be silently REPLACED by the
+    // synthetic salt (withColumn semantics), making the join key on
+    // salt values instead of user data and dropping the user's column
+    // from the output — fail loudly instead.
+    require(!probe.columns.contains(SaltCol) && !build.columns.contains(SaltCol),
+      s"input already has a '$SaltCol' column — rename it before salting")
     val salted = probe.withColumn(SaltCol, pmod(hash(saltOn), lit(factor)))
     val fanned = build.withColumn(SaltCol,
       explode(sequence(lit(0), lit(factor - 1))))

@@ -202,9 +202,13 @@ class StreamingSpec extends SparkSuite {
     // Real corpus events, split into two micro-batches at the global
     // time median — per-user event time never regresses across the
     // split, the ordering contract the operator documents.
+    // event_type in the sort key: a click and purchase at the SAME
+    // timestamp must not straddle the batch split with the purchase
+    // first — the RANGE frame counts that tie, so the stream must see
+    // the click no later than the purchase.
     val evs = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
-      .as[Ev].collect().sortBy(e => (e.ts_us, e.user_id))
+      .as[Ev].collect().sortBy(e => (e.ts_us, e.user_id, e.event_type))
     val (b1, b2) = evs.splitAt(evs.length / 2)
     val stream = MemoryStream[Ev]
     val q = Funnel.running(stream.toDS())
