@@ -149,6 +149,56 @@ object Clustering {
                  FROM d2) WHERE rn = 1)"""
   }
 
+  /** Two-level k-means: train the centroids on a DETERMINISTIC sample
+    * (every m-th vec_id, m = max(1, n / (k·32)) — sample size ≈ k·32
+    * vectors no matter how big the corpus), then assign the FULL
+    * corpus. The complement of [[kmeansFinal]]'s derived-k contract on
+    * the other axis of the tradeoff: derived-k bounds CLUSTER SIZE
+    * (SemDeDup's pair-scan needs that) at the cost of k ∝ n centroid
+    * state; two-level bounds CENTROID STATE (an ANN coarse quantizer
+    * needs a broadcastable centroid table) at the cost of cluster
+    * size ∝ n. Seeds are the k smallest sampled ids (multiples of m
+    * below k·m) — deterministic on both engines. */
+  private def kmeansTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val df = emb(s, dir).persist()
+    val k = MinK
+    val m = math.max(1L, df.count() / (k * 32))
+    val sample = df.filter(col("vec_id") % m === 0)
+    val seeds = sample.filter(col("vec_id") < k * m).select(col("vec_id"), col("e"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
+      .toSeq.sortBy(_._1)
+    assign(df, updatedCentroids(assign(sample, seeds)))
+  }
+
+  /** DuckDB mirror of [[kmeansTwoLevel]]: train on the modulus sample,
+    * assign the full corpus. Defines `e(vec_id, emb)` and
+    * `a2(vec_id, cid, dist)`. */
+  private def twoLevelSqlCtes: String = {
+    def dist(tbl: String, c: String) =
+      s"list_sum([($tbl.emb[i] - $c[i]) * ($tbl.emb[i] - $c[i]) for i in generate_series(1, $DIM)])"
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        prm AS (SELECT greatest(1, count(*) // ${MinK * 32}) AS m FROM e),
+        smp AS (SELECT e.* FROM e, prm WHERE e.vec_id % prm.m = 0),
+        c0 AS (SELECT s.vec_id AS cid, s.emb AS c FROM smp s, prm
+               WHERE s.vec_id < $MinK * prm.m),
+        d1 AS (SELECT s.vec_id, c0.cid, ${dist("s", "c0.c")} AS dist FROM smp s, c0),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        upd AS (SELECT a1.cid, t.i, ${Num.froundSql("avg(s.emb[t.i])", 6)} AS x
+                FROM a1 JOIN smp s USING (vec_id),
+                  LATERAL (SELECT unnest(generate_series(1, $DIM)) AS i) t
+                GROUP BY a1.cid, t.i),
+        c1 AS (SELECT cid, list(x ORDER BY i) AS c FROM upd GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c1.cid, ${dist("e", "c1.c")} AS dist FROM e, c1),
+        a2 AS (SELECT vec_id, cid, dist FROM (
+                 SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                 FROM d2) WHERE rn = 1)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Distributed k-means (Lloyd): seed with vec_id < k, one rounded
@@ -244,6 +294,26 @@ object Clustering {
                  ${Num.froundSql("dist", 4)} AS dist
                FROM r WHERE rank <= 16
                ORDER BY cluster_id, rank"""),
+    ),
+
+    // Two-level (sample-trained) k-means — see [[kmeansTwoLevel]]:
+    // the production form for a broadcastable coarse quantizer whose
+    // centroid/driver state stays CONSTANT as the corpus grows
+    // (training cost ∝ sample ≈ k·32 vectors; the corpus pays only
+    // the final narrow-map assignment). The axis-complement of q85's
+    // derived-k contract; both oracles recompute their full Lloyd
+    // chain in SQL.
+    QueryDef(
+      "q97_kmeans_twolevel",
+      (s, dir) =>
+        kmeansTwoLevel(s, dir)
+          .select(col("vec_id"), col("cid").as("cluster_id"),
+            Num.fround(col("dist"), 4).as("dist"))
+          .orderBy(col("vec_id")),
+      Some(s"""WITH $twoLevelSqlCtes
+               SELECT vec_id, cid AS cluster_id,
+                 ${Num.froundSql("dist", 4)} AS dist
+               FROM a2 ORDER BY vec_id"""),
     ),
   )
 }

@@ -63,6 +63,20 @@ class ClusteringSpec extends SparkSuite {
     lloydCheck("/root/testdata/sf0.1")
   }
 
+  test("q97 two-level: constant-size training sample, seeds are sampled ids, full corpus assigned") {
+    val dir = "/root/testdata/sf0.1" // 2000 vectors → m=7: training genuinely samples
+    val out = SparkEntry.queries("q97_kmeans_twolevel")(spark, dir).persist()
+    val n = Tables.embeddings(spark, dir).count()
+    assert(out.count() == n, "every vector assigned")
+    assert(out.select("vec_id").distinct().count() == n, "exactly once")
+    // Cluster ids are the k smallest SAMPLED ids: multiples of m below k*m.
+    val m = math.max(1L, n / (8 * 32))
+    val cids = out.select("cluster_id").distinct().collect().map(_.getAs[Long]("cluster_id"))
+    assert(cids.forall(c => c % m == 0 && c < 8 * m), s"non-seed cluster id in ${cids.toSeq}")
+    assert(cids.length > 1, "degenerate single-cluster result")
+    out.unpersist()
+  }
+
   test("q86 dedup drops exactly the dominated vectors and keeps all cluster minima") {
     val out = q("q86_semantic_dedup").persist()
     val assigns = q("q85_kmeans_assign")
