@@ -227,6 +227,52 @@ object Core {
               GROUP BY r_name ORDER BY r_name"""),
     ),
 
+    // TPC-H Q7-shaped volume shipping: per (supplier nation, customer
+    // nation, ship year) revenue — the deepest join tree in the suite
+    // (fact → orders on the fact key, then FOUR broadcast dims:
+    // customer, supplier, nation × 2 roles). The planning property
+    // that matters at 100 TB: the only shuffle-worthy join is
+    // fact⋈orders (two big tables on the shared key); every
+    // nation-resolution hop stays a broadcast hash join, so the fact
+    // rows cross the wire at most once. Both nation roles come from
+    // the SAME dim aliased twice — no second scan materializes.
+    QueryDef(
+      "q100_volume_shipping",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), sup("s_nationkey") === n1("sn_key"))
+          .join(broadcast(n2), c("c_nationkey") === n2("cn_key"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(Num.fround(sum(col("rev")), 2).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              year(l_shipdate)::INT AS l_year,
+              floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+              count(*) AS n_lines
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              GROUP BY supp_nation, cust_nation, l_year
+              ORDER BY supp_nation, cust_nation, l_year"""),
+    ),
+
     // A3 — duplicate-group detection. Reference: api_service/main.py:225-234
     // (matchId dup pipeline: group, count, keep count>1).
     QueryDef(

@@ -197,6 +197,17 @@ class PlanSpec extends SparkSuite {
       s"no window keyed by vec_id expected:\n$plan")
   }
 
+  test("q100 volume shipping: every nation-resolution hop broadcasts (fact crosses the wire at most once)") {
+    val plan = finalPlan(SparkEntry.queries("q100_volume_shipping")(spark, sfDir))
+    // customer, supplier, nation×2 must all be broadcast hash joins;
+    // at test scale orders broadcasts too — the only join allowed to
+    // shuffle at production scale is fact⋈orders.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"dim hops must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"unexpected plan shape:\n$plan")
+  }
+
   test("q94 salted join: the exchange keys on (okey, __salt) — hot keys spread factor ways") {
     val plan = finalPlan(SparkEntry.queries("q94_salted_skew_join")(spark, sfDir))
     // the salt column must survive into the join's partitioning
