@@ -477,5 +477,88 @@ object Vectors {
                QUALIFY rank <= 3
                ORDER BY probe_id, rank"""),
     ),
+
+    // IVF multi-probe (nprobe = 2) — the recall knob on q53: a true
+    // neighbor that fell just across a Voronoi boundary is invisible
+    // to a single-cell search, so each probe searches its TWO
+    // nearest cells. Cost model: candidates scale linearly with
+    // nprobe (cells are disjoint — no dedup needed), recall climbs
+    // toward brute-force; the probe's cell ranking is the same
+    // broadcast-centroid cross join as assignment, collapsed by ONE
+    // aggregate per probe (sorted top-2 slice of the collected
+    // 16-element candidate list — bounded by k, never by corpus).
+    QueryDef(
+      "q101_ann_ivf_multiprobe",
+      (s, dir) => {
+        val K_CELLS = 16
+        val NPROBE = 2
+        val c = corpus(s, dir)
+        val nTotal = c.agg(count(lit(1)).as("n_total"))
+        val cents = c.crossJoin(broadcast(nTotal))
+          .filter(col("vec_id") %
+            greatest(lit(97L), floor(col("n_total") / K_CELLS).cast("long")) === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nsq").as("c_nsq"))
+        val simToCent = Num.fround(
+          VectorFns.dotF("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
+        val assigned = c.crossJoin(broadcast(cents))
+          .withColumn("cent_sim", simToCent)
+          .groupBy(col("vec_id"))
+          .agg(
+            min_by(col("cid"), struct((-col("cent_sim")).as("negsim"), col("cid"))).as("cell"),
+            first(col("embedding")).as("embedding"),
+            first(col("nsq")).as("nsq"))
+          .persist()
+        // Probe-side top-NPROBE cells: k candidates per probe collapse
+        // in one aggregate (collect_list is bounded by K_CELLS).
+        val probeCells = c.filter(col("vec_id") < N_PROBES)
+          .crossJoin(broadcast(cents))
+          .withColumn("cent_sim", simToCent)
+          .groupBy(col("vec_id"))
+          .agg(
+            expr(s"slice(array_sort(collect_list(struct(-cent_sim AS negsim, cid))), 1, $NPROBE)")
+              .as("cells"),
+            first(col("embedding")).as("p_emb"),
+            first(col("nsq")).as("p_nsq"))
+          .select(col("vec_id").as("probe_id"), col("p_emb"), col("p_nsq"),
+            explode(expr("transform(cells, x -> x.cid)")).as("cell"))
+        val sim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        assigned.join(broadcast(probeCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("cell"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
+                         WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // 16) = 0),
+               assigned AS (
+                 SELECT vec_id, emb, nsq, cid AS cell FROM (
+                   SELECT c.vec_id, c.emb, c.nsq, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM c CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               pc AS (
+                 SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, cid AS cell FROM (
+                   SELECT c.vec_id, c.emb, c.nsq, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM c CROSS JOIN cents
+                   WHERE c.vec_id < $N_PROBES)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) <= 2),
+               sims AS (
+                 SELECT probe_id, a.vec_id AS vec_id, a.cell AS cell,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                 FROM assigned a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
+               SELECT probe_id, vec_id, cell, sim,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+               FROM sims
+               QUALIFY rank <= 3
+               ORDER BY probe_id, rank"""),
+    ),
   )
 }
