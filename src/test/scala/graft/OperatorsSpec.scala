@@ -190,6 +190,37 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Seq((1L, "a3"), (2L, "b"), (3L, "c")))
   }
 
+  test("staged pair graph: consumers reuse persisted pairs — no LSH recompute in the read plan") {
+    // At production scale the verified near-dup pair graph is a
+    // persisted artifact: the LSH pipeline's shuffle is paid once at
+    // write time and every consumer (clustering, dedup decisions,
+    // PageRank) composes from storage. This pins the pattern: cluster
+    // from the staged table, get exactly the inline q68 clusters, and
+    // the staged read plan contains none of the signature machinery.
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs").toString
+    try {
+      SparkEntry.queries("q33_minhash_lsh_pairs")(spark, sfDir)
+        .write.mode("overwrite").parquet(dir)
+      val staged = spark.read.parquet(dir)
+      val edges = staged.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      edges.collect()
+      val plan = edges.queryExecution.executedPlan.toString
+      assert(!plan.contains("minhash_slots") && !plan.contains("md5"),
+        s"staged read must not recompute signatures:\n$plan")
+      val stagedClusters = ConnectedComponents.cluster(edges)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val inline = SparkEntry.queries("q68_neardup_clusters")(spark, sfDir)
+        .select("doc_id", "cluster_id")
+      assert(stagedClusters.exceptAll(inline).isEmpty
+        && inline.exceptAll(stagedClusters).isEmpty,
+        "staged-graph clustering diverged from the inline pipeline")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("salted join equals the plain join on random skewed inputs") {
     // Seeded RNG; probe keys drawn Zipf-ishly (half the rows on one
     // hot key) — exactly the distribution the operator exists for.
