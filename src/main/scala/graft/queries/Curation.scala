@@ -473,21 +473,29 @@ object Curation {
     // windows): here sequences CROSS doc boundaries, which is what a
     // packed pretraining shard really looks like.
     //
-    // Scale: doc offsets are one cumulative-sum window per language;
-    // the token explode shuffles by (lang, seq_idx) whose groups are
-    // exactly 32 tokens — bounded fan-in, key space grows linearly
-    // with corpus tokens, nothing concentrates. That token-granular
-    // exchange is the honest cost of producing token-packed output.
+    // Scale: doc offsets are a DISTRIBUTED prefix sum (sqrt-scaled
+    // doc_id buckets + broadcast offset table — PrefixSum; the naive
+    // per-language cumsum window was round 4's single-reducer
+    // finding); the token explode shuffles by (lang, seq_idx) whose
+    // groups are exactly 32 tokens — bounded fan-in, key space grows
+    // linearly with corpus tokens, nothing concentrates. That
+    // token-granular exchange is the honest cost of producing
+    // token-packed output.
     QueryDef(
       "q81_sequence_packing",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val toks = split(col("text"), " ")
-        val cum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val withOff = Tables.documents(s, dir)
+        val base = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), toks.as("ws"), size(toks).cast("long").as("n"))
-          .withColumn("off", sum(col("n")).over(cum) - col("n"))
+        val mx = base.agg(max(col("doc_id")).as("__mx"))
+        val bucketed = base.crossJoin(broadcast(mx))
+          .withColumn("db",
+            floor(col("doc_id") / graft.operators.PrefixSum.sqrtWidth(col("__mx"))).cast("long"))
+          .drop("__mx")
+        val withOff = graft.operators.PrefixSum.keyedCumSum(
+          bucketed, key = Seq("lang"), bucket = "db",
+          ord = Seq(col("doc_id")), value = col("n"), cumName = "cumn")
+          .withColumn("off", col("cumn") - col("n"))
         val seq = array_sort(collect_list(struct(col("gpos"), col("tok"))))
         withOff
           .select(col("doc_id"), col("lang"), col("off"), posexplode(col("ws")))

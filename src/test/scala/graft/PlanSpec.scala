@@ -204,8 +204,27 @@ class PlanSpec extends SparkSuite {
     // shuffle at production scale is fact⋈orders.
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
       s"dim hops must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
-      s"unexpected plan shape:\n$plan")
+    // at most ONE join may shuffle (the fact⋈orders hop at production
+    // scale; zero at test scale where orders broadcasts too)
+    val shuffled = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shuffled <= 1, s"more than one shuffled join:\n$plan")
+  }
+
+  test("q63/q66/q81: no single-key window over unaggregated input (distributed prefix-sum shape)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
+    for (q <- Seq("q63_training_selection", "q66_token_budget_pack", "q81_sequence_packing")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      // A Window whose partition spec is a single key pins each key's
+      // whole extent to one task — allowed only above an Aggregate
+      // (the tiny per-bucket offset table), never over corpus rows.
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow
+            if w.partitionSpec.size <= 1 && !w.child.exists(_.isInstanceOf[Aggregate]) => w
+      }
+      assert(bad.isEmpty,
+        s"$q: single-key window over unaggregated input:\n${bad.mkString("\n")}")
+    }
   }
 
   test("q94 salted join: the exchange keys on (okey, __salt) — hot keys spread factor ways") {
