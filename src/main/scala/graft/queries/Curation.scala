@@ -624,15 +624,30 @@ object Curation {
         // Stage 4: stratified deterministic sample (the SHARED q76
         // strata* helpers).
         val sampled = gated.filter(strataBucket < strataRate)
-        // Stage 5: per-lang stream assembly — the packer's exact input.
+        // Stage 5: per-lang stream fingerprint — a MERKLE fold, not a
+        // whole-language concat (round-4 finding: collect_list of the
+        // full per-language survivor text is unbounded executor
+        // memory). Level 1 fingerprints sqrt-scaled doc_id chunks
+        // (buffer bounded by chunk width); level 2 hashes the ordered
+        // chunk-hash list (bounded by chunk COUNT, 32 bytes each).
+        // One md5 still catches a divergence in ANY earlier stage —
+        // the DuckDB oracle mirrors the same fold exactly.
         val nTokSurv = size(split(col("text"), " "))
-        val stream = array_sort(collect_list(struct(col("doc_id"), col("text"))))
-        sampled.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(nTokSurv).cast("long").as("n_tokens"),
-            ceil(sum(nTokSurv).cast("double") / 32.0).cast("long").as("n_seqs"),
-            md5(array_join(transform(stream, d => d.getField("text")), " "))
-              .as("stream_fp"))
+        val mx5 = sampled.agg(max(col("doc_id")).as("__mx"))
+        val chunked = sampled.crossJoin(broadcast(mx5))
+          .withColumn("ck",
+            floor(col("doc_id") / graft.operators.PrefixSum.sqrtWidth(col("__mx"))).cast("long"))
+        val chunkStream = array_sort(collect_list(struct(col("doc_id"), col("text"))))
+        val chunks = chunked.groupBy(col("lang"), col("ck"))
+          .agg(count(lit(1)).as("c_docs"),
+            sum(nTokSurv).cast("long").as("c_toks"),
+            md5(array_join(transform(chunkStream, d => d.getField("text")), " ")).as("c_fp"))
+        val fpList = array_sort(collect_list(struct(col("ck"), col("c_fp"))))
+        chunks.groupBy(col("lang"))
+          .agg(sum(col("c_docs")).cast("long").as("n_docs"),
+            sum(col("c_toks")).cast("long").as("n_tokens"),
+            ceil(sum(col("c_toks")).cast("double") / 32.0).cast("long").as("n_seqs"),
+            md5(array_join(transform(fpList, x => x.getField("c_fp")), "")).as("stream_fp"))
           .orderBy(col("lang"))
       },
       Some(
@@ -659,12 +674,20 @@ object Curation {
               JOIN (SELECT doc_id FROM per WHERE n_hit * 10 <= n_sh) k USING (doc_id)),
             sampled AS (
               SELECT * FROM gated
-              WHERE $strataBucketSql < $strataRateSql)
-            SELECT lang, count(*)::BIGINT AS n_docs,
-              sum(len(ws))::BIGINT AS n_tokens,
-              ceil(sum(len(ws)) / 32.0)::BIGINT AS n_seqs,
-              md5(string_agg(text, ' ' ORDER BY doc_id)) AS stream_fp
-            FROM sampled GROUP BY lang ORDER BY lang"""),
+              WHERE $strataBucketSql < $strataRateSql),
+            w5 AS (
+              SELECT greatest(64, ceil(sqrt(max(doc_id) + 1))::BIGINT) AS w
+              FROM sampled),
+            chunks AS (
+              SELECT lang, doc_id // w AS ck,
+                count(*) AS c_docs, sum(len(ws)) AS c_toks,
+                md5(string_agg(text, ' ' ORDER BY doc_id)) AS c_fp
+              FROM sampled, w5 GROUP BY lang, ck)
+            SELECT lang, sum(c_docs)::BIGINT AS n_docs,
+              sum(c_toks)::BIGINT AS n_tokens,
+              ceil(sum(c_toks) / 32.0)::BIGINT AS n_seqs,
+              md5(string_agg(c_fp, '' ORDER BY ck)) AS stream_fp
+            FROM chunks GROUP BY lang ORDER BY lang"""),
     ),
 
     // Unigram-LM quality scoring — the CCNet-style "score each doc by
