@@ -2,10 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: one JSON line with per-query wall-clock over
-  * SPARK_GRAFT_SF_DIR. Queries run in name order after a short untimed
-  * warmup (JVM/codegen/file-index startup otherwise lands on whichever
-  * query happens to run first and distorts its number).
+/** Driver-run benchmark: a full JSON line with per-query wall-clock
+  * over SPARK_GRAFT_SF_DIR, then a compact summary line LAST (the
+  * driver tail-captures stdout; the compact line survives any
+  * front-truncation of the full one). Queries run in name order after
+  * a short untimed warmup (JVM/codegen/file-index startup otherwise
+  * lands on whichever query happens to run first and distorts its
+  * number).
   *
   * Between queries every cached relation is dropped: each query's
   * persist() calls are intra-query materializations, and letting 56
@@ -77,31 +80,56 @@ object Bench {
     }
 
     val benchStart = System.nanoTime()
-    val timings = (1 to maxRuns).flatMap { run =>
-      val spent = (System.nanoTime() - benchStart) / 1e9
-      if (run > 1 && spent > budgetSec) None
-      else Some(sorted.map { case (name, fn) =>
-        val gc0 = gcMillis()
-        val t0 = System.nanoTime()
-        val elapsed =
-          try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-          catch {
-            case e: Throwable =>
-              errors += name -> e.getClass.getSimpleName
-              -1.0
-          }
-        val gcSec = (gcMillis() - gc0) / 1e3
-        spark.sharedState.cacheManager.clearCache()
-        name -> (elapsed, gcSec)
-      }.toMap)
+    def spentSec: Double = (System.nanoTime() - benchStart) / 1e9
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      val elapsed =
+        try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            errors += name -> e.getClass.getSimpleName
+            -1.0
+        }
+      val gcSec = (gcMillis() - gc0) / 1e3
+      spark.sharedState.cacheManager.clearCache()
+      (elapsed, gcSec)
     }
-    val runs = timings.size
-    // Per query: min wall-clock across runs, with the gc time of the
-    // SAME run (gc of a discarded slow run would overstate the cost of
-    // the reported number). A query that failed in ANY run reports -1
-    // (visible in errors).
+
+    val samples = scala.collection.mutable.LinkedHashMap(
+      sorted.map { case (name, _) => name -> scala.collection.mutable.ListBuffer.empty[(Double, Double)] }: _*)
+    var fullPasses = 0
+    for (run <- 1 to maxRuns if run == 1 || spentSec < budgetSec) {
+      sorted.foreach { case (name, fn) => samples(name) += runOne(name, fn) }
+      fullPasses += 1
+    }
+    // Targeted reruns (round-4 verdict: the driver's 26.6 s q61 was a
+    // budget-exhausted SINGLE-SHOT reading on a shared VM). When the
+    // budget gate stopped full passes after one, the slowest queries —
+    // exactly the ones an outlier distorts most — get an individual
+    // second measurement inside a bounded grace window, so no headline
+    // number is ever min-of-one while time remains.
+    if (fullPasses == 1) {
+      // The grace window is RELATIVE to when passes stopped (a slow
+      // pass 1 must not consume it, or the driver environment — the
+      // exact case this exists for — would still emit single-shots).
+      val graceEnd = spentSec + budgetSec / 4.0
+      val slowestFirst = samples.toSeq
+        .filter { case (_, ss) => ss.forall(_._1 >= 0) }
+        .sortBy { case (_, ss) => -ss.map(_._1).min }
+      val byName = sorted.toMap
+      slowestFirst.foreach { case (name, ss) =>
+        if (spentSec < graceEnd) ss += runOne(name, byName(name))
+      }
+    }
+    val runs = fullPasses
+    // Per query: min wall-clock across its runs, with the gc time of
+    // the SAME run (gc of a discarded slow run would overstate the
+    // cost of the reported number). A query that failed in ANY run
+    // reports -1 (visible in errors).
     val results = sorted.map { case (name, _) =>
-      val ts = timings.map(_(name))
+      val ts = samples(name)
       name -> (if (ts.exists(_._1 < 0)) (-1.0, -1.0) else ts.minBy(_._1))
     }
     // 3dp is below measurement noise; keeping the line short matters
@@ -115,8 +143,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val rpq = samples.map { case (k, ss) => "\"" + k + "\":" + ss.size }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":${errors.size},"errors":$errs,"gc_sec":$gcs,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":${errors.size},"errors":$errs,"runs_per_query":$rpq,"gc_sec":$gcs,"queries":$qs}""")
+    // Belt-and-braces tail: the driver captures the END of stdout, so
+    // a second, compact summary line goes LAST — if front-truncation
+    // ever eats into the full line above, this one still parses.
+    val top10 = results.sortBy { case (_, (v, _)) => -v }.take(10)
+      .map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":${errors.size},"top10":$top10}""")
     spark.stop()
   }
 }
