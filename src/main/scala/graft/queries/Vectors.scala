@@ -69,6 +69,43 @@ object Vectors {
             for i in generate_series(1, 64)] AS codes
          FROM embeddings CROSS JOIN s)"""
 
+  /** IVF coarse-quantizer cell count, shared by q53/q101/q103. */
+  private val IVF_K = 16
+
+  /** Deterministic IVF centroids: every m-th vector with m derived
+    * from the corpus size (m = max(97, n div k)) so the centroid
+    * table stays ~k rows at any corpus size — broadcastable, and
+    * assignment stays O(n·k). Shared by q53/q101/q103. */
+  private def ivfCents(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val c = corpus(s, dir)
+    val nTotal = c.agg(count(lit(1)).as("n_total"))
+    c.crossJoin(broadcast(nTotal))
+      .filter(col("vec_id") %
+        greatest(lit(97L), floor(col("n_total") / IVF_K).cast("long")) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nsq").as("c_nsq"))
+  }
+
+  /** Cosine of a row's embedding to a candidate centroid (6dp — the
+    * assignment tie-break scale mirrored by every oracle). */
+  private def ivfCentSim = Num.fround(
+    VectorFns.dotF("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
+
+  /** Best-centroid assignment as a map-side argmax AGGREGATE, not a
+    * row_number window: the cross join emits each vec_id's k
+    * candidates in place, so min_by over (-sim, cid) collapses them
+    * with a PARTIAL stage before the exchange — the shuffle carries
+    * one row per vector, not k (the q24 lesson, round 1). `extra`
+    * columns (constant within the group) ride via first(). */
+  private def ivfAssign(rows: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      extra: Seq[String]): org.apache.spark.sql.DataFrame =
+    rows.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", ivfCentSim)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cid"), struct((-col("cent_sim")).as("negsim"), col("cid"))).as("cell"),
+        extra.map(c => first(col(c)).as(c)): _*)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-label vector stats: counts and mean L2 norm.
@@ -310,31 +347,10 @@ object Vectors {
     QueryDef(
       "q53_ann_ivf",
       (s, dir) => {
-        val K_CELLS = 16
-        val c = corpus(s, dir)
-        val nTotal = c.agg(count(lit(1)).as("n_total"))
-        val cents = c.crossJoin(broadcast(nTotal))
-          .filter(col("vec_id") %
-            greatest(lit(97L), floor(col("n_total") / K_CELLS).cast("long")) === 0)
-          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nsq").as("c_nsq"))
-        val simToCent = Num.fround(
-          VectorFns.dotF("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
-        // Best-centroid selection is a map-side argmax AGGREGATE, not a
-        // row_number window: the window form hash-exchanges and sorts
-        // k× the corpus to pick one centroid per vector (the q24
-        // lesson, round 1). The cross join emits each vec_id's k
-        // candidates in place, so min_by over (-sim, cid) collapses
-        // them to one row per vector with a PARTIAL stage before the
-        // exchange — the shuffle carries one row per vector, not k.
-        // embedding/nsq are constant within the group and ride via
-        // first(). Tie-break matches the oracle: sim DESC, cid ASC.
-        val assigned = c.crossJoin(broadcast(cents))
-          .withColumn("cent_sim", simToCent)
-          .groupBy(col("vec_id"))
-          .agg(
-            min_by(col("cid"), struct((-col("cent_sim")).as("negsim"), col("cid"))).as("cell"),
-            first(col("embedding")).as("embedding"),
-            first(col("nsq")).as("nsq"))
+        // Assignment via the shared ivfAssign argmax aggregate (see
+        // its scaladoc for the partial_min_by shape). Tie-break
+        // matches the oracle: sim DESC, cid ASC.
+        val assigned = ivfAssign(corpus(s, dir), ivfCents(s, dir), Seq("embedding", "nsq"))
           .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"))
           .persist()
         val probes = assigned.filter(col("vec_id") < N_PROBES)
@@ -490,29 +506,15 @@ object Vectors {
     QueryDef(
       "q101_ann_ivf_multiprobe",
       (s, dir) => {
-        val K_CELLS = 16
         val NPROBE = 2
         val c = corpus(s, dir)
-        val nTotal = c.agg(count(lit(1)).as("n_total"))
-        val cents = c.crossJoin(broadcast(nTotal))
-          .filter(col("vec_id") %
-            greatest(lit(97L), floor(col("n_total") / K_CELLS).cast("long")) === 0)
-          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("nsq").as("c_nsq"))
-        val simToCent = Num.fround(
-          VectorFns.dotF("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
-        val assigned = c.crossJoin(broadcast(cents))
-          .withColumn("cent_sim", simToCent)
-          .groupBy(col("vec_id"))
-          .agg(
-            min_by(col("cid"), struct((-col("cent_sim")).as("negsim"), col("cid"))).as("cell"),
-            first(col("embedding")).as("embedding"),
-            first(col("nsq")).as("nsq"))
-          .persist()
+        val cents = ivfCents(s, dir)
+        val assigned = ivfAssign(c, cents, Seq("embedding", "nsq")).persist()
         // Probe-side top-NPROBE cells: k candidates per probe collapse
-        // in one aggregate (collect_list is bounded by K_CELLS).
+        // in one aggregate (collect_list is bounded by IVF_K).
         val probeCells = c.filter(col("vec_id") < N_PROBES)
           .crossJoin(broadcast(cents))
-          .withColumn("cent_sim", simToCent)
+          .withColumn("cent_sim", ivfCentSim)
           .groupBy(col("vec_id"))
           .agg(
             expr(s"slice(array_sort(collect_list(struct(-cent_sim AS negsim, cid))), 1, $NPROBE)")
@@ -557,6 +559,104 @@ object Vectors {
                SELECT probe_id, vec_id, cell, sim,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
                FROM sims
+               QUALIFY rank <= 3
+               ORDER BY probe_id, rank"""),
+    ),
+
+    // IVF × SQ serving — the real FAISS-style split, composed from
+    // q53's coarse quantizer and q71's int8 codes (round-4 verdict
+    // #5: q72's candidate scan was a full corpus scan per probe; here
+    // candidates come only from the probe's nprobe=2 IVF cells).
+    // Serving reads three tiers, each strictly cheaper than the last:
+    // (1) broadcast centroid table ranks cells per probe, (2) the
+    // probe's cells are scanned with pure-integer squared-L2 over
+    // 64-BYTE code rows (cell-restricted via a broadcast hash join on
+    // cell — ~nprobe/k of the corpus, 4× less memory per row), (3)
+    // only the top-10 integer candidates pay the exact float cosine.
+    // At 100 TB the index table is storage-partitioned by cell, so
+    // tier 2 is a partition-pruned scan.
+    QueryDef(
+      "q103_ann_ivf_sq",
+      (s, dir) => {
+        graft.functions.DotProductF.register(s)
+        val NPROBE = 2
+        val cents = ivfCents(s, dir)
+        // The serving INDEX: one row per vector with its IVF cell,
+        // int8 codes, and the float payload — the q53 argmax
+        // assignment over the quantized corpus.
+        val qz = quantized(s, dir)
+          .withColumn("nsq", VectorFns.normSqF("embedding"))
+          .select(col("vec_id"), col("embedding"), col("nsq"), col("codes"))
+        val index = ivfAssign(qz, cents, Seq("codes", "embedding", "nsq")).persist()
+        val probeCells = qz.filter(col("vec_id") < N_PROBES)
+          .crossJoin(broadcast(cents))
+          .withColumn("cent_sim", ivfCentSim)
+          .groupBy(col("vec_id"))
+          .agg(
+            expr(s"slice(array_sort(collect_list(struct(-cent_sim AS negsim, cid))), 1, $NPROBE)")
+              .as("cells"),
+            first(col("codes")).as("p_codes"),
+            first(col("embedding")).as("p_emb"),
+            first(col("nsq")).as("p_nsq"))
+          .select(col("vec_id").as("probe_id"), col("p_codes"), col("p_emb"), col("p_nsq"),
+            explode(expr("transform(cells, x -> x.cid)")).as("cell"))
+        val cands = index.select(col("vec_id"), col("cell"), col("codes"))
+          .join(broadcast(probeCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("adist", expr(
+            """aggregate(zip_with(codes, p_codes, (a, b) -> (a - b) * (a - b)),
+                 0, (acc, v) -> acc + v)""").cast("long"))
+        val w10 = Window.partitionBy(col("probe_id"))
+          .orderBy(col("adist"), col("vec_id"))
+        val w3 = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        cands
+          .withColumn("crank", row_number().over(w10))
+          .filter(col("crank") <= 10)
+          .join(index.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+          .withColumn("sim", Num.fround(
+            VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
+          .withColumn("rank", row_number().over(w3).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
+            col("adist"), col("sim"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH $quantizedSqlCtes,
+               nz AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb, codes,
+                   ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM q),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM nz
+                         WHERE vec_id % greatest(97, (SELECT count(*) FROM nz) // $IVF_K) = 0),
+               assigned AS (
+                 SELECT vec_id, emb, nsq, codes, cid AS cell FROM (
+                   SELECT nz.vec_id, nz.emb, nz.nsq, nz.codes, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM nz CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               pc AS (
+                 SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq,
+                        codes AS p_codes, cid AS cell FROM (
+                   SELECT nz.vec_id, nz.emb, nz.nsq, nz.codes, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM nz CROSS JOIN cents
+                   WHERE nz.vec_id < $N_PROBES)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) <= 2),
+               cand AS (
+                 SELECT pc.probe_id, a.vec_id, a.cell, a.emb, a.nsq, pc.p_emb, pc.p_nsq,
+                   list_reduce([(a.codes[i] - pc.p_codes[i]) * (a.codes[i] - pc.p_codes[i])
+                     for i in generate_series(1, 64)], (acc, v) -> acc + v)::BIGINT AS adist
+                 FROM assigned a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+                 QUALIFY row_number() OVER (PARTITION BY pc.probe_id ORDER BY adist, a.vec_id) <= 10),
+               rr AS (
+                 SELECT probe_id, vec_id, cell, adist,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                 FROM cand)
+               SELECT probe_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                 vec_id, cell, adist, sim
+               FROM rr
                QUALIFY rank <= 3
                ORDER BY probe_id, rank"""),
     ),

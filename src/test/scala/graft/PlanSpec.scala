@@ -227,6 +227,15 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q103 IVF×SQ serving: candidate scan is cell-restricted (broadcast join on cell, no corpus shuffle)") {
+    val plan = finalPlan(SparkEntry.queries("q103_ann_ivf_sq")(spark, sfDir))
+    // the int8 candidate scan must be gated by the probe-cells join
+    // keyed on the IVF cell — not a per-probe full corpus scan
+    assert("BroadcastHashJoin \\[cell#".r.findFirstIn(plan).isDefined,
+      s"candidates must come from a broadcast hash join on cell:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for serving:\n$plan")
+  }
+
   test("q94 salted join: the exchange keys on (okey, __salt) — hot keys spread factor ways") {
     val plan = finalPlan(SparkEntry.queries("q94_salted_skew_join")(spark, sfDir))
     // the salt column must survive into the join's partitioning
