@@ -18,9 +18,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * Ordering contract: rows are folded in (ts, type) order WITHIN a
   * batch (clicks before purchases on ties — exactly the RANGE frame's
   * tie semantics), so any intra-batch arrival shuffle is harmless;
-  * ACROSS batches a user's events must not regress in event time (the
-  * same write-time watermark contract Incremental documents — late
-  * cross-batch data needs the batch backfill path, not the stream).
+  * ACROSS batches a user's events must arrive STRICTLY after all
+  * previously seen event times — equal timestamps must land in the
+  * same batch. (Strictness matters for q95 equivalence: a click
+  * arriving in a later batch with a timestamp EQUAL to an
+  * already-folded purchase could not retro-convert it, while the
+  * RANGE frame's inclusive bound would count it.) This is the same
+  * write-time watermark contract Incremental documents — late
+  * cross-batch data needs the batch backfill path, not the stream.
   * For a continuous deployment, compose with an event-time TTL
   * (StatefulStats.runningStatsWithTtl shows the eviction form) to
   * bound state by the ACTIVE user set.
