@@ -75,11 +75,15 @@ object PrefixSum {
       value: Column,
       cumName: String,
       offsetName: Option[String] = None,
-      offsetBudget: Option[Long] = None): DataFrame = {
+      offsetBudget: Option[Long] = None,
+      totalName: Option[String] = None): DataFrame = {
     val keyCols = key.map(col)
     val part = keyCols :+ col(bucket)
     val vname = s"__ps_v"
-    val withV = df.withColumn(vname, value.cast("long"))
+    // Persisted: both the partials aggregate and the local-window
+    // branch read this narrow projection — without materialization the
+    // value projection (often a text split) runs once per branch.
+    val withV = df.withColumn(vname, value.cast("long")).persist()
     // (2) tiny per-bucket partials → exclusive cross-bucket offsets.
     // The lang-only window here is OVER THE AGGREGATE: its partition
     // row count is the bucket count, not the corpus.
@@ -99,9 +103,18 @@ object PrefixSum {
     }
     val stitched = pruned
       .withColumn(cumName, col("__ps_off") + sum(col(vname)).over(wLoc))
+    // Key totals fall out of the TINY partials table for free — no
+    // third pass over the corpus.
+    val withTotal = totalName match {
+      case Some(n) =>
+        val totals = parts.groupBy(keyCols: _*)
+          .agg(sum(col("__ps_bsum")).cast("long").as(n))
+        stitched.join(broadcast(totals), key)
+      case None => stitched
+    }
     val kept = offsetName match {
-      case Some(n) => stitched.withColumn(n, col("__ps_off"))
-      case None    => stitched
+      case Some(n) => withTotal.withColumn(n, col("__ps_off"))
+      case None    => withTotal
     }
     kept.drop(vname, "__ps_off")
   }
@@ -116,11 +129,7 @@ object PrefixSum {
       bucket: String,
       ord: Seq[Column],
       rankName: String,
-      totalName: String): DataFrame = {
-    val withRank =
-      keyedCumSum(df, key, bucket, ord, lit(1L), rankName)
-    val totals = df.groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as(totalName))
-    withRank.join(broadcast(totals), key)
-  }
+      totalName: String): DataFrame =
+    keyedCumSum(df, key, bucket, ord, lit(1L), rankName,
+      totalName = Some(totalName))
 }

@@ -632,8 +632,12 @@ object Curation {
         // chunk-hash list (bounded by chunk COUNT, 32 bytes each).
         // One md5 still catches a divergence in ANY earlier stage —
         // the DuckDB oracle mirrors the same fold exactly.
+        // Chunk width derives from the RAW table's max doc_id (a
+        // pruned one-column scan), not the survivor set — any
+        // deterministic mirrored W works, and aggregating `sampled`
+        // would re-run pipeline stages 2b-4 just to size the chunks.
         val nTokSurv = size(split(col("text"), " "))
-        val mx5 = sampled.agg(max(col("doc_id")).as("__mx"))
+        val mx5 = Tables.documents(s, dir).agg(max(col("doc_id")).as("__mx"))
         val chunked = sampled.crossJoin(broadcast(mx5))
           .withColumn("ck",
             floor(col("doc_id") / graft.operators.PrefixSum.sqrtWidth(col("__mx"))).cast("long"))
@@ -677,7 +681,7 @@ object Curation {
               WHERE $strataBucketSql < $strataRateSql),
             w5 AS (
               SELECT greatest(64, ceil(sqrt(max(doc_id) + 1))::BIGINT) AS w
-              FROM sampled),
+              FROM documents),
             chunks AS (
               SELECT lang, doc_id // w AS ck,
                 count(*) AS c_docs, sum(len(ws)) AS c_toks,
