@@ -232,4 +232,37 @@ class StreamingSpec extends SparkSuite {
     assert(streaming == batch,
       s"stream-only: ${streaming.diff(batch)}; batch-only: ${batch.diff(streaming)}")
   }
+
+  test("streaming sequence packing (O(1)-per-lang state) == batch q81, partial tails included") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SequencePacking
+    import graft.streaming.SequencePacking.Doc
+    val sfDir = "/root/testdata/sf0.001"
+    // Real corpus docs in doc_id order, split into three micro-batches
+    // — per-language doc_id never regresses across the split (the
+    // documented ordering contract); the final batch carries the
+    // end-of-corpus flush markers that emit each language's partial
+    // tail sequence.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("text"))
+      .as[Doc].collect().sortBy(_.doc_id)
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val markers = docs.map(_.lang).distinct.map(SequencePacking.flushMarker)
+    val stream = MemoryStream[Doc]
+    val q = SequencePacking.packed(stream.toDS())
+      .writeStream.format("memory").queryName("pack_mem").outputMode("append").start()
+    Seq(b1.toSeq, b2.toSeq, b3.toSeq ++ markers).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val streaming = spark.table("pack_mem")
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    val batch = SparkEntry.queries("q81_sequence_packing")(spark, sfDir)
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    assert(streaming == batch,
+      s"stream-only: ${streaming.diff(batch)}; batch-only: ${batch.diff(streaming)}")
+    // Append mode must emit each sequence exactly once across batches.
+    assert(spark.table("pack_mem").count() == streaming.size)
+  }
 }
