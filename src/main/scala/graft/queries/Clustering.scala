@@ -159,7 +159,10 @@ object Clustering {
     * needs a broadcastable centroid table) at the cost of cluster
     * size ∝ n. Seeds are the k smallest sampled ids (multiples of m
     * below k·m) — deterministic on both engines. */
-  private def kmeansTwoLevel(s: SparkSession, dir: String): DataFrame = {
+  /** Sample-trained centroids + the (persisted) corpus frame: train on
+    * the modulus sample, return the corpus to assign. Shared by q97
+    * (full assignment) and q104 (trained-quantizer ANN serving). */
+  private def twoLevelTrained(s: SparkSession, dir: String): (DataFrame, Seq[(Long, Seq[Double])]) = {
     val df = emb(s, dir).persist()
     val k = MinK
     val m = math.max(1L, df.count() / (k * 32))
@@ -168,7 +171,12 @@ object Clustering {
       .collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
       .toSeq.sortBy(_._1)
-    assign(df, updatedCentroids(assign(sample, seeds)))
+    (df, updatedCentroids(assign(sample, seeds)))
+  }
+
+  private def kmeansTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val (df, cents) = twoLevelTrained(s, dir)
+    assign(df, cents)
   }
 
   /** DuckDB mirror of [[kmeansTwoLevel]]: train on the modulus sample,
@@ -314,6 +322,70 @@ object Clustering {
                SELECT vec_id, cid AS cluster_id,
                  ${Num.froundSql("dist", 4)} AS dist
                FROM a2 ORDER BY vec_id"""),
+    ),
+
+    // TRAINED-quantizer ANN — IVF whose cells are q97's sample-trained
+    // k-means clusters instead of q53's modulus-picked seed vectors:
+    // the production IVF recipe (FAISS trains the coarse quantizer on
+    // a sample for exactly this reason — learned cells track the data
+    // distribution, so cell populations are balanced and the per-cell
+    // scan bound actually holds). Probes rank the trained centroids
+    // (a narrow map over the broadcast k-centroid literal set, nprobe
+    // = 2 cells each), candidates come only from those cells via the
+    // cell equi-join, and the exact cosine runs inside the cells.
+    // Training state stays constant-size at any corpus (m = n/(k·32)
+    // modulus sample — the q97 contract).
+    QueryDef(
+      "q104_ann_ivf_trained",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val NPROBES = 8
+        val NPROBE = 2
+        val (df, cents) = twoLevelTrained(s, dir)
+        val assigned = assign(df, cents).withColumnRenamed("cid", "cell").persist()
+        // Probe-side top-NPROBE trained cells: argsort over the k
+        // literal centroid distances, per probe row — no join, no
+        // shuffle; k structs per probe, sliced to nprobe.
+        val ranked = slice(array_sort(array(cents.map { case (cid, c) =>
+          struct(sqDistTo(c).as("dist"), lit(cid).as("cid")) }: _*)), 1, NPROBE)
+        val probeCells = df.filter(col("vec_id") < NPROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nsq").as("p_nsq"), explode(ranked).as("cand"))
+          .select(col("probe_id"), col("p_emb"), col("p_nsq"), col("cand.cid").as("cell"))
+        val sim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        assigned.join(broadcast(probeCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("cell"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"), col("sim"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH $twoLevelSqlCtes,
+               nz AS (
+                 SELECT e.vec_id, e.emb, ${VectorFns.normSqSql("e.emb")} AS nsq,
+                        a2.cid AS cell
+                 FROM e JOIN a2 USING (vec_id)),
+               pc AS (
+                 SELECT vec_id AS probe_id, cid AS cell FROM (
+                   SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                   FROM d2 WHERE vec_id < 8) WHERE rn <= 2),
+               p AS (
+                 SELECT pc.probe_id, pc.cell, nz.emb AS p_emb, nz.nsq AS p_nsq
+                 FROM pc JOIN nz ON nz.vec_id = pc.probe_id),
+               sims AS (
+                 SELECT p.probe_id, nz.vec_id, nz.cell,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "nz.emb")} / (sqrt(p_nsq) * sqrt(nz.nsq))", 4)} AS sim
+                 FROM nz JOIN p ON nz.cell = p.cell AND nz.vec_id <> p.probe_id)
+               SELECT probe_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                 vec_id, cell, sim
+               FROM sims
+               QUALIFY rank <= 3
+               ORDER BY probe_id, rank"""),
     ),
   )
 }
