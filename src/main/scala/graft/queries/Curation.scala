@@ -496,16 +496,24 @@ object Curation {
           bucketed, key = Seq("lang"), bucket = "db",
           ord = Seq(col("doc_id")), value = col("n"), cumName = "cumn")
           .withColumn("off", col("cumn") - col("n"))
-        val seq = array_sort(collect_list(struct(col("gpos"), col("tok"))))
+        // ONE collect_list aggregate per 32-token group; n_tokens /
+        // n_docs / fp all derive from it post-agg. Mixing countDistinct
+        // with other aggregates would plan an Expand duplicating every
+        // token row per aggregate family at the exchange (the q45
+        // lesson) — here the group is ≤32 rows, so deriving from the
+        // collected structs is strictly cheaper than a second family.
+        val seq = array_sort(collect_list(struct(col("gpos"), col("tok"), col("doc_id"))))
         withOff
           .select(col("doc_id"), col("lang"), col("off"), posexplode(col("ws")))
           .select(col("doc_id"), col("lang"),
             (col("off") + col("pos")).as("gpos"), col("col").as("tok"))
           .withColumn("seq_idx", floor(col("gpos") / 32).cast("long"))
           .groupBy(col("lang"), col("seq_idx"))
-          .agg(count(lit(1)).as("n_tokens"),
-            countDistinct(col("doc_id")).as("n_docs"),
-            md5(array_join(transform(seq, t => t.getField("tok")), " ")).as("seq_fp"))
+          .agg(seq.as("seq"))
+          .select(col("lang"), col("seq_idx"),
+            size(col("seq")).cast("long").as("n_tokens"),
+            size(array_distinct(expr("transform(seq, t -> t.doc_id)"))).cast("long").as("n_docs"),
+            md5(array_join(expr("transform(seq, t -> t.tok)"), " ")).as("seq_fp"))
           .orderBy(col("lang"), col("seq_idx"))
       },
       Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
