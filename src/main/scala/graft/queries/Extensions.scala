@@ -382,17 +382,22 @@ object Extensions {
       (s, dir) => {
         val o = Tables.orders(s, dir)
         val dim = Tables.customer(s, dir)
+        // dup_orderkey lives in its OWN two-level aggregate: mixed with
+        // the plain sums it would plan an Expand doubling every fact
+        // row at the scan (the q45 lesson). sum(per-key count - 1)
+        // ≡ total - distinct, with map-side partials on the key.
         val base = o.agg(
           count(lit(1)).as("rows_total"),
           sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
           sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_totalprice"),
-          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
           sum(when(col("o_orderdate") > to_date(lit("1998-12-31")), 1L)
             .otherwise(0L)).as("future_orderdate"))
+        val dup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("dup_orderkey"))
         val orphans = o
           .join(dim.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
           .agg(count(lit(1)).as("orphan_custkey"))
-        base.crossJoin(orphans)
+        base.crossJoin(broadcast(dup)).crossJoin(orphans)
           .select(expr(
             """stack(6,
                  'rows_total', rows_total,

@@ -227,6 +227,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q40/q74/q81: no Expand from mixed-distinct aggregates (each runs a single aggregate family)") {
+    for (q <- Seq("q40_tumbling_hourly", "q74_data_quality", "q81_sequence_packing")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("Expand"),
+        s"$q: countDistinct mixed back into a multi-family aggregate (Expand doubles fact rows):\n$plan")
+    }
+  }
+
   test("q103 IVF×SQ serving: candidate scan is cell-restricted (broadcast join on cell, no corpus shuffle)") {
     val plan = finalPlan(SparkEntry.queries("q103_ann_ivf_sq")(spark, sfDir))
     // the int8 candidate scan must be gated by the probe-cells join
