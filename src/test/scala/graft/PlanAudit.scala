@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan anti-pattern sweep across EVERY registered query: prints one
+  * line per query flagging shapes that hurt at scale — Expand
+  * (mixed-distinct aggregates), CartesianProduct (unbroadcast cross),
+  * ScalaUDF / BatchEvalPython (codegen black boxes), and shuffled
+  * joins (SortMergeJoin/ShuffledHashJoin — legitimate for
+  * fact-to-fact, suspicious for dim hops). Run after a wave of query
+  * work; PlanSpec pins the per-query conclusions this sweep surfaces.
+  *
+  * Known by-design flags (round 5 sweep: 101/104 clean): q44/q55
+  * carry the Expand INHERENT to ROLLUP/CUBE grouping sets, and q94's
+  * SortMergeJoin is the salted-skew-join demonstration PlanSpec
+  * requires to be a real shuffle join.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
+      "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, "/root/testdata/sf0.001")
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0) // final post-AQE section only
+        val hits = flags.filter(plan.contains)
+          .map(f => s"$f=${f.r.findAllIn(plan).size}")
+        println(f"$name%-35s ${if (hits.isEmpty) "clean" else hits.mkString(" ")}")
+      } catch {
+        case e: Throwable => println(f"$name%-35s ERROR ${e.getClass.getSimpleName}")
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
