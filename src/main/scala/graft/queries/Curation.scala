@@ -189,6 +189,79 @@ object Curation {
                WHERE bucket < rate ORDER BY doc_id"""),
     ),
 
+    // Domain-mixture rebalancing — hit a TARGET source mixture under a
+    // fixed output budget (how pretraining corpora set their
+    // web/books/code proportions): per-source quotas by
+    // largest-remainder apportionment of the weighted target shares
+    // (exact: quotas sum to the budget, ties broken deterministically),
+    // then EXACT-k selection per source in deterministic md5 order.
+    //
+    // Scale: counts/weights/quotas are a ~|sources|-row table (windows
+    // over it are aggregate-bounded, not corpus-bounded); the exact
+    // per-source rank — the part that is naively a single-reducer
+    // window per source — is PrefixSum.keyedRank over md5-prefix
+    // buckets (monotone in the md5 sort order), so selection
+    // distributes like q63. Deterministic on any engine/partitioning:
+    // the pick order is md5(doc_id), no RNG state (the q65 contract).
+    QueryDef(
+      "q105_mixture_rebalance",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 203L
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+        // Target weight per source from its name (1..4 cycling) — a
+        // stand-in for the user-supplied mixture map.
+        val weighted = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+          .withColumn("wt", expr("cast(substring(source, 4) AS int) % 4 + 1").cast("double"))
+        val tw = weighted.agg(sum(col("wt")).as("tw"))
+        val alloc = weighted.crossJoin(broadcast(tw))
+          .withColumn("exact", lit(budget.toDouble) * col("wt") / col("tw"))
+          .withColumn("base", floor(col("exact")).cast("long"))
+          .withColumn("frac", col("exact") - floor(col("exact")))
+        val rem = alloc.agg((lit(budget) - sum(col("base"))).cast("long").as("r"))
+        val wRem = Window.orderBy(col("frac").desc, col("source")) // |sources| rows
+        val quota = alloc.crossJoin(broadcast(rem))
+          .withColumn("rn", row_number().over(wRem))
+          .withColumn("quota", col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L))
+          .select(col("source"), least(col("quota"), col("cnt")).as("k"))
+        val ranked = graft.operators.PrefixSum.keyedRank(
+          docs.withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int")),
+          key = Seq("source"), bucket = "hb",
+          ord = Seq(col("h"), col("doc_id")),
+          rankName = "rk", totalName = "n_src")
+        ranked.join(broadcast(quota), Seq("source"))
+          .filter(col("rk") <= col("k"))
+          .select(col("source"), col("doc_id"), col("rk").as("pick_rank"))
+          .orderBy(col("source"), col("pick_rank"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+              w AS (SELECT source, cnt, (substr(source, 4)::INT % 4 + 1)::DOUBLE AS wt FROM c),
+              tw AS (SELECT sum(wt) AS tw FROM w),
+              alloc AS (
+                SELECT source, cnt, wt,
+                  floor(203.0 * wt / tw)::BIGINT AS base,
+                  203.0 * wt / tw - floor(203.0 * wt / tw) AS frac
+                FROM w, tw),
+              rem AS (SELECT (203 - sum(base))::BIGINT AS r FROM alloc),
+              quota AS (
+                SELECT source, cnt,
+                  base + CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
+                    <= (SELECT r FROM rem) THEN 1 ELSE 0 END AS q
+                FROM alloc),
+              k AS (SELECT source, least(q, cnt) AS k FROM quota),
+              ranked AS (
+                SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+                FROM documents)
+              SELECT r.source, r.doc_id, r.rk AS pick_rank
+              FROM ranked r JOIN k USING (source)
+              WHERE r.rk <= k.k
+              ORDER BY r.source, r.rk"""),
+    ),
+
     // Corpus-wide n-gram heavy hitters — top-50 word bigrams by
     // frequency (vocabulary/boilerplate audit; the exact-count
     // baseline a sketch would approximate). Shape: explode → ONE
