@@ -584,9 +584,13 @@ object Vectors {
         // The serving INDEX: one row per vector with its IVF cell,
         // int8 codes, and the float payload — the q53 argmax
         // assignment over the quantized corpus.
+        // Persisted: the index build AND the probe branch both read the
+        // quantized projection — without materialization the per-dim
+        // stats aggregate + code transform run once per branch.
         val qz = quantized(s, dir)
           .withColumn("nsq", VectorFns.normSqF("embedding"))
           .select(col("vec_id"), col("embedding"), col("nsq"), col("codes"))
+          .persist()
         val index = ivfAssign(qz, cents, Seq("codes", "embedding", "nsq")).persist()
         val probeCells = qz.filter(col("vec_id") < N_PROBES)
           .crossJoin(broadcast(cents))
