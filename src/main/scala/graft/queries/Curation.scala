@@ -679,14 +679,19 @@ object Curation {
           .withColumn("toks", split(col("text"), " "))
         // Stage 1+2a: Gopher rules (the SHARED gopher* helpers — the
         // exact q80 verdict) + content fingerprint, computed ONCE and
-        // persisted narrow (doc_id, lang, text, fp): the survivor
-        // table every later stage probes — without it the lazy DAG
-        // re-runs the 2-/3-gram metric projection for each downstream
-        // consumer (measured 11.6 s → the single evaluation is ~2 s).
-        val withFp = raw.filter(gopherKeepExpr)
-          .select(col("doc_id"), col("lang"), col("text"),
-            TextFns.fingerprint(col("text")).as("fp"))
-          .persist()
+        // staged narrow (doc_id, lang, text, fp) THROUGH PARQUET: the
+        // survivor table every later stage probes — without it the
+        // lazy DAG re-runs the 2-/3-gram metric projection for each
+        // downstream consumer (measured 11.6 s → the single evaluation
+        // is ~2 s). Parquet, not memory persist: an evicted cache
+        // under driver-env heap pressure silently becomes that full
+        // recompute (the round-1 q25 incident); the stage cannot be
+        // evicted and is what a pipeline would keep in storage anyway.
+        val withFp = graft.operators.Staged.parquet(s, s"q84_survivors|$dir") {
+          raw.filter(gopherKeepExpr)
+            .select(col("doc_id"), col("lang"), col("text"),
+              TextFns.fingerprint(col("text")).as("fp"))
+        }
         // Stage 2b: exact dedup, first doc_id wins per fingerprint.
         val deduped = withFp.join(
           withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),

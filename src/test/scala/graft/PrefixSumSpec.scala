@@ -44,6 +44,29 @@ class PrefixSumSpec extends SparkSuite {
     assert(pruned.count() > 0)
   }
 
+  test("property: cumsum ≡ window under seeded random skew, widths, and tie density") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(5)
+      val width = Seq(1, 3, 64, 1000)(rnd.nextInt(4)) // incl. degenerate 1-row and one-bucket cases
+      val rows = (0 until 500 + rnd.nextInt(1500)).map { i =>
+        // Zipf-ish key skew: key 0 takes about half the rows.
+        val k = if (rnd.nextBoolean()) 0 else rnd.nextInt(nKeys)
+        (i.toLong, s"k$k", rnd.nextInt(5).toLong) // value 0 allowed
+      }
+      val df = rows.toDF("id", "key", "v")
+        .withColumn("b", floor(col("id") / width).cast("long"))
+      val dist = PrefixSum.keyedCumSum(df, Seq("key"), "b",
+        Seq(col("id")), col("v"), "cum").select("id", "key", "v", "cum")
+      val naive = rows.toDF("id", "key", "v").withColumn("cum",
+        sum(col("v")).over(Window.partitionBy(col("key")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      assert(dist.except(naive).isEmpty && naive.except(dist).isEmpty,
+        s"seed=$seed nKeys=$nKeys width=$width diverged")
+    }
+  }
+
   test("keyedRank reproduces percent_rank bit-for-bit, ties included") {
     // value-range buckets over a column WITH ties (v repeats): equal-v
     // rows share a bucket, ordering disambiguated by id — the q63 shape.
