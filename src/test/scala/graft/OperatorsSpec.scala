@@ -242,4 +242,15 @@ class OperatorsSpec extends SparkSuite {
       assert(salted == plain, s"trial $trial: salted join changed the result set")
     }
   }
+
+  test("Staged.parquet builds once per key per JVM and replays identically from the stage") {
+    import spark.implicits._
+    var builds = 0
+    def make = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val key = "staged-spec-" + System.nanoTime()
+    val first = graft.operators.Staged.parquet(spark, key)(make).collect().toSet
+    val second = graft.operators.Staged.parquet(spark, key)(make).collect().toSet
+    assert(builds == 1, s"stage rebuilt: $builds builds")
+    assert(first == second && first.size == 2)
+  }
 }
