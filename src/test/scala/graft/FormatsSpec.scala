@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 /** Source-format surface beyond parquet: the engine's queries are
   * format-agnostic DataFrame programs, so any `spark.read` format
-  * slots in below them. These tests pin the two non-parquet formats a
+  * slots in below them. These tests pin the non-parquet formats a
   * real ingest actually meets (the reference's REST extract lands
   * JSON; partner drops land CSV) — round-trip fidelity with explicit
   * schemas, compression, and malformed-row handling. */
@@ -72,6 +72,31 @@ class FormatsSpec extends SparkSuite {
           "good row lost")
         read.unpersist()
       } finally rm(badDir)
+    } finally rm(dir)
+  }
+
+  test("ORC round-trip: partitioned write, partition pruning + pushed filters at the scan") {
+    val dir = tmp("graft_orc")
+    try {
+      val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      // Partitioned layout: at 100 TB the partition column IS the
+      // pruning lever — a status/date filter must never scan the
+      // other directories.
+      src.write.mode("overwrite").partitionBy("o_orderstatus").orc(dir)
+      val back = spark.read.orc(dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      assert(back.count() == src.count())
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        "ORC round-trip changed values")
+      val q = spark.read.orc(dir)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 1000.0)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("PartitionFilters:") && plan.contains("o_orderstatus"),
+        s"status filter must prune partitions, not scan them:\n$plan")
+      assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(o_totalprice"),
+        s"value filter must reach the ORC reader:\n$plan")
     } finally rm(dir)
   }
 }
