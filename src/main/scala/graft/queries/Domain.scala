@@ -78,20 +78,23 @@ object Domain {
       concat(lit("P"), col("c_custkey").cast("string")).as("puuid"),
       concat(lit("Cust"), col("c_custkey").cast("string"), lit("#TAG")).as("summonerName"))
 
-  // q24/q25/q52 each build the synthesized silver independently, in
-  // its NARROW form (includeParticipants = false — none of the oracle
-  // columns need the per-participant array, and a storage-backed
-  // silver table would give these readers the same pruning at the
-  // scan). No cross-query persist(): round 1's driver bench showed an
-  // in-memory cache silently evicted under heap pressure, turning q25
-  // into a full recompute of a plan it never declared (13.3 s). The
-  // narrow build is ~0.8 s at sf0.1, so self-contained queries are
-  // both faster in total and immune to cache-eviction order effects.
+  // q24/q25/q52 share the synthesized silver in its NARROW form
+  // (includeParticipants = false — none of the oracle columns need
+  // the per-participant array). Since round 5 it IS the
+  // storage-backed silver table the original comment wished for:
+  // staged through parquet once per input dir (`operators.Staged`),
+  // which keeps the round-1 lesson intact — an in-memory persist was
+  // silently evicted under driver-env heap pressure and turned q25
+  // into a 13.3 s full recompute, but a parquet stage cannot be
+  // evicted, and every reader gets the same column pruning at the
+  // staged scan.
   private def silver(s: SparkSession, dir: String): DataFrame =
-    MatchTransform.silver(
-      bronzeFromOrders(Tables.orders(s, dir)),
-      dimFromCustomer(Tables.customer(s, dir)),
-      includeParticipants = false)
+    graft.operators.Staged.parquet(s, s"silver_narrow|$dir") {
+      MatchTransform.silver(
+        bronzeFromOrders(Tables.orders(s, dir)),
+        dimFromCustomer(Tables.customer(s, dir)),
+        includeParticipants = false)
+    }
 
   // DuckDB mirror of the synthesized silver, computed analytically.
   // kda keeps plain round(): deaths < 7 so the quotient's decimal

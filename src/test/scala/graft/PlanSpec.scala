@@ -57,8 +57,15 @@ class PlanSpec extends SparkSuite {
       s"probes must broadcast:\n$plan")
   }
 
-  test("q24 domain transform: dim join broadcast, tier resolution aggregates map-side") {
-    val plan = finalPlan(SparkEntry.queries("q24_domain_transform")(spark, sfDir))
+  test("q24 domain transform BUILD: dim join broadcast, tier resolution aggregates map-side") {
+    // Since round 5 the narrow silver is staged through parquet, so
+    // the q24 QUERY plan is the staged read; the transform properties
+    // are pinned on the build itself (what the stage writer runs).
+    import org.apache.spark.sql.functions.col
+    val plan = finalPlan(graft.domain.MatchTransform.silver(
+      graft.queries.Domain.bronzeFromOrders(Tables.orders(spark, sfDir)),
+      graft.queries.Domain.dimFromCustomer(Tables.customer(spark, sfDir)),
+      includeParticipants = false).orderBy(col("matchId").cast("long")))
     assert(plan.contains("BroadcastHashJoin"), s"summoners dim must broadcast:\n$plan")
     // best-candidate selection is a min_by aggregate with a PARTIAL
     // stage before the exchange (map-side combine) — not a row_number
