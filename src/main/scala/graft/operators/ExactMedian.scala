@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT per-group median with every buffer bounded.
+  *
+  * Spark's `median` / `percentile` is an ImperativeAggregate that
+  * buffers EVERY value of a group in the aggregation buffer — the same
+  * unbounded-memory shape as a whole-group `collect_list` (the round-4
+  * q84 finding): fine at sf0.1, an executor OOM when one group holds a
+  * 100 TB corpus slice. This is the classic two-pass bucketed
+  * selection instead, as pure DataFrame fragments:
+  *
+  *   1. RANGE PASS — per-key count/min/max (tiny hash aggregate,
+  *      map-side partials). The target ranks fall out of the count:
+  *      floor((n+1)/2) and floor((n+2)/2) — equal for odd n, the two
+  *      middle ranks for even n (their mean is the `median`/
+  *      `quantile_cont(0.5)` interpolation both engines use).
+  *   2. HISTOGRAM PASS — bucket = value's position in `buckets`
+  *      equal-width slices of [min, max] (monotone in the value, so
+  *      bucket b sorts wholly before b+1). Per-(key, bucket) counts
+  *      collapse map-side; the exclusive cross-bucket offset is a
+  *      window OVER THAT AGGREGATE (partition rows = bucket count,
+  *      corpus-independent). The bucket holding each target rank is a
+  *      broadcast-tiny join of ranks vs offsets.
+  *   3. SELECTION PASS — rescan only rows of the selected buckets
+  *      (broadcast semi-filter, no shuffle of the fact). Within a
+  *      bucket, rank lookup runs over the bucket's DISTINCT-VALUE
+  *      histogram, not its rows: ties collapse in a map-side
+  *      aggregate first, so a hot repeated value SHRINKS the window
+  *      partition instead of concentrating it (an all-equal group
+  *      degenerates to a single histogram row — no special case).
+  *      The only data-dependent bound left is distinct values per
+  *      selected bucket, ~n/buckets for a continuous column.
+  *
+  * Exactness: bucketing only routes ranks — any monotone bucketing
+  * yields the same selected values, so the result equals the
+  * single-buffer `median` row for row (spec-asserted against Spark's
+  * own `median`, including tie/negative/odd-even/singleton cases, and
+  * the q56/q45 DuckDB oracles stay unchanged and hash-matching).
+  *
+  * Rows with a NULL value are ignored (both engines' median contract);
+  * a key with only NULLs is absent from the output — callers decide
+  * null semantics at their join.
+  *
+  * Reference analog: the per-champion summary-stats table the
+  * dashboard renders (/root/reference/dashboard/app.py:548-553) —
+  * order statistics there are a one-node pandas affair; this is the
+  * shape that distributes them.
+  */
+object ExactMedian {
+
+  /** Returns one row per `key`: (key, `outName` = exact median of
+    * `value`). `buckets` trades histogram size (pass 2 exchange,
+    * key-count × buckets rows) against selected-bucket width (pass 3
+    * local work, ~n/buckets rows before tie collapse). */
+  def perGroup(
+      df: DataFrame,
+      key: String,
+      value: String,
+      outName: String = "median",
+      buckets: Int = 8192): DataFrame = {
+    val rows = df
+      .filter(col(value).isNotNull)
+      .select(col(key), col(value).cast("double").as("__em_v"))
+
+    // (1) per-key range + the two (or one) target ranks.
+    val stats = rows.groupBy(col(key)).agg(
+      count(lit(1)).as("__em_n"),
+      min(col("__em_v")).as("__em_mn"),
+      max(col("__em_v")).as("__em_mx"))
+    val targets = stats.select(
+      col(key),
+      col("__em_mn"), col("__em_mx"),
+      explode(array_distinct(array(
+        floor((col("__em_n") + lit(1)) / lit(2)).cast("long"),
+        floor((col("__em_n") + lit(2)) / lit(2)).cast("long")))).as("__em_r"))
+
+    // (2) monotone equal-width bucketing + per-(key, bucket) counts.
+    // The bucket expression must be IDENTICAL in passes 2 and 3, so it
+    // lives on one shared lineage (`bucketed`).
+    val width = (col("__em_mx") - col("__em_mn")) / lit(buckets.toDouble)
+    val bucketed = rows
+      .join(broadcast(stats.drop("__em_n")), Seq(key))
+      .withColumn("__em_b",
+        when(col("__em_mx") === col("__em_mn"), lit(0))
+          .otherwise(least(
+            floor((col("__em_v") - col("__em_mn")) / width).cast("int"),
+            lit(buckets - 1))))
+    val hist = bucketed.groupBy(col(key), col("__em_b"))
+      .agg(count(lit(1)).as("__em_c"))
+    val wOff = Window.partitionBy(col(key)).orderBy(col("__em_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__em_off",
+      coalesce(sum(col("__em_c")).over(wOff), lit(0L)))
+
+    // Locate each target rank's bucket: tiny × tiny broadcast join.
+    val sel = cum
+      .join(broadcast(targets.select(col(key), col("__em_r"))), Seq(key))
+      .filter(col("__em_r") > col("__em_off") &&
+        col("__em_r") <= col("__em_off") + col("__em_c"))
+      .select(col(key), col("__em_b"),
+        (col("__em_r") - col("__em_off")).as("__em_lr"))
+
+    // (3) rescan only the selected buckets; rank over the bucket's
+    // distinct-VALUE histogram (ties collapse before the window).
+    val cand = bucketed
+      .join(broadcast(sel.select(col(key), col("__em_b")).distinct()),
+        Seq(key, "__em_b"))
+    val candHist = cand.groupBy(col(key), col("__em_b"), col("__em_v"))
+      .agg(count(lit(1)).as("__em_vc"))
+    val wVal = Window.partitionBy(col(key), col("__em_b")).orderBy(col("__em_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val valCum = candHist.withColumn("__em_voff",
+      coalesce(sum(col("__em_vc")).over(wVal), lit(0L)))
+    val picked = valCum
+      .join(broadcast(sel), Seq(key, "__em_b"))
+      .filter(col("__em_lr") > col("__em_voff") &&
+        col("__em_lr") <= col("__em_voff") + col("__em_vc"))
+
+    // Mean of the selected rank values (one row for odd n; two rows —
+    // possibly the same histogram row twice — for even n).
+    picked.groupBy(col(key)).agg(avg(col("__em_v")).as(outName))
+  }
+}

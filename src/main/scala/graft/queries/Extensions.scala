@@ -59,12 +59,17 @@ object Extensions {
         val exact = li.groupBy(col("l_returnflag"), col("l_partkey"))
           .agg(count(lit(1)))
           .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+        // The exact median the band is judged against comes from
+        // `operators.ExactMedian` (bounded bucketed selection), not
+        // the whole-group-buffering `percentile` aggregate.
+        val med = graft.operators.ExactMedian.perGroup(
+          li, "l_returnflag", "l_extendedprice", "exact_median")
         li.groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-            expr("percentile(l_extendedprice, 0.5D)").as("exact_median"))
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
           .join(broadcast(exact), Seq("l_returnflag"))
+          .join(broadcast(med), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")).cast("double")
               / col("exact_parts") <= lit(0.15)).cast("int").as("distinct_ok"),
@@ -339,16 +344,28 @@ object Extensions {
     // sample stddev per group. Both engines average the two middle
     // values for even counts; stddev floor-rounded (different
     // accumulation algorithms agree to ~1e-9, far inside 4 decimals).
+    // The median comes from `operators.ExactMedian` (bucketed rank
+    // selection, every buffer bounded) — Spark's own `median` is an
+    // ImperativeAggregate that buffers the whole group, the q84
+    // collect_list shape in disguise. The stddev/count stay a codegen
+    // hash aggregate; the 3-row median table broadcasts back.
     QueryDef(
       "q56_exact_stats",
-      (s, dir) =>
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val med = graft.operators.ExactMedian.perGroup(
+          li, "l_returnflag", "l_extendedprice", "__median_raw")
+        li.groupBy(col("l_returnflag"))
           .agg(
-            Num.fround(median(col("l_extendedprice")), 2).as("median_price"),
             Num.fround(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
             count(lit(1)).as("n"))
-          .orderBy(col("l_returnflag")),
+          .join(broadcast(med), Seq("l_returnflag"))
+          .select(
+            col("l_returnflag"),
+            Num.fround(col("__median_raw"), 2).as("median_price"),
+            col("sd_price"), col("n"))
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
               floor((median(l_extendedprice)) * 100 + 0.5) / 100 AS median_price,
               floor((stddev_samp(l_extendedprice)) * 10000 + 0.5) / 10000 AS sd_price,

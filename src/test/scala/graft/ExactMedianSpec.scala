@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ExactMedian
+
+/** Differential check of the bucketed-selection exact median against
+  * Spark's own whole-group-buffering `median` aggregate: equality per
+  * key across odd/even counts, heavy ties, negatives, singletons,
+  * all-equal groups, NULLs, and degenerate bucket counts. */
+class ExactMedianSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Eps = 1e-9
+
+  private def check(df: org.apache.spark.sql.DataFrame, buckets: Int = 8192): Unit = {
+    val ours = ExactMedian.perGroup(df, "key", "v", "m", buckets)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = df.filter(col("v").isNotNull)
+      .groupBy(col("key")).agg(median(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ours.keySet == ref.keySet, s"key sets differ: $ours vs $ref")
+    ref.foreach { case (k, expect) =>
+      val got = ours(k)
+      assert(math.abs(got - expect) <= Eps * math.max(1.0, math.abs(expect)),
+        s"key $k: got $got, expected $expect")
+    }
+  }
+
+  test("matches median() on odd and even group sizes, negatives included") {
+    val rows =
+      (0 until 101).map(i => ("odd", (i * 37 % 101 - 50).toDouble)) ++
+      (0 until 100).map(i => ("even", (i * 13 % 100).toDouble * 0.5))
+    check(rows.toDF("key", "v"))
+  }
+
+  test("heavy ties collapse instead of concentrating: hot value holds the median") {
+    // Half the group is one repeated value — the selected bucket's
+    // distinct-value histogram has ~2 rows where a row-rank sort
+    // would hold 500.
+    val rows =
+      (0 until 500).map(_ => ("t", 42.0)) ++
+      (0 until 250).map(i => ("t", i.toDouble)) ++
+      (0 until 250).map(i => ("t", 100.0 + i))
+    check(rows.toDF("key", "v"))
+  }
+
+  test("all-equal group, singleton, and two-row group need no special cases") {
+    val rows = Seq(
+      ("const", 7.0), ("const", 7.0), ("const", 7.0),
+      ("one", 3.5),
+      ("two", 1.0), ("two", 2.0))
+    check(rows.toDF("key", "v"))
+  }
+
+  test("NULL values are ignored; all-NULL keys are absent") {
+    val rows = Seq(
+      ("k", Some(1.0)), ("k", None), ("k", Some(3.0)), ("k", None),
+      ("allnull", None), ("allnull", None))
+    val df = rows.toDF("key", "v")
+    val out = ExactMedian.perGroup(df, "key", "v", "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("k" -> 2.0))
+  }
+
+  test("property: equals median() under seeded random data at several bucket counts") {
+    for (seed <- Seq(1, 7, 42); buckets <- Seq(2, 16, 8192)) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(4)
+      val rows = (0 until 400 + rnd.nextInt(1200)).map { _ =>
+        val k = if (rnd.nextBoolean()) 0 else rnd.nextInt(nKeys) // key skew
+        // Mixture of continuous and tie-prone discrete values.
+        val v = if (rnd.nextBoolean()) rnd.nextDouble() * 200 - 100
+                else rnd.nextInt(10).toDouble
+        (s"k$k", v)
+      }
+      check(rows.toDF("key", "v"), buckets)
+    }
+  }
+
+  test("both even-n middle ranks can straddle a bucket boundary") {
+    // 2 buckets over [0, 3]: values {0,1} land in bucket 0, {2,3} in
+    // bucket 1 — ranks 2 and 3 of n=4 sit in different buckets and the
+    // median must average across them.
+    val rows = Seq(("s", 0.0), ("s", 1.0), ("s", 2.0), ("s", 3.0))
+    check(rows.toDF("key", "v"), buckets = 2)
+    val out = ExactMedian.perGroup(rows.toDF("key", "v"), "key", "v", "m", 2)
+      .collect().head.getDouble(1)
+    assert(math.abs(out - 1.5) <= Eps)
+  }
+}

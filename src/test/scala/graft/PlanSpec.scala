@@ -259,6 +259,22 @@ class PlanSpec extends SparkSuite {
       s"salting demo needs a real shuffle join:\n$plan")
   }
 
+  test("q56/q45: no whole-group-buffering median/percentile aggregate in the plan") {
+    // Spark's `median`/`percentile` buffers every group value in the
+    // aggregation buffer — the unbounded shape ExactMedian replaces.
+    // `percentile_approx(` must NOT trip the check (bounded sketch),
+    // so match the exact aggregates only.
+    for (q <- Seq("q56_exact_stats", "q45_sketches")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("median(") && !plan.contains(" percentile("),
+        s"$q must not plan an exact percentile buffer:\n$plan")
+    }
+    // and the median table joins back broadcast, fact unshuffled
+    val plan56 = finalPlan(SparkEntry.queries("q56_exact_stats")(spark, sfDir))
+    assert(plan56.contains("BroadcastHashJoin"), s"median join must broadcast:\n$plan56")
+    assert(!plan56.contains("SortMergeJoin"), s"fact must not shuffle for the join:\n$plan56")
+  }
+
   test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
     val plan = finalPlan(SparkEntry.queries("q78_sequence_windows")(spark, sfDir))
     assert(plan.contains("Generate"), s"expected posexplode Generate:\n$plan")
