@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed EXACT per-group median with every buffer bounded.
+/** Distributed EXACT per-group order statistics (median, arbitrary
+  * quantiles) with every buffer bounded.
   *
   * Spark's `median` / `percentile` is an ImperativeAggregate that
   * buffers EVERY value of a group in the aggregation buffer — the same
@@ -62,21 +63,69 @@ object ExactMedian {
       value: String,
       outName: String = "median",
       buckets: Int = 8192): DataFrame = {
+    val picked = selectAtRanks(df, key, value, buckets, stats =>
+      stats.select(
+        col(key),
+        lit("m").as("__em_tag"),
+        explode(array_distinct(array(
+          floor((col("__em_n") + lit(1)) / lit(2)).cast("long"),
+          floor((col("__em_n") + lit(2)) / lit(2)).cast("long")))).as("__em_r")))
+    // Mean of the selected rank values (one row for odd n; two rows —
+    // possibly the same histogram row twice — for even n).
+    picked.groupBy(col(key)).agg(avg(col("__em_v")).as(outName))
+  }
+
+  /** Exact DISCRETE per-group quantiles: for each `(outName, p)` the
+    * value at rank ceil(p·n) — the inverse-CDF / `quantile_disc`
+    * definition. The result is an exact data element (no
+    * interpolation arithmetic), so cross-engine differential checks
+    * are float-exact. One output row per key, one column per p.
+    * All ranks resolve through ONE shared histogram build — asking
+    * for p25/p50/p75/p99 together costs the same three passes as one
+    * median. */
+  def quantilesDisc(
+      df: DataFrame,
+      key: String,
+      value: String,
+      ps: Seq[(String, Double)],
+      buckets: Int = 8192): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 })
+    val picked = selectAtRanks(df, key, value, buckets, stats => {
+      // ceil(n·p) in plain IEEE double arithmetic — the same ops both
+      // engines run, so rank boundaries agree bit-for-bit.
+      val prs = ps.map { case (nm, p) =>
+        struct(lit(nm).as("t"),
+          greatest(lit(1L), ceil(col("__em_n") * lit(p)).cast("long")).as("r"))
+      }
+      stats.select(col(key), explode(array(prs: _*)).as("__em_pr"))
+        .select(col(key), col("__em_pr.t").as("__em_tag"),
+          col("__em_pr.r").as("__em_r"))
+    })
+    val aggs = ps.map { case (nm, _) =>
+      max(when(col("__em_tag") === nm, col("__em_v"))).as(nm)
+    }
+    picked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared rank-selection core: resolves every (tag, rank) target
+    * produced by `targetsOf(stats)` to its value, returning
+    * (key, __em_tag, __em_r, __em_v) — one row per target. */
+  private def selectAtRanks(
+      df: DataFrame,
+      key: String,
+      value: String,
+      buckets: Int,
+      targetsOf: DataFrame => DataFrame): DataFrame = {
     val rows = df
       .filter(col(value).isNotNull)
       .select(col(key), col(value).cast("double").as("__em_v"))
 
-    // (1) per-key range + the two (or one) target ranks.
+    // (1) per-key range + count; targets = (key, tag, rank).
     val stats = rows.groupBy(col(key)).agg(
       count(lit(1)).as("__em_n"),
       min(col("__em_v")).as("__em_mn"),
       max(col("__em_v")).as("__em_mx"))
-    val targets = stats.select(
-      col(key),
-      col("__em_mn"), col("__em_mx"),
-      explode(array_distinct(array(
-        floor((col("__em_n") + lit(1)) / lit(2)).cast("long"),
-        floor((col("__em_n") + lit(2)) / lit(2)).cast("long")))).as("__em_r"))
+    val targets = targetsOf(stats)
 
     // (2) monotone equal-width bucketing + per-(key, bucket) counts.
     // The bucket expression must be IDENTICAL in passes 2 and 3, so it
@@ -98,10 +147,11 @@ object ExactMedian {
 
     // Locate each target rank's bucket: tiny × tiny broadcast join.
     val sel = cum
-      .join(broadcast(targets.select(col(key), col("__em_r"))), Seq(key))
+      .join(broadcast(targets.select(col(key), col("__em_tag"), col("__em_r"))),
+        Seq(key))
       .filter(col("__em_r") > col("__em_off") &&
         col("__em_r") <= col("__em_off") + col("__em_c"))
-      .select(col(key), col("__em_b"),
+      .select(col(key), col("__em_b"), col("__em_tag"), col("__em_r"),
         (col("__em_r") - col("__em_off")).as("__em_lr"))
 
     // (3) rescan only the selected buckets; rank over the bucket's
@@ -115,13 +165,10 @@ object ExactMedian {
       .rowsBetween(Window.unboundedPreceding, -1)
     val valCum = candHist.withColumn("__em_voff",
       coalesce(sum(col("__em_vc")).over(wVal), lit(0L)))
-    val picked = valCum
+    valCum
       .join(broadcast(sel), Seq(key, "__em_b"))
       .filter(col("__em_lr") > col("__em_voff") &&
         col("__em_lr") <= col("__em_voff") + col("__em_vc"))
-
-    // Mean of the selected rank values (one row for odd n; two rows —
-    // possibly the same histogram row twice — for even n).
-    picked.groupBy(col(key)).agg(avg(col("__em_v")).as(outName))
+      .select(col(key), col("__em_tag"), col("__em_r"), col("__em_v"))
   }
 }

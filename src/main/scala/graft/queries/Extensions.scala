@@ -540,5 +540,29 @@ object Extensions {
                 (valid_to IS NULL) AS is_current
               FROM v ORDER BY o_custkey, version"""),
     ),
+
+    // Exact per-group quantile PROFILE (p25/p50/p75/p99) — the length/
+    // price distribution card a curation pipeline prints per corpus
+    // slice. DISCRETE quantiles (value at rank ceil(p·n), DuckDB's
+    // quantile_disc): the answer is an exact data element, so the
+    // cross-engine hash comparison is float-exact — no interpolation
+    // arithmetic to diverge at rounding boundaries. All four ranks
+    // resolve through ONE shared ExactMedian histogram build: asking
+    // for four quantiles costs the same three bounded passes as one
+    // median, and no aggregation buffer ever holds a group.
+    QueryDef(
+      "q106_exact_quantiles",
+      (s, dir) =>
+        graft.operators.ExactMedian.quantilesDisc(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+              quantile_disc(l_extendedprice, 0.25) AS p25,
+              quantile_disc(l_extendedprice, 0.5) AS p50,
+              quantile_disc(l_extendedprice, 0.75) AS p75,
+              quantile_disc(l_extendedprice, 0.99) AS p99
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    ),
   )
 }

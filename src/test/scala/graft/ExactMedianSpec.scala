@@ -78,6 +78,41 @@ class ExactMedianSpec extends SparkSuite {
     }
   }
 
+  test("quantilesDisc equals sorted-rank brute force (value at ceil(p·n))") {
+    val ps = Seq("p10" -> 0.10, "p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75,
+      "p99" -> 0.99, "p100" -> 1.0)
+    for (seed <- Seq(3, 11); buckets <- Seq(4, 8192)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 300 + rnd.nextInt(900)).map { _ =>
+        val k = s"k${rnd.nextInt(3)}"
+        // tie-prone: half the values discrete
+        val v = if (rnd.nextBoolean()) rnd.nextInt(20).toDouble
+                else rnd.nextDouble() * 100
+        (k, v)
+      }
+      val df = rows.toDF("key", "v")
+      val got = ExactMedian.quantilesDisc(df, "key", "v", ps, buckets)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      byKey.foreach { case (k, sorted) =>
+        val expect = ps.map { case (_, p) =>
+          sorted(math.max(1, math.ceil(p * sorted.length).toInt) - 1)
+        }
+        assert(got(k) == expect, s"key $k buckets=$buckets: ${got(k)} vs $expect")
+      }
+    }
+  }
+
+  test("quantilesDisc: singleton and all-equal groups return the value at every p") {
+    val df = Seq(("one", 5.0), ("const", 2.0), ("const", 2.0), ("const", 2.0))
+      .toDF("key", "v")
+    val out = ExactMedian.quantilesDisc(df, "key", "v",
+      Seq("p01" -> 0.01, "p50" -> 0.5, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out == Map("one" -> ((5.0, 5.0, 5.0)), "const" -> ((2.0, 2.0, 2.0))))
+  }
+
   test("both even-n middle ranks can straddle a bucket boundary") {
     // 2 buckets over [0, 3]: values {0,1} land in bucket 0, {2,3} in
     // bucket 1 — ranks 2 and 3 of n=4 sit in different buckets and the

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * fact-to-fact, suspicious for dim hops). Run after a wave of query
   * work; PlanSpec pins the per-query conclusions this sweep surfaces.
   *
-  * Known by-design flags (round 5 sweep: 101/104 clean): q44/q55
+  * Known by-design flags (round 5 sweep: 103/106 clean): q44/q55
   * carry the Expand INHERENT to ROLLUP/CUBE grouping sets, and q94's
   * SortMergeJoin is the salted-skew-join demonstration PlanSpec
   * requires to be a real shuffle join.
@@ -21,8 +21,13 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // "median(" / " percentile(" catch the whole-group-buffering exact
+    // percentile aggregates (use operators.ExactMedian instead); the
+    // leading space on " percentile(" keeps bounded percentile_approx
+    // from tripping it.
     val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
-      "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin")
+      "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
+      "median(", " percentile(")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")
@@ -30,7 +35,7 @@ object PlanAudit {
         val plan = df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0) // final post-AQE section only
         val hits = flags.filter(plan.contains)
-          .map(f => s"$f=${f.r.findAllIn(plan).size}")
+          .map(f => s"$f=${plan.sliding(f.length).count(_ == f)}")
         println(f"$name%-35s ${if (hits.isEmpty) "clean" else hits.mkString(" ")}")
       } catch {
         case e: Throwable => println(f"$name%-35s ERROR ${e.getClass.getSimpleName}")
