@@ -62,8 +62,9 @@ object ExactMedian {
       key: String,
       value: String,
       outName: String = "median",
-      buckets: Int = 8192): DataFrame = {
-    val picked = selectAtRanks(df, key, value, buckets, stats =>
+      buckets: Int = 8192,
+      persistProjection: Boolean = false): DataFrame = {
+    val picked = selectAtRanks(df, key, value, buckets, persistProjection, stats =>
       stats.select(
         col(key),
         lit("m").as("__em_tag"),
@@ -88,9 +89,10 @@ object ExactMedian {
       key: String,
       value: String,
       ps: Seq[(String, Double)],
-      buckets: Int = 8192): DataFrame = {
+      buckets: Int = 8192,
+      persistProjection: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 })
-    val picked = selectAtRanks(df, key, value, buckets, stats => {
+    val picked = selectAtRanks(df, key, value, buckets, persistProjection, stats => {
       // ceil(n·p) in plain IEEE double arithmetic — the same ops both
       // engines run, so rank boundaries agree bit-for-bit.
       val prs = ps.map { case (nm, p) =>
@@ -115,10 +117,19 @@ object ExactMedian {
       key: String,
       value: String,
       buckets: Int,
+      persistProjection: Boolean,
       targetsOf: DataFrame => DataFrame): DataFrame = {
-    val rows = df
+    // All three passes — range stats, bucket histogram, selected-
+    // bucket rescan — read this narrow (key, value) projection.
+    // `persistProjection` materializes it once (the PrefixSum
+    // precedent) — worth it when the value is a computed expression
+    // (e.g. a tokenization: q107 measured 1.8→1.3 s), a net LOSS when
+    // the projection is a plain columnar read that parquet re-serves
+    // cheaply (q56 measured 2.0→2.3 s persisted), so callers choose.
+    val narrow = df
       .filter(col(value).isNotNull)
       .select(col(key), col(value).cast("double").as("__em_v"))
+    val rows = if (persistProjection) narrow.persist() else narrow
 
     // (1) per-key range + count; targets = (key, tag, rank).
     val stats = rows.groupBy(col(key)).agg(

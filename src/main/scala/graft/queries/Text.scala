@@ -1009,5 +1009,35 @@ object Text {
                WHERE p.c_ab >= 5
                ORDER BY p.a, p.b"""),
     ),
+
+    // Corpus length profile — the per-language p25/p50/p75/p99
+    // token-count card every curation report prints (C4/Gopher-style
+    // length analyses) plus doc counts. Order statistics via
+    // `operators.ExactMedian.quantilesDisc`: one shared histogram
+    // build resolves all four ranks, no aggregation buffer ever holds
+    // a language (the whole point at 100 TB — the dominant language IS
+    // most of the corpus). Whitespace tokenization mirrors q29's
+    // proven-equivalent split. DISCRETE quantiles keep the
+    // cross-engine hash float-exact (value at rank ceil(p·n)).
+    QueryDef(
+      "q107_corpus_length_profile",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+        val med = graft.operators.ExactMedian.quantilesDisc(
+          toks, "lang", "n_tokens",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99),
+          persistProjection = true) // n_tokens is a split() — worth materializing once
+        toks.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .join(broadcast(med), Seq("lang"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+              quantile_disc(len(string_split(text, ' ')), 0.25)::DOUBLE AS p25,
+              quantile_disc(len(string_split(text, ' ')), 0.5)::DOUBLE AS p50,
+              quantile_disc(len(string_split(text, ' ')), 0.75)::DOUBLE AS p75,
+              quantile_disc(len(string_split(text, ' ')), 0.99)::DOUBLE AS p99
+              FROM documents GROUP BY lang ORDER BY lang"""),
+    ),
   )
 }
