@@ -92,6 +92,10 @@ object ExactMedian {
       buckets: Int = 8192,
       persistProjection: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 })
+    // Duplicate output names would silently merge in the pivot below
+    // (max over BOTH tags' values) — reject loudly instead.
+    require(ps.map(_._1).distinct.size == ps.size,
+      s"duplicate quantile output names: ${ps.map(_._1)}")
     val picked = selectAtRanks(df, key, value, buckets, persistProjection, stats => {
       // ceil(n·p) in plain IEEE double arithmetic — the same ops both
       // engines run, so rank boundaries agree bit-for-bit.
@@ -126,6 +130,10 @@ object ExactMedian {
     // (e.g. a tokenization: q107 measured 1.8→1.3 s), a net LOSS when
     // the projection is a plain columnar read that parquet re-serves
     // cheaply (q56 measured 2.0→2.3 s persisted), so callers choose.
+    // Lifecycle: the blocks stay cached until the session drops them —
+    // both graft harnesses (Bench, Verify) clear the cache per query;
+    // long-lived sessions should wrap the call and unpersist, or leave
+    // the flag off.
     val narrow = df
       .filter(col(value).isNotNull)
       .select(col(key), col(value).cast("double").as("__em_v"))

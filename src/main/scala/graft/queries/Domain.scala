@@ -88,12 +88,18 @@ object Domain {
   // into a 13.3 s full recompute, but a parquet stage cannot be
   // evicted, and every reader gets the same column pruning at the
   // staged scan.
+  /** The exact plan the stage writer runs — shared with PlanSpec's
+    * q24 BUILD test and Explain's stage-build dump so the pinned and
+    * dumped evidence can never drift from the real write path. */
+  private[graft] def silverBuild(s: SparkSession, dir: String): DataFrame =
+    MatchTransform.silver(
+      bronzeFromOrders(Tables.orders(s, dir)),
+      dimFromCustomer(Tables.customer(s, dir)),
+      includeParticipants = false)
+
   private def silver(s: SparkSession, dir: String): DataFrame =
     graft.operators.Staged.parquet(s, s"silver_narrow|$dir") {
-      MatchTransform.silver(
-        bronzeFromOrders(Tables.orders(s, dir)),
-        dimFromCustomer(Tables.customer(s, dir)),
-        includeParticipants = false)
+      silverBuild(s, dir)
     }
 
   // DuckDB mirror of the synthesized silver, computed analytically.

@@ -60,12 +60,10 @@ class PlanSpec extends SparkSuite {
   test("q24 domain transform BUILD: dim join broadcast, tier resolution aggregates map-side") {
     // Since round 5 the narrow silver is staged through parquet, so
     // the q24 QUERY plan is the staged read; the transform properties
-    // are pinned on the build itself (what the stage writer runs).
-    import org.apache.spark.sql.functions.col
-    val plan = finalPlan(graft.domain.MatchTransform.silver(
-      graft.queries.Domain.bronzeFromOrders(Tables.orders(spark, sfDir)),
-      graft.queries.Domain.dimFromCustomer(Tables.customer(spark, sfDir)),
-      includeParticipants = false).orderBy(col("matchId").cast("long")))
+    // are pinned on the build itself — the SAME expression the stage
+    // writer runs (Domain.silverBuild), so this pin cannot drift from
+    // the real write path.
+    val plan = finalPlan(graft.queries.Domain.silverBuild(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"summoners dim must broadcast:\n$plan")
     // best-candidate selection is a min_by aggregate with a PARTIAL
     // stage before the exchange (map-side combine) — not a row_number
@@ -268,11 +266,12 @@ class PlanSpec extends SparkSuite {
       val plan = finalPlan(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("median(") && !plan.contains(" percentile("),
         s"$q must not plan an exact percentile buffer:\n$plan")
+      if (q == "q56_exact_stats") {
+        // and the median table joins back broadcast, fact unshuffled
+        assert(plan.contains("BroadcastHashJoin"), s"median join must broadcast:\n$plan")
+        assert(!plan.contains("SortMergeJoin"), s"fact must not shuffle for the join:\n$plan")
+      }
     }
-    // and the median table joins back broadcast, fact unshuffled
-    val plan56 = finalPlan(SparkEntry.queries("q56_exact_stats")(spark, sfDir))
-    assert(plan56.contains("BroadcastHashJoin"), s"median join must broadcast:\n$plan56")
-    assert(!plan56.contains("SortMergeJoin"), s"fact must not shuffle for the join:\n$plan56")
   }
 
   test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
