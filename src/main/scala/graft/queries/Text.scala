@@ -1039,5 +1039,42 @@ object Text {
               quantile_disc(len(string_split(text, ' ')), 0.99)::DOUBLE AS p99
               FROM documents GROUP BY lang ORDER BY lang"""),
     ),
+
+    // Quantile-threshold outlier trim — the Gopher-style per-language
+    // length gate with DATA-DERIVED cutoffs instead of fixed
+    // constants: keep documents whose token count sits inside the
+    // language's [p05, p95] band. The thresholds come from
+    // `quantilesDisc` (bounded build) and come back as a BROADCAST
+    // join + map-side filter — the q63 lesson applied to quantile
+    // gates: no per-language window, no single-reducer task, the
+    // corpus crosses no exchange at all (output sort aside).
+    QueryDef(
+      "q108_quantile_trim",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"))
+        val bands = graft.operators.ExactMedian.quantilesDisc(
+          toks, "lang", "n_tokens", Seq("p05" -> 0.05, "p95" -> 0.95),
+          persistProjection = true)
+        toks.join(broadcast(bands), Seq("lang"))
+          .filter(col("n_tokens") >= col("p05") && col("n_tokens") <= col("p95"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("p05").cast("long").as("lo"), col("p95").cast("long").as("hi"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+                FROM documents),
+              b AS (
+                SELECT lang,
+                  quantile_disc(n_tokens, 0.05) AS lo,
+                  quantile_disc(n_tokens, 0.95) AS hi
+                FROM t GROUP BY lang)
+              SELECT t.doc_id, t.lang, t.n_tokens, b.lo::BIGINT AS lo, b.hi::BIGINT AS hi
+              FROM t JOIN b ON t.lang = b.lang
+              WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+              ORDER BY t.doc_id"""),
+    ),
   )
 }

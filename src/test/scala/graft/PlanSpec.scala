@@ -216,9 +216,10 @@ class PlanSpec extends SparkSuite {
     assert(shuffled <= 1, s"more than one shuffled join:\n$plan")
   }
 
-  test("q63/q66/q81: no single-key window over unaggregated input (distributed prefix-sum shape)") {
+  test("q63/q66/q81/q107/q108: no single-key window over unaggregated input (distributed prefix-sum shape)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
-    for (q <- Seq("q63_training_selection", "q66_token_budget_pack", "q81_sequence_packing")) {
+    for (q <- Seq("q63_training_selection", "q66_token_budget_pack", "q81_sequence_packing",
+        "q107_corpus_length_profile", "q108_quantile_trim")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       // A Window whose partition spec is a single key pins each key's
       // whole extent to one task — allowed only above an Aggregate
