@@ -66,7 +66,12 @@ object Bench {
     // stays under this bound (first pass always runs).
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "240").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Optional subset (the Verify convention): extra args = bench only
+    // these queries; unknown names fail loudly.
+    val only = args.toSet
+    only.foreach(n => require(SparkEntry.queries.contains(n), s"unknown query: $n"))
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
 
     // Cumulative stop-the-world GC millis across all collectors. The
     // per-query delta is reported next to wall-clock so a reader of

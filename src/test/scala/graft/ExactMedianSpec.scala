@@ -113,6 +113,18 @@ class ExactMedianSpec extends SparkSuite {
     assert(out == Map("one" -> ((5.0, 5.0, 5.0)), "const" -> ((2.0, 2.0, 2.0))))
   }
 
+  test("adversarial concentration: mass packed into a sliver of the range stays exact") {
+    // 2000 values in [0, 1e-6] plus one outlier at 1e6: every non-
+    // outlier lands in top-level bucket 0 — the equal-width histogram
+    // worst case the analytic sub-slice refinement exists for. The
+    // median must still be exact (and the float guard must hold at
+    // the sub-slice lower boundary).
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 2000).map(_ => ("c", rnd.nextDouble() * 1e-6)) :+ (("c", 1e6))
+    check(rows.toDF("key", "v"))
+    check(rows.toDF("key", "v"), buckets = 4) // coarse buckets stress the refinement
+  }
+
   test("both even-n middle ranks can straddle a bucket boundary") {
     // 2 buckets over [0, 3]: values {0,1} land in bucket 0, {2,3} in
     // bucket 1 — ranks 2 and 3 of n=4 sit in different buckets and the
