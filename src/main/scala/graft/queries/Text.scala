@@ -1076,5 +1076,45 @@ object Text {
               WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
               ORDER BY t.doc_id"""),
     ),
+
+    // Cross-source duplication matrix — which sources duplicate which:
+    // the verified near-dup pairs (STAGED once per input, the same
+    // artifact q33/q68/q70/q90 read) resolved to each endpoint's
+    // source, folded to an unordered source pair, with pair counts and
+    // mean similarity. This is the contamination-overlap table a
+    // dataset card prints (how much of source A re-appears in source
+    // B). Plan shape: two joins keyed on doc id — the (doc_id, source)
+    // dim broadcasts at test scale and co-shuffles with the pair list
+    // at corpus scale; the grouping output is |sources|² bounded.
+    QueryDef(
+      "q109_crosssource_dup_matrix",
+      (s, dir) => {
+        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        minhashPairs(s, dir, threshold = 0.5)
+          .join(src.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("source", "src_a"), Seq("doc_a"))
+          .join(src.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("source", "src_b"), Seq("doc_b"))
+          .select(least(col("src_a"), col("src_b")).as("src_lo"),
+            greatest(col("src_a"), col("src_b")).as("src_hi"),
+            col("jaccard"))
+          .groupBy(col("src_lo"), col("src_hi"))
+          .agg(count(lit(1)).as("n_pairs"),
+            Num.fround(avg(col("jaccard")), 4).as("avg_jaccard"))
+          .orderBy(col("src_lo"), col("src_hi"))
+      },
+      Some(s"""WITH ${minhashPairsSqlCtes(0.5)},
+              lab AS (
+                SELECT least(da.source, db.source) AS src_lo,
+                       greatest(da.source, db.source) AS src_hi,
+                       p.jaccard
+                FROM pairs p
+                JOIN documents da ON da.doc_id = p.doc_a
+                JOIN documents db ON db.doc_id = p.doc_b)
+              SELECT src_lo, src_hi, count(*)::BIGINT AS n_pairs,
+                ${Num.froundSql("avg(jaccard)", 4)} AS avg_jaccard
+              FROM lab GROUP BY src_lo, src_hi
+              ORDER BY src_lo, src_hi"""),
+    ),
   )
 }
