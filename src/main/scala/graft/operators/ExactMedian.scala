@@ -52,6 +52,16 @@ import org.apache.spark.sql.functions._
   * a key with only NULLs is absent from the output — callers decide
   * null semantics at their join.
   *
+  * Key-cardinality contract: the per-key stats/targets/selection
+  * tables are BROADCAST back to the data, so `key` must be
+  * broadcast-scale (languages, sources, status flags — the grouping
+  * columns every current consumer uses), same as the per-language
+  * broadcast-threshold patterns elsewhere. A per-entity key with
+  * millions of values needs the shuffle-join variant of those joins;
+  * at that cardinality groups are small enough that Spark's own
+  * `percentile` buffers stay bounded anyway — the operators cover
+  * complementary regimes.
+  *
   * Reference analog: the per-champion summary-stats table the
   * dashboard renders (/root/reference/dashboard/app.py:548-553) —
   * order statistics there are a one-node pandas affair; this is the
