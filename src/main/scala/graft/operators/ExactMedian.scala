@@ -29,18 +29,21 @@ import org.apache.spark.sql.functions._
   *   3. SELECTION PASS — rescan only rows of the selected buckets
   *      (broadcast semi-filter, no shuffle of the fact), refined one
   *      level for free: the sub-slice index derives from the parent
-  *      bucket's ANALYTIC range, so resolution is range/buckets²
-  *      (~1/6.7e7 default) without an extra pass — a skewed
-  *      continuous mass that lands in one top-level slice is split
-  *      again before any window runs. Rank lookup then runs over the
-  *      sub-slice's DISTINCT-VALUE histogram, not its rows: ties
-  *      collapse in a map-side aggregate first, so a hot repeated
-  *      value SHRINKS the window partition instead of concentrating
-  *      it (an all-equal group degenerates to a single histogram row
-  *      — no special case). The residual data-dependent bound is
-  *      distinct values per sub-slice — values spread across a
-  *      range/buckets² span, which for any realistic double column
-  *      collapses to ties.
+  *      bucket's ANALYTIC range, lifting resolution from
+  *      range/buckets to range/buckets² (~1/6.7e7 default) without an
+  *      extra pass — mass that lands in one top-level slice but
+  *      spreads wider than a sub-slice is split again before any
+  *      window runs. Rank lookup then runs over the sub-slice's
+  *      DISTINCT-VALUE histogram, not its rows: ties collapse in a
+  *      map-side aggregate first, so a hot repeated value SHRINKS the
+  *      window partition instead of concentrating it (an all-equal
+  *      group degenerates to a single histogram row — no special
+  *      case). The residual data-dependent bound is DISTINCT values
+  *      inside one range/buckets² span: for fixed-precision data
+  *      (prices, counts, token lengths) that is a handful of ties,
+  *      but adversarial continuous doubles packed below that span
+  *      still concentrate — fully bounding them would take recursive
+  *      refinement, which no current consumer's data shape needs.
   *
   * Exactness: bucketing only routes ranks — any monotone bucketing
   * yields the same selected values, so the result equals the
@@ -193,11 +196,11 @@ object ExactMedian {
     // sub-slice index comes from the parent bucket's ANALYTIC range
     // (mn + b·width, known from stats), so the refinement costs no
     // extra pass over the data — resolution becomes range/buckets²
-    // (~1/6.7e7 at the default 8192). A skewed continuous mass that
-    // lands in one top-level slice (the adversarial case for
-    // equal-width histograms) is split again before any window runs.
-    // The greatest(0, ·) guards the float edge where v sits a hair
-    // below its bucket's analytic lower bound.
+    // (~1/6.7e7 at the default 8192), splitting concentration that a
+    // single equal-width level would miss (see the header for the
+    // residual sub-span caveat). The greatest(0, ·) guards the float
+    // edge where v sits a hair below its bucket's analytic lower
+    // bound.
     val cand = bucketed
       .join(broadcast(sel.select(col(key), col("__em_b")).distinct()),
         Seq(key, "__em_b"))
@@ -211,18 +214,21 @@ object ExactMedian {
     // window); the sub-slice totals and their in-bucket offsets are
     // aggregates OF THIS AGGREGATE — window partitions are ≤ buckets
     // rows (cross-slice offsets) and ≤ distinct-values-per-sub-slice
-    // (value ranks). Only values differing below range/buckets²
-    // granularity can still concentrate — at which point they collapse
-    // as ties to machine precision for any realistic column.
-    // Persisted: BOTH the sub-slice offset branch (hist2→cum2→sel2)
-    // and the value-rank branch (valCum) read this tiny table —
-    // without materialization each branch re-runs the selected-bucket
-    // corpus scan (measured +1.3 s on q107/q108 at sf0.1). Size is
-    // distinct values in the selected buckets — the bounded quantity
-    // this whole design maintains.
-    val candHist = cand.groupBy(col(key), col("__em_b"), col("__em_b2"), col("__em_v"))
+    // (value ranks). For fixed-precision data, distinct values inside
+    // one range/buckets² span are a handful of ties; see the header
+    // for the adversarial-continuous residual.
+    // BOTH the sub-slice offset branch (hist2→cum2→sel2) and the
+    // value-rank branch (valCum) read this table; persisting it saves
+    // each branch re-running the selected-bucket corpus scan (measured
+    // +1.3 s on q107/q108 at sf0.1 where the scan re-tokenizes). The
+    // persist follows the SAME caller flag as the projection so
+    // `persistProjection = false` remains a complete no-caching escape
+    // hatch for long-lived sessions — with it off, the re-run is one
+    // extra NARROW selected-bucket scan (cheap for plain column
+    // reads, the same regime where the projection persist loses).
+    val candHistRaw = cand.groupBy(col(key), col("__em_b"), col("__em_b2"), col("__em_v"))
       .agg(count(lit(1)).as("__em_vc"))
-      .persist()
+    val candHist = if (persistProjection) candHistRaw.persist() else candHistRaw
     val hist2 = candHist.groupBy(col(key), col("__em_b"), col("__em_b2"))
       .agg(sum(col("__em_vc")).as("__em_c2"))
     val wOff2 = Window.partitionBy(col(key), col("__em_b")).orderBy(col("__em_b2"))

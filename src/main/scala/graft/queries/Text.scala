@@ -1051,12 +1051,17 @@ object Text {
     QueryDef(
       "q108_quantile_trim",
       (s, dir) => {
+        // Persisted HERE, not via persistProjection: the final
+        // join/filter scan needs doc_id, which the operator's internal
+        // (lang, value) projection drops — persisting the full toks
+        // row once serves BOTH the quantile build and the trim scan
+        // with a single corpus tokenization.
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).as("n_tokens"))
+          .persist()
         val bands = graft.operators.ExactMedian.quantilesDisc(
-          toks, "lang", "n_tokens", Seq("p05" -> 0.05, "p95" -> 0.95),
-          persistProjection = true)
+          toks, "lang", "n_tokens", Seq("p05" -> 0.05, "p95" -> 0.95))
         toks.join(broadcast(bands), Seq("lang"))
           .filter(col("n_tokens") >= col("p05") && col("n_tokens") <= col("p95"))
           .select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -1078,10 +1083,11 @@ object Text {
     ),
 
     // Cross-source duplication matrix — which sources duplicate which:
-    // the verified near-dup pairs (STAGED once per input, the same
-    // artifact q33/q68/q70/q90 read) resolved to each endpoint's
-    // source, folded to an unordered source pair, with pair counts and
-    // mean similarity. This is the contamination-overlap table a
+    // the verified near-dup pairs (STAGED once per (input, threshold);
+    // this reads the t=0.5 artifact shared with q33/q68/q90 — q70
+    // stages its own t=0.8 graph) resolved to each endpoint's source,
+    // folded to an unordered source pair, with pair counts and mean
+    // similarity. This is the contamination-overlap table a
     // dataset card prints (how much of source A re-appears in source
     // B). Plan shape: two joins keyed on doc id — the (doc_id, source)
     // dim broadcasts at test scale and co-shuffles with the pair list

@@ -113,16 +113,20 @@ class ExactMedianSpec extends SparkSuite {
     assert(out == Map("one" -> ((5.0, 5.0, 5.0)), "const" -> ((2.0, 2.0, 2.0))))
   }
 
-  test("adversarial concentration: mass packed into a sliver of the range stays exact") {
-    // 2000 values in [0, 1e-6] plus one outlier at 1e6: every non-
-    // outlier lands in top-level bucket 0 — the equal-width histogram
-    // worst case the analytic sub-slice refinement exists for. The
-    // median must still be exact (and the float guard must hold at
-    // the sub-slice lower boundary).
+  test("concentrated mass: sliver-of-range distributions stay exact through the refinement") {
+    // 2000 values in [0, 1e-6] plus an outlier at 1e6: all non-outlier
+    // mass lands in top-level bucket 0 AND sub-slice 0 at any bucket
+    // count here — maximal concentration, where correctness rests
+    // entirely on the distinct-value rank inside one sub-slice (the
+    // operator's documented residual regime). Non-zero sub-slice
+    // selection and the analytic-lower-bound float guard are
+    // exercised by the spread-data property test at buckets=2/16.
+    // This pins CORRECTNESS under concentration; the partition-size
+    // benefit is a plan property argued in the scaladoc.
     val rnd = new scala.util.Random(99)
     val rows = (0 until 2000).map(_ => ("c", rnd.nextDouble() * 1e-6)) :+ (("c", 1e6))
     check(rows.toDF("key", "v"))
-    check(rows.toDF("key", "v"), buckets = 4) // coarse buckets stress the refinement
+    check(rows.toDF("key", "v"), buckets = 4)
   }
 
   test("both even-n middle ranks can straddle a bucket boundary") {

@@ -21,13 +21,14 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // "median(" / " percentile(" catch the whole-group-buffering exact
-    // percentile aggregates (use operators.ExactMedian instead); the
-    // leading space on " percentile(" keeps bounded percentile_approx
-    // from tripping it.
+    // "median(" / "percentile(" catch the whole-group-buffering exact
+    // percentile aggregates at any position in the function list,
+    // including first and partial_-prefixed (use operators.ExactMedian
+    // instead). Bounded percentile_approx( never contains the
+    // substring "percentile(" — an underscore follows, not a paren.
     val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
       "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
-      "median(", " percentile(")
+      "median(", "percentile(")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")

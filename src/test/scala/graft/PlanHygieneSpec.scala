@@ -22,7 +22,7 @@ class PlanHygieneSpec extends SparkSuite {
     "Expand" -> Set("q44_rollup_pricing", "q55_cube_summary"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
-    "BatchEvalPython", "median(", " percentile(")
+    "BatchEvalPython", "median(", "percentile(")
 
   test("every registered query plans free of hard anti-patterns") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

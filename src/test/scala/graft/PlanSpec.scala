@@ -265,7 +265,7 @@ class PlanSpec extends SparkSuite {
     // so match the exact aggregates only.
     for (q <- Seq("q56_exact_stats", "q45_sketches")) {
       val plan = finalPlan(SparkEntry.queries(q)(spark, sfDir))
-      assert(!plan.contains("median(") && !plan.contains(" percentile("),
+      assert(!plan.contains("median(") && !plan.contains("percentile("),
         s"$q must not plan an exact percentile buffer:\n$plan")
       if (q == "q56_exact_stats") {
         // and the median table joins back broadcast, fact unshuffled
