@@ -1122,5 +1122,44 @@ object Text {
               FROM lab GROUP BY src_lo, src_hi
               ORDER BY src_lo, src_hi"""),
     ),
+
+    // Deterministic WEIGHTED sampling — priority sampling (Duffield/
+    // Lund/Thorup): priority = w/u with u a uniform hash-derived
+    // (0,1] variate, keep the top-k priorities. Longer documents are
+    // proportionally more likely to be kept (w = token count) — the
+    // quality/length-weighted corpus cut none of the uniform samplers
+    // (q65/q76/q89) express. Everything is deterministic and
+    // RNG-free: u comes from an md5 prefix (the q65 house pattern),
+    // and the priority is ONE multiply + ONE divide — bit-identical
+    // IEEE arithmetic in both engines, so even the float column
+    // hash-matches with no rounding band. The A-ES u^(1/w) form would
+    // need pow(), whose last-ulp behavior differs across libms.
+    // Scale shape: pure narrow map + TakeOrderedAndProject —
+    // per-partition top-k then a k-row merge, no shuffle of the
+    // corpus, any corpus size.
+    QueryDef(
+      "q110_priority_sample",
+      (s, dir) => {
+        val u16 = expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as long) + 1L")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            u16.as("__u"))
+          .withColumn("priority",
+            col("n_tokens").cast("double") * lit(16777216.0) / col("__u"))
+          .drop("__u")
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(256)
+      },
+      Some("""WITH p AS (
+                SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT + 1 AS u
+                FROM documents)
+              SELECT doc_id, lang, n_tokens,
+                n_tokens::DOUBLE * 16777216 / u AS priority
+              FROM p ORDER BY priority DESC, doc_id LIMIT 256"""),
+    ),
   )
 }

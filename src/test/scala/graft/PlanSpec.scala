@@ -51,6 +51,13 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
   }
 
+  test("q110 priority sample: narrow map + TakeOrderedAndProject, no exchange of the corpus") {
+    val plan = finalPlan(SparkEntry.queries("q110_priority_sample")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join")
+      && !plan.contains("Window"), s"pure map + top-k expected:\n$plan")
+  }
+
   test("q37 brute-force ANN: probe side broadcast, corpus never shuffles for the join") {
     val plan = finalPlan(SparkEntry.queries("q37_cosine_topk_bruteforce")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
