@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * fact-to-fact, suspicious for dim hops). Run after a wave of query
   * work; PlanSpec pins the per-query conclusions this sweep surfaces.
   *
-  * Known by-design flags (round 5 sweep: 106/109 clean): q44/q55
+  * Known by-design flags (round 5 sweep: 107/110 clean): q44/q55
   * carry the Expand INHERENT to ROLLUP/CUBE grouping sets, and q94's
   * SortMergeJoin is the salted-skew-join demonstration PlanSpec
   * requires to be a real shuffle join.
