@@ -115,7 +115,10 @@ object Bench {
     // exactly the ones an outlier distorts most — get an individual
     // second measurement inside a bounded grace window, so no headline
     // number is ever min-of-one while time remains.
-    if (fullPasses == 1) {
+    // maxRuns > 1 gate: an EXPLICIT SPARK_GRAFT_BENCH_RUNS=1 means
+    // single-shot was asked for — grace reruns would both spend time
+    // the caller opted out of and report min-of-2 for a subset.
+    if (fullPasses == 1 && maxRuns > 1) {
       // The grace window is RELATIVE to when passes stopped (a slow
       // pass 1 must not consume it, or the driver environment — the
       // exact case this exists for — would still emit single-shots).

@@ -66,6 +66,15 @@ object PrefixSum {
     * sorts them. At 100 TB a 5k-token budget prunes essentially the
     * whole corpus pre-sort; output-preserving by the inequality, so
     * the oracle needs no mirror.
+    *
+    * `persistProjection`: both the partials aggregate and the local
+    * window read the value-projected input; persisting it runs the
+    * value projection (often a text split) once instead of once per
+    * branch. Lifecycle follows the ExactMedian contract: the blocks
+    * stay cached until the session drops them — the graft harnesses
+    * (Bench, Verify) clear the cache per query; a long-lived session
+    * passes `false` (the complete no-caching escape hatch, costing
+    * one extra narrow scan) or unpersists itself.
     */
   def keyedCumSum(
       df: DataFrame,
@@ -76,14 +85,13 @@ object PrefixSum {
       cumName: String,
       offsetName: Option[String] = None,
       offsetBudget: Option[Long] = None,
-      totalName: Option[String] = None): DataFrame = {
+      totalName: Option[String] = None,
+      persistProjection: Boolean = true): DataFrame = {
     val keyCols = key.map(col)
     val part = keyCols :+ col(bucket)
     val vname = s"__ps_v"
-    // Persisted: both the partials aggregate and the local-window
-    // branch read this narrow projection — without materialization the
-    // value projection (often a text split) runs once per branch.
-    val withV = df.withColumn(vname, value.cast("long")).persist()
+    val withVRaw = df.withColumn(vname, value.cast("long"))
+    val withV = if (persistProjection) withVRaw.persist() else withVRaw
     // (2) tiny per-bucket partials → exclusive cross-bucket offsets.
     // The lang-only window here is OVER THE AGGREGATE: its partition
     // row count is the bucket count, not the corpus.
@@ -129,7 +137,8 @@ object PrefixSum {
       bucket: String,
       ord: Seq[Column],
       rankName: String,
-      totalName: String): DataFrame =
+      totalName: String,
+      persistProjection: Boolean = true): DataFrame =
     keyedCumSum(df, key, bucket, ord, lit(1L), rankName,
-      totalName = Some(totalName))
+      totalName = Some(totalName), persistProjection = persistProjection)
 }

@@ -409,8 +409,14 @@ object Extensions {
           sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_totalprice"),
           sum(when(col("o_orderdate") > to_date(lit("1998-12-31")), 1L)
             .otherwise(0L)).as("future_orderdate"))
+        // A NULL-key group contributes ALL its rows, not c-1: the
+        // oracle's count(*) - count(DISTINCT o_orderkey) counts every
+        // NULL-key row (DISTINCT excludes NULLs entirely), so the
+        // two-level rewrite must too — sum(c-1) alone diverges the
+        // moment a NULL o_orderkey appears.
         val dup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
-          .agg(coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("dup_orderkey"))
+          .agg(coalesce(sum(when(col("o_orderkey").isNull, col("c"))
+            .otherwise(col("c") - 1)), lit(0L)).cast("long").as("dup_orderkey"))
         val orphans = o
           .join(dim.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
           .agg(count(lit(1)).as("orphan_custkey"))

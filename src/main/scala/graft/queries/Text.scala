@@ -63,8 +63,13 @@ object Text {
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Double): org.apache.spark.sql.DataFrame = {
     val path = pairsStaged.computeIfAbsent((dir, threshold), _ => {
+      // The sanitized dir rides IN the path (the Staged.parquet rule):
+      // a 32-bit hashCode alone can collide across two input dirs,
+      // silently overwriting one corpus's pair graph with another's.
       val p = pairsStageRoot
-        .resolve(s"t${(threshold * 100).toInt}_${Integer.toHexString(dir.hashCode)}")
+        .resolve(s"t${(threshold * 100).toInt}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          s"_${Integer.toHexString(dir.hashCode)}")
         .toString
       val (pairs, scratch) = buildMinhashPairs(s, dir, threshold)
       pairs.write.mode("overwrite").parquet(p)

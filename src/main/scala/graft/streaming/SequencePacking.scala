@@ -24,16 +24,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ACROSS batches a language's doc_ids must arrive strictly
   * ascending — late documents need the batch backfill path, not the
   * stream (a packed sequence already emitted cannot be re-cut).
+  * To establish that order, `pack` materializes and sorts ONE
+  * micro-batch's rows per language — per-invocation memory is
+  * batch-sized (a micro-batch is the unit Structured Streaming
+  * already holds), while CARRIED state stays O(1) per language.
   */
 object SequencePacking {
 
   val SeqLen = 32
 
-  /** Input document; `doc_id == Long.MaxValue` is the end-of-corpus
-    * flush marker for its language (text ignored). */
-  final case class Doc(lang: String, doc_id: Long, text: String)
+  /** Input document; `flush = true` marks the end-of-corpus flush row
+    * for its language (text ignored). The marker is an explicit field,
+    * NOT a sentinel doc_id — every Long is a legal document id. Flush
+    * rows carry doc_id = Long.MaxValue only so they SORT after every
+    * real document in their batch (ties broken by the flag itself). */
+  final case class Doc(lang: String, doc_id: Long, text: String, flush: Boolean = false)
 
-  def flushMarker(lang: String): Doc = Doc(lang, Long.MaxValue, "")
+  def flushMarker(lang: String): Doc = Doc(lang, Long.MaxValue, "", flush = true)
 
   /** Carried tail: token i of the in-flight sequence came from
     * carryDocs(i) — needed for the n_docs attribution of the sequence
@@ -59,8 +66,8 @@ object SequencePacking {
         md5hex(ts.mkString(" ")))
       seq += 1
     }
-    docs.toSeq.sortBy(_.doc_id).foreach { d =>
-      if (d.doc_id == Long.MaxValue) { // flush marker: emit the partial tail
+    docs.toSeq.sortBy(d => (d.doc_id, d.flush)).foreach { d =>
+      if (d.flush) { // flush marker: emit the partial tail
         if (toks.nonEmpty) { emit(toks, srcs); toks = Vector.empty; srcs = Vector.empty }
       } else {
         // limit -1: keep trailing empty tokens, matching Spark SQL's

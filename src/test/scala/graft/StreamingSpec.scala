@@ -244,7 +244,8 @@ class StreamingSpec extends SparkSuite {
     // end-of-corpus flush markers that emit each language's partial
     // tail sequence.
     val docs = Tables.documents(spark, sfDir)
-      .select(col("lang"), col("doc_id"), col("text"))
+      .select(col("lang"), col("doc_id"), col("text"),
+        org.apache.spark.sql.functions.lit(false).as("flush"))
       .as[Doc].collect().sortBy(_.doc_id)
     val (b1, rest) = docs.splitAt(docs.length / 3)
     val (b2, b3) = rest.splitAt(rest.length / 2)
