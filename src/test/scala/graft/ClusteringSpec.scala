@@ -11,25 +11,32 @@ class ClusteringSpec extends SparkSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
-  test("q85 assigns every vector exactly once, to a seed-derived cluster") {
+  test("q85 assigns every vector exactly once, to a member-seeded cluster") {
     val out = q("q85_kmeans_assign").persist()
     val n = Tables.embeddings(spark, sfDir).count()
     assert(out.count() == n, "every vector assigned")
     assert(out.select("vec_id").distinct().count() == n, "exactly once")
-    // Cluster ids are seed vec_ids (< k), distances are non-negative.
-    assert(out.filter(col("cluster_id") >= 8 || col("cluster_id") < 0).count() == 0)
+    // Fine cluster ids are seed vec_ids — members of the corpus —
+    // and distances are non-negative.
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id").as("cluster_id"))
+    assert(out.select("cluster_id").distinct()
+      .join(ids, Seq("cluster_id"), "left_anti").count() == 0,
+      "cluster id that is not a corpus vec_id")
     assert(out.filter(col("dist") < 0).count() == 0)
     assert(out.select("cluster_id").distinct().count() > 1,
       "degenerate single-cluster result")
     out.unpersist()
   }
 
-  /** Pure-Scala rerun of the exact algorithm — seed vec_id < k (k
-    * derived the way the query derives it: max(8, n/150)) → assign →
-    * 6dp-rounded mean update → assign — agreeing on every cluster and
-    * 4dp distance. An independent implementation of both the Lloyd
-    * steps AND the derived-k contract. */
-  private def lloydCheck(dir: String): Unit = {
+  /** Pure-Scala rerun of the exact HIERARCHICAL algorithm — coarse:
+    * constant k=8 cells trained on the m-modulus sample (m =
+    * n/(8·32)), one 6dp-rounded mean update, full-corpus assignment;
+    * fine: per cell, kc = ceil(cell_n/150) smallest-vec_id seeds →
+    * assign → 6dp-rounded update → assign — agreeing with the Spark
+    * chain on every cluster and 4dp distance. An independent
+    * implementation of both Lloyd levels AND the two boundedness
+    * contracts (constant coarse k, derived fine kc). */
+  private def hierCheck(dir: String): Unit = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).sortBy(_._1)
@@ -37,16 +44,28 @@ class ClusteringSpec extends SparkSuite {
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
     def argmin(e: Seq[Double], cents: Seq[(Long, Seq[Double])]) =
       cents.map { case (cid, c) => (d2(e, c), cid) }.min
-    val k = math.max(8L, emb.length.toLong / 150L)
-    val seeds = emb.filter(_._1 < k).toSeq
-    val a1 = emb.map { case (id, e) => (id, e, argmin(e, seeds)._2) }
-    val c1 = a1.groupBy(_._3).map { case (cid, rs) =>
-      cid -> (0 until 64).map(i =>
-        math.floor(rs.map(_._2(i)).sum / rs.size * 1e6 + 0.5) / 1e6)
-    }.toSeq.sortBy(_._1)
-    val expect = emb.map { case (id, e) =>
-      val (d, cid) = argmin(e, c1)
-      (id, cid, math.floor(d * 1e4 + 0.5) / 1e4)
+    def roundedMeans(assigned: Seq[(Long, Seq[Double], Long)]): Seq[(Long, Seq[Double])] =
+      assigned.groupBy(_._3).map { case (cid, rs) =>
+        cid -> (0 until 64).map(i =>
+          math.floor(rs.map(_._2(i)).sum / rs.size * 1e6 + 0.5) / 1e6)
+      }.toSeq.sortBy(_._1)
+    // Coarse level (the q97 contract: constant k, constant sample).
+    val k = 8L
+    val m = math.max(1L, emb.length.toLong / (k * 32))
+    val sample = emb.filter(_._1 % m == 0)
+    val seeds = sample.filter(_._1 < k * m).toSeq
+    val c1 = roundedMeans(sample.map { case (id, e) => (id, e, argmin(e, seeds)._2) })
+    val cells = emb.map { case (id, e) => (id, e, argmin(e, c1)._2) }
+    // Fine level: per-cell derived-kc local Lloyd.
+    val expect = cells.groupBy(_._3).toSeq.flatMap { case (_, members0) =>
+      val members = members0.sortBy(_._1)
+      val kc = math.max(1L, math.ceil(members.size / 150.0).toLong)
+      val fseeds = members.take(kc.toInt).map(r => r._1 -> r._2).toSeq
+      val fc1 = roundedMeans(members.map { case (id, e, _) => (id, e, argmin(e, fseeds)._2) })
+      members.map { case (id, e, _) =>
+        val (d, fcid) = argmin(e, fc1)
+        (id, fcid, math.floor(d * 1e4 + 0.5) / 1e4)
+      }
     }.toSet
     val got = SparkEntry.queries("q85_kmeans_assign")(spark, dir).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
@@ -55,12 +74,38 @@ class ClusteringSpec extends SparkSuite {
       s"only-spark: ${got.diff(expect)}; only-local: ${expect.diff(got)}")
   }
 
-  test("q85 matches an independent driver-side Lloyd reimplementation") {
-    lloydCheck(sfDir) // 500 vectors → k = max(8, 3) = 8
+  test("q85 matches an independent driver-side hierarchical-Lloyd reimplementation") {
+    hierCheck(sfDir) // 500 vectors → 8 cells, kc=1 per cell
   }
 
-  test("q85 derived-k path: sf0.1's 2000 vectors give k=13, still Lloyd-exact") {
-    lloydCheck("/root/testdata/sf0.1")
+  test("q85 derived-kc path: sf0.1's 2000 vectors split cells (kc>1), still Lloyd-exact") {
+    hierCheck("/root/testdata/sf0.1")
+  }
+
+  test("hierarchical clustering: plan-literal/driver centroid state is corpus-independent; cluster count is not") {
+    // The plan may carry ONLY the constant coarse centroids as
+    // literals (MinK sqdist_f calls against literal arrays); the fine
+    // level's centroids live in a joined DataFrame. A 4× corpus must
+    // therefore leave the literal count unchanged — while the FINE
+    // cluster count (bounded cluster size) must grow with it.
+    def sqdistLits(dir: String): Int =
+      "sqdist_f".r.findAllIn(
+        graft.queries.Clustering.hierBuild(spark, dir)
+          .queryExecution.optimizedPlan.toString).size
+    val small = sqdistLits(sfDir)               // 500 vectors
+    val big = sqdistLits("/root/testdata/sf0.1") // 2000 vectors
+    assert(small == big,
+      s"plan centroid state grew with the corpus: $small (sf0.001) vs $big (sf0.1)")
+    val clustersSmall = q("q85_kmeans_assign").select("cluster_id").distinct().count()
+    val clustersBig = SparkEntry.queries("q85_kmeans_assign")(spark, "/root/testdata/sf0.1")
+      .select("cluster_id").distinct().count()
+    assert(clustersBig > clustersSmall,
+      s"fine cluster count must track the corpus: $clustersSmall vs $clustersBig")
+    // And the bounded-cluster-size contract holds where cells split.
+    val maxSize = SparkEntry.queries("q85_kmeans_assign")(spark, "/root/testdata/sf0.1")
+      .groupBy("cluster_id").count().agg(max("count")).first().getLong(0)
+    assert(maxSize <= 2 * 150,
+      s"fine cluster size $maxSize exceeds 2x the 150 target")
   }
 
   test("q97 two-level: constant-size training sample, seeds are sampled ids, full corpus assigned") {

@@ -158,14 +158,25 @@ class PlanSpec extends SparkSuite {
       s"fact side must reach the join unshuffled:\n$plan")
   }
 
-  test("q85 k-means: final assignment is a narrow map — no join, no hash exchange") {
-    // Centroids ride into the plan as literals (the broadcast-variable
-    // pattern), so assigning the corpus must not join or shuffle it;
-    // the only exchange is the output sort's range partitioning.
-    val plan = finalPlan(SparkEntry.queries("q85_kmeans_assign")(spark, sfDir))
-    assert(!plan.contains("Join"), s"no join expected in assignment:\n$plan")
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"corpus must not shuffle to be assigned:\n$plan")
+  test("q85 hierarchical k-means: fine argmin is a partial min_by, no per-cell window over raw rows") {
+    // The staged q85 read hides the build, so assert on the build
+    // itself. Coarse centroids are the only plan literals (constant
+    // MinK of them — corpus-independence is asserted in
+    // ClusteringSpec); the fine level must (a) collapse its argmin
+    // map-side (one row per vector reaches the exchange, the q53
+    // shape), and (b) never sort a whole coarse cell in one window
+    // task — every single-key window must sit above an Aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
+    val df = graft.queries.Clustering.hierBuild(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("partial_min_by"),
+      s"fine assignment should partially aggregate:\n$plan")
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow
+          if w.partitionSpec.size <= 1 && !w.child.exists(_.isInstanceOf[Aggregate]) => w
+    }
+    assert(bad.isEmpty,
+      s"q85 build: single-key window over unaggregated input:\n${bad.mkString("\n")}")
   }
 
   test("q87 unigram LM: grand total broadcast; vocab and doc aggregates partial") {
