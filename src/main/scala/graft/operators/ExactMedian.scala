@@ -27,23 +27,26 @@ import org.apache.spark.sql.functions._
   *      corpus-independent). The bucket holding each target rank is a
   *      broadcast-tiny join of ranks vs offsets.
   *   3. SELECTION PASS — rescan only rows of the selected buckets
-  *      (broadcast semi-filter, no shuffle of the fact), refined one
-  *      level for free: the sub-slice index derives from the parent
-  *      bucket's ANALYTIC range, lifting resolution from
-  *      range/buckets to range/buckets² (~1/6.7e7 default) without an
-  *      extra pass — mass that lands in one top-level slice but
-  *      spreads wider than a sub-slice is split again before any
-  *      window runs. Rank lookup then runs over the sub-slice's
+  *      (broadcast semi-filter, no shuffle of the fact), refined TWO
+  *      analytic levels for free: the sub-slice and sub-sub-slice
+  *      indices both derive from the parent's ANALYTIC range, lifting
+  *      resolution from range/buckets to range/buckets³ (~1/5.5e11
+  *      default) without extra passes — mass that lands in one
+  *      top-level slice but spreads wider than a deeper slice is
+  *      split again before any window runs, and each level's offsets
+  *      are windows OVER AGGREGATES (≤ buckets rows per partition).
+  *      Rank lookup then runs over the innermost slice's
   *      DISTINCT-VALUE histogram, not its rows: ties collapse in a
   *      map-side aggregate first, so a hot repeated value SHRINKS the
   *      window partition instead of concentrating it (an all-equal
   *      group degenerates to a single histogram row — no special
-  *      case). The residual data-dependent bound is DISTINCT values
-  *      inside one range/buckets² span: for fixed-precision data
-  *      (prices, counts, token lengths) that is a handful of ties,
-  *      but adversarial continuous doubles packed below that span
-  *      still concentrate — fully bounding them would take recursive
-  *      refinement, which no current consumer's data shape needs.
+  *      case). The remaining data-dependent bound is DISTINCT values
+  *      inside one range/buckets³ span — even a 10⁶-distinct
+  *      adversarial pack of continuous doubles inside a SINGLE
+  *      range/buckets² sub-slice (the round-5 residual, now a spec
+  *      fixture) spreads across ~buckets sub-sub-slices; packing
+  *      below range/buckets³ would take another recursion level, the
+  *      same step applied again.
   *
   * Exactness: bucketing only routes ranks — any monotone bucketing
   * yields the same selected values, so the result equals the
@@ -201,6 +204,8 @@ object ExactMedian {
     // residual sub-span caveat). The greatest(0, ·) guards the float
     // edge where v sits a hair below its bucket's analytic lower
     // bound.
+    val width2 = width / lit(buckets.toDouble)
+    val width3 = width2 / lit(buckets.toDouble)
     val cand = bucketed
       .join(broadcast(sel.select(col(key), col("__em_b")).distinct()),
         Seq(key, "__em_b"))
@@ -208,7 +213,22 @@ object ExactMedian {
         when(col("__em_mx") === col("__em_mn"), lit(0))
           .otherwise(greatest(lit(0), least(
             floor((col("__em_v") - (col("__em_mn") + col("__em_b") * width))
-              / (width / lit(buckets.toDouble))).cast("int"),
+              / width2).cast("int"),
+            lit(buckets - 1)))))
+      // Second refinement level, same analytic trick one power deeper:
+      // the sub-sub-slice index derives from the (b, b2) range, so it
+      // costs no extra pass — resolution range/buckets³ (~1/5.5e11).
+      // This is the bounded-depth recursive step that closes the
+      // adversarial continuous-sliver residual: values that all land
+      // in ONE range/buckets² span (the shape the header documents)
+      // are split another buckets ways before any window runs.
+      // width3 == 0 (range below ~1e-300, or mn == mx) degenerates to
+      // a single sub-sub-slice — the guard keeps the division finite.
+      .withColumn("__em_b3",
+        when(col("__em_mx") === col("__em_mn") || width3 === lit(0.0), lit(0))
+          .otherwise(greatest(lit(0), least(
+            floor((col("__em_v") - (col("__em_mn") + col("__em_b") * width
+              + col("__em_b2") * width2)) / width3).cast("int"),
             lit(buckets - 1)))))
     // Distinct-VALUE histogram per sub-slice (ties collapse before any
     // window); the sub-slice totals and their in-bucket offsets are
@@ -226,7 +246,8 @@ object ExactMedian {
     // hatch for long-lived sessions — with it off, the re-run is one
     // extra NARROW selected-bucket scan (cheap for plain column
     // reads, the same regime where the projection persist loses).
-    val candHistRaw = cand.groupBy(col(key), col("__em_b"), col("__em_b2"), col("__em_v"))
+    val candHistRaw = cand.groupBy(col(key), col("__em_b"), col("__em_b2"),
+        col("__em_b3"), col("__em_v"))
       .agg(count(lit(1)).as("__em_vc"))
     val candHist = if (persistProjection) candHistRaw.persist() else candHistRaw
     val hist2 = candHist.groupBy(col(key), col("__em_b"), col("__em_b2"))
@@ -242,15 +263,33 @@ object ExactMedian {
         col("__em_lr") <= col("__em_off2") + col("__em_c2"))
       .select(col(key), col("__em_b"), col("__em_b2"), col("__em_tag"),
         col("__em_r"), (col("__em_lr") - col("__em_off2")).as("__em_lr2"))
-    val wVal = Window.partitionBy(col(key), col("__em_b"), col("__em_b2"))
+    // ... and once more to its sub-sub-slice: the b3 offsets are
+    // again a window OVER AN AGGREGATE (≤ buckets rows per (key, b,
+    // b2) partition), and the target's local rank narrows to one
+    // range/buckets³ span before any per-value window runs.
+    val hist3 = candHist.groupBy(col(key), col("__em_b"), col("__em_b2"), col("__em_b3"))
+      .agg(sum(col("__em_vc")).as("__em_c3"))
+    val wOff3 = Window.partitionBy(col(key), col("__em_b"), col("__em_b2"))
+      .orderBy(col("__em_b3"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum3 = hist3.withColumn("__em_off3",
+      coalesce(sum(col("__em_c3")).over(wOff3), lit(0L)))
+    val sel3 = cum3
+      .join(broadcast(sel2), Seq(key, "__em_b", "__em_b2"))
+      .filter(col("__em_lr2") > col("__em_off3") &&
+        col("__em_lr2") <= col("__em_off3") + col("__em_c3"))
+      .select(col(key), col("__em_b"), col("__em_b2"), col("__em_b3"),
+        col("__em_tag"), col("__em_r"),
+        (col("__em_lr2") - col("__em_off3")).as("__em_lr3"))
+    val wVal = Window.partitionBy(col(key), col("__em_b"), col("__em_b2"), col("__em_b3"))
       .orderBy(col("__em_v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val valCum = candHist.withColumn("__em_voff",
       coalesce(sum(col("__em_vc")).over(wVal), lit(0L)))
     valCum
-      .join(broadcast(sel2), Seq(key, "__em_b", "__em_b2"))
-      .filter(col("__em_lr2") > col("__em_voff") &&
-        col("__em_lr2") <= col("__em_voff") + col("__em_vc"))
+      .join(broadcast(sel3), Seq(key, "__em_b", "__em_b2", "__em_b3"))
+      .filter(col("__em_lr3") > col("__em_voff") &&
+        col("__em_lr3") <= col("__em_voff") + col("__em_vc"))
       .select(col(key), col("__em_tag"), col("__em_r"), col("__em_v"))
   }
 }

@@ -129,6 +129,43 @@ class ExactMedianSpec extends SparkSuite {
     check(rows.toDF("key", "v"), buckets = 4)
   }
 
+  test("adversarial continuous sliver: 1e6 distinct doubles inside ONE sub-slice stay exact AND bounded") {
+    // The round-5 documented residual, now closed by the third
+    // analytic level: a million DISTINCT doubles (spacing 1e-14) all
+    // inside a single range/buckets² span (span2 ≈ 1.49e-8 for range
+    // [0,1] at the default 8192), plus an outlier at 1.0 that pins the
+    // range. Before the b3 level, the per-value rank window would hold
+    // all 10⁶ values in ONE partition; with it they spread across
+    // ~buckets sub-sub-slices.
+    val B = 8192
+    val df = spark.range(1000000L)
+      .select(lit("a").as("key"), (col("id") * lit(1e-14)).as("v"))
+      .union(Seq(("a", 1.0)).toDF("key", "v"))
+    // Exactness: n = 1000001 (odd) → median = rank 500001's value.
+    val got = ExactMedian.perGroup(df, "key", "v", "m", B)
+      .collect().head.getDouble(1)
+    val expect = 500000L * 1e-14
+    assert(math.abs(got - expect) <= Eps * expect, s"got $got, expected $expect")
+    // Fixture premise: every non-outlier value shares one (b, b2).
+    val width = 1.0 / B
+    val w2 = width / B
+    val w3 = w2 / B
+    val sliced = df.filter(col("v") < 1.0)
+      .withColumn("b", least(floor(col("v") / width), lit(B - 1)).cast("int"))
+      .withColumn("b2", least(floor((col("v") - col("b") * width) / w2), lit(B - 1)).cast("int"))
+      .withColumn("b3", least(floor((col("v") - col("b") * width - col("b2") * w2) / w3), lit(B - 1)).cast("int"))
+    assert(sliced.select("b", "b2").distinct().count() == 1,
+      "fixture must concentrate in a single sub-slice")
+    // Boundedness: the innermost window partition is (key, b, b2, b3)
+    // distinct values — the same slicing formulas the operator uses
+    // must spread the pack so no partition holds more than a small
+    // multiple of n/buckets (~122 here; 4096 is a loose ceiling).
+    val maxPart = sliced.groupBy("b", "b2", "b3")
+      .agg(countDistinct(col("v")).as("d")).agg(max("d")).first().getLong(0)
+    assert(maxPart <= 4096,
+      s"sub-sub-slice still concentrates: $maxPart distinct values in one window partition")
+  }
+
   test("both even-n middle ranks can straddle a bucket boundary") {
     // 2 buckets over [0, 3]: values {0,1} land in bucket 0, {2,3} in
     // bucket 1 — ranks 2 and 3 of n=4 sit in different buckets and the
