@@ -79,40 +79,48 @@ object Text {
     s.read.parquet(path)
   }
 
-  /** The pair-graph build itself (see [[minhashPairs]] for staging).
-    * Returns (pairs, build-time persisted scratch to free post-write). */
-  private def buildMinhashPairs(s: org.apache.spark.sql.SparkSession, dir: String,
-      threshold: Double): (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+  /** Signature tables for `docs` (doc_id, text): the (doc_id, shset)
+    * shingle sets and the (doc_id, sz, band) banded LSH keys — the two
+    * artifacts a production dedup pipeline persists to storage, and
+    * exactly what the incremental path reads back instead of
+    * recomputing ([[incrementalPairs]]). */
+  private def sigTables(s: org.apache.spark.sql.SparkSession, docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     graft.functions.MinHashSlots.register(s)
-    val docs = Tables.documents(s, dir)
+    val sigs = docs
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("shingles", TextFns.shingleExpr("toks", 3))
       .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("shingles"), 8))
       .select((Seq(col("doc_id"), col("shingles")) ++
         (0 until 8).map(i => element_at(col("mh"), i + 1).as(s"mh_$i"))): _*)
-    // Materialize signatures before the self-join: md5-over-shingles
-    // ×8 is the expensive projection and the join would otherwise
-    // recompute it for BOTH sides. At production scale this is the
-    // signatures table you'd persist to storage anyway.
-    val shingleSets = docs
-      .select(col("doc_id"), array_distinct(col("shingles")).as("shset")).persist()
-    val banded = docs.select(col("doc_id"),
+    val shingleSets = sigs
+      .select(col("doc_id"), array_distinct(col("shingles")).as("shset"))
+    val banded = sigs.select(col("doc_id"),
       size(array_distinct(col("shingles"))).as("sz"),
       explode(array(
         concat_ws("|", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
         concat_ws("|", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7")),
-      )).as("band")).persist()
-    // Candidate pairs dedupe on IDS ONLY (two bands can produce the
-    // same pair) before the shingle payloads are re-joined — the
-    // band self-join and the distinct exchange ship (id, size, id)
-    // rows, never the arrays. That's the shape that survives a 100 TB
-    // corpus: payload bytes move only once per verified candidate.
-    // SIZE pre-filter at the id stage: J(a,b) >= t forces
-    // |a| >= t*|b| (and symmetrically), so size-mismatched candidates
-    // are dropped BEFORE the payload join ever sees them — provably
-    // output-preserving, the oracle needs no mirror.
-    val pairs = banded.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("band"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("band")), Seq("band"))
+      )).as("band"))
+    (shingleSets, banded)
+  }
+
+  /** Band-collision candidates (a-side × b-side) verified by exact
+    * shingle Jaccard ≥ `threshold`. Candidate pairs dedupe on IDS ONLY
+    * (two bands can produce the same pair) before the shingle payloads
+    * are re-joined — the band join and the distinct exchange ship
+    * (id, size, id) rows, never the arrays. That's the shape that
+    * survives a 100 TB corpus: payload bytes move only once per
+    * verified candidate. SIZE pre-filter at the id stage: J(a,b) >= t
+    * forces |a| >= t*|b| (and symmetrically), so size-mismatched
+    * candidates are dropped BEFORE the payload join ever sees them —
+    * provably output-preserving, the oracle needs no mirror.
+    * `aSh`/`bSh` must cover every id that can appear on that side. */
+  private def candVerify(
+      aBanded: org.apache.spark.sql.DataFrame, bBanded: org.apache.spark.sql.DataFrame,
+      aSh: org.apache.spark.sql.DataFrame, bSh: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val pairs = aBanded.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("band"))
+      .join(bBanded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("sz_a").cast("double") >= lit(threshold) * col("sz_b")
         && col("sz_b").cast("double") >= lit(threshold) * col("sz_a"))
@@ -120,12 +128,72 @@ object Text {
       .distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    val verified = pairs
-      .join(shingleSets.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), Seq("doc_a"))
-      .join(shingleSets.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), Seq("doc_b"))
+    pairs
+      .join(aSh.select(col("doc_id").as("doc_a"), col("shset").as("sh_a")), Seq("doc_a"))
+      .join(bSh.select(col("doc_id").as("doc_b"), col("shset").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), Num.fround(inter / uni, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (verified, Seq(shingleSets, banded))
+  }
+
+  /** The pair-graph build itself (see [[minhashPairs]] for staging).
+    * Returns (pairs, build-time persisted scratch to free post-write).
+    * Signatures materialize before the self-join: md5-over-shingles
+    * ×8 is the expensive projection and the join would otherwise
+    * recompute it for BOTH sides. */
+  private def buildMinhashPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double): (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val (sh0, b0) = sigTables(s, Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val shingleSets = sh0.persist()
+    val banded = b0.persist()
+    (candVerify(banded, banded, shingleSets, shingleSets, threshold),
+      Seq(shingleSets, banded))
+  }
+
+  /** INCREMENTAL pair-graph maintenance — the `processed: False`
+    * contract (reference: transformer_loader/main.py:83) applied to
+    * the dedup graph. A production corpus grows in batches; rebuilding
+    * the whole graph per batch is O(corpus) forever. This is the delta
+    * path over the persisted artifacts of the previous run:
+    *
+    *   - BASE = docs with doc_id <= mid (mid = max(doc_id)/2 here —
+    *     standing in for "yesterday's corpus"): its verified pairs,
+    *     banded keys, and shingle sets are STAGED parquet artifacts,
+    *     read back, never recomputed.
+    *   - DELTA: signatures are computed for NEW docs only; candidates
+    *     come from the (base ∪ new) × new band join — doc_a < doc_b
+    *     and new ids sorting after base ids make the NEW side exactly
+    *     the b-side, so old×old pairs (already in the base graph) are
+    *     never re-candidated; verification re-reads base shingle sets
+    *     for the old ends of mixed pairs.
+    *   - MERGED = base pairs ∪ delta pairs, tagged with provenance.
+    *
+    * Cost per batch: O(new signatures) + O(candidates touching new
+    * docs) — corpus-independent for a fixed batch size. Equivalence to
+    * a full rebuild is exact (spec: MinHashPropertySpec; oracle: q111
+    * recomputes the FULL graph in SQL and derives the same provenance
+    * split analytically). */
+  private[graft] def incrementalPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mid = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+    val oldDocs = docs.filter(col("doc_id") <= mid)
+    val newDocs = docs.filter(col("doc_id") > mid)
+    val key = s"incr_t${(threshold * 100).toInt}_m${mid}_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val basePairs = graft.operators.Staged.parquet(s, s"${key}_pairs") {
+      val (sh, b) = sigTables(s, oldDocs)
+      candVerify(b, b, sh, sh, threshold)
+    }
+    val baseSh = graft.operators.Staged.parquet(s, s"${key}_shingles")(sigTables(s, oldDocs)._1)
+    val baseBanded = graft.operators.Staged.parquet(s, s"${key}_banded")(sigTables(s, oldDocs)._2)
+    val (newSh0, newBanded0) = sigTables(s, newDocs)
+    val newSh = newSh0.persist()
+    val newBanded = newBanded0.persist()
+    val deltaPairs = candVerify(
+      baseBanded.unionByName(newBanded), newBanded,
+      baseSh.unionByName(newSh), newSh, threshold)
+    basePairs.withColumn("batch", lit("base"))
+      .unionByName(deltaPairs.withColumn("batch", lit("delta")))
   }
 
   /** DuckDB mirror of [[minhashPairs]] as a CTE list (no leading WITH,
@@ -1165,6 +1233,27 @@ object Text {
               SELECT doc_id, lang, n_tokens,
                 n_tokens::DOUBLE * 16777216 / u AS priority
               FROM p ORDER BY priority DESC, doc_id LIMIT 256"""),
+    ),
+
+    // Incremental pair-graph maintenance (see [[incrementalPairs]]):
+    // the corpus split at mid = max(doc_id)/2 into a "yesterday"
+    // batch whose staged artifacts are read back, and a delta batch
+    // whose signatures alone are computed; merged output tagged with
+    // which phase produced each pair. The oracle recomputes the FULL
+    // graph in one shot and derives the same provenance analytically
+    // (a pair is delta iff its higher id is new) — so a hash match
+    // proves incremental ≡ full rebuild, pair for pair, cross-engine.
+    QueryDef(
+      "q111_incremental_pairs",
+      (s, dir) =>
+        incrementalPairs(s, dir, threshold = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH ${minhashPairsSqlCtes(0.5)},
+               mid AS (SELECT max(doc_id) // 2 AS m FROM documents)
+               SELECT doc_a, doc_b, jaccard,
+                 CASE WHEN doc_b <= (SELECT m FROM mid)
+                      THEN 'base' ELSE 'delta' END AS batch
+               FROM pairs ORDER BY doc_a, doc_b"""),
     ),
   )
 }

@@ -85,4 +85,24 @@ class MinHashPropertySpec extends SparkSuite {
       spark.sql("SELECT minhash_slots('not an array', 2)").collect()
     }
   }
+
+  test("incremental pair graph == full rebuild, pair for pair (two-batch corpus)") {
+    // The q111 contract checked within one engine: the delta path
+    // (staged base artifacts + new-docs-only signatures) must produce
+    // exactly the full rebuild's verified pair set, jaccard included.
+    val dir = "/root/testdata/sf0.001"
+    val full = SparkEntry.queries("q33_minhash_lsh_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = graft.queries.Text.incrementalPairs(spark, dir, 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == full,
+      s"incr-only: ${incr.diff(full)}; full-only: ${full.diff(incr)}")
+    // And both phases are genuinely populated (a vacuous delta would
+    // pass the equality trivially).
+    val byBatch = graft.queries.Text.incrementalPairs(spark, dir, 0.5)
+      .groupBy("batch").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBatch.getOrElse("base", 0L) > 0, s"no base pairs: $byBatch")
+    assert(byBatch.getOrElse("delta", 0L) > 0, s"no delta pairs: $byBatch")
+  }
 }
