@@ -664,5 +664,113 @@ object Vectors {
                QUALIFY rank <= 3
                ORDER BY probe_id, rank"""),
     ),
+
+    // ANN recall VERDICT — the regression tripwire the family lacked:
+    // q53's IVF hash-matches its own deterministic output, so an
+    // implementation change that silently tanks recall would still
+    // pass CORRECTNESS (both engines mirror the same weaker search).
+    // Here each engine computes recall@10 of its OWN IVF search
+    // against its OWN exact brute-force top-10, corpus-level: the
+    // recall and candidate-fraction values hash-match across engines
+    // (ratios of exact integers — no float-sum ordering in the
+    // hashed columns), and the two verdict columns are LITERAL 1 on
+    // the oracle side (the q91/q92 hard-guarantee pattern) — a
+    // regression flips the Spark side to 0 and the gate goes red.
+    // Bands, calibrated to the near-random synthetic embeddings
+    // (measured mean recall .275–.375 across SFs, candidate fraction
+    // ≈ 1/16): floor mean recall ≥ 0.15, and ≥ 2× the fraction of
+    // the corpus the IVF actually scans — the LIFT that proves cell
+    // assignment concentrates true neighbors instead of sampling
+    // them (broken assignment → lift ≈ 1 → red).
+    QueryDef(
+      "q112_ann_recall",
+      (s, dir) => {
+        val K = 10
+        val c = corpus(s, dir).persist()
+        val sim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        // Exact ground truth: q37's brute-force shape, top-10.
+        val probes = c.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val exact = c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+        // Approximate side: q53's cell-restricted IVF, top-10.
+        val assigned = ivfAssign(corpus(s, dir), ivfCents(s, dir), Seq("embedding", "nsq"))
+          .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"))
+          .persist()
+        val ivfProbes = assigned.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nsq").as("p_nsq"), col("cell"))
+        val cand = assigned.join(broadcast(ivfProbes), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+        val approx = cand
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+        val totalHits = approx.select(col("probe_id"), col("vec_id"))
+          .join(exact.select(col("probe_id"), col("vec_id")), Seq("probe_id", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        val totalCand = cand.agg(count(lit(1)).as("total_cand"))
+        val nRows = c.agg(count(lit(1)).as("n"))
+        val meanRecall = col("total_hits").cast("double") / lit(K.toDouble * N_PROBES)
+        val meanFrac = col("total_cand").cast("double") /
+          (lit(N_PROBES.toDouble) * (col("n") - 1).cast("double"))
+        totalHits.crossJoin(totalCand).crossJoin(nRows)
+          .select(
+            lit(N_PROBES.toLong).as("n_probes"),
+            col("total_hits"), col("total_cand"),
+            meanRecall.as("mean_recall_at_10"),
+            meanFrac.as("mean_cand_frac"),
+            (meanRecall >= lit(0.15)).cast("int").as("floor_ok"),
+            (meanRecall >= lit(2.0) * meanFrac).cast("int").as("lift_ok"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq FROM c
+                     WHERE vec_id < $N_PROBES),
+               esims AS (
+                 SELECT probe_id, vec_id,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                 FROM c, p WHERE vec_id <> probe_id),
+               exact AS (
+                 SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+                 FROM esims QUALIFY rank <= 10),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
+                         WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // $IVF_K) = 0),
+               assigned AS (
+                 SELECT vec_id, emb, nsq, cid AS cell FROM (
+                   SELECT c.vec_id, c.emb, c.nsq, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM c CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               ip AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, cell
+                      FROM assigned WHERE vec_id < $N_PROBES),
+               cand AS (
+                 SELECT probe_id, a.vec_id AS vec_id,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                 FROM assigned a JOIN ip ON a.cell = ip.cell AND a.vec_id <> ip.probe_id),
+               approx AS (
+                 SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+                 FROM cand QUALIFY rank <= 10),
+               th AS (SELECT count(*) AS total_hits
+                      FROM exact e JOIN approx a
+                        ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id),
+               tc AS (SELECT count(*) AS total_cand FROM cand),
+               nn AS (SELECT count(*) AS n FROM c)
+               SELECT $N_PROBES::BIGINT AS n_probes,
+                 total_hits::BIGINT AS total_hits, total_cand::BIGINT AS total_cand,
+                 total_hits::DOUBLE / (${10 * N_PROBES}::DOUBLE) AS mean_recall_at_10,
+                 total_cand::DOUBLE / ($N_PROBES::DOUBLE * (n - 1)) AS mean_cand_frac,
+                 1 AS floor_ok,
+                 1 AS lift_ok
+               FROM th, tc, nn"""),
+    ),
   )
 }
