@@ -453,9 +453,14 @@ object Vectors {
           .orderBy(col("adist"), col("vec_id"))
         val w3 = Window.partitionBy(col("probe_id"))
           .orderBy(col("sim").desc, col("vec_id"))
-        cands
+        // The re-rank top-10 per probe is bounded BY CONSTRUCTION
+        // (probes x 10 rows) — broadcast it explicitly so the float
+        // payload fetch streams the corpus instead of shuffling it
+        // on vec_id (pre-AQE stats can't see through the window;
+        // PlanHygieneSpec enforces the shuffle-free shape).
+        broadcast(cands
           .withColumn("crank", row_number().over(w10))
-          .filter(col("crank") <= 10)
+          .filter(col("crank") <= 10))
           .join(qz.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
           .withColumn("sim", Num.fround(
             graft.functions.DotProductF.dotCol(col("p_emb"), col("embedding"))
@@ -614,9 +619,12 @@ object Vectors {
           .orderBy(col("adist"), col("vec_id"))
         val w3 = Window.partitionBy(col("probe_id"))
           .orderBy(col("sim").desc, col("vec_id"))
-        cands
+        // Bounded top-10-per-probe re-rank set: broadcast explicitly
+        // (same rationale as q72 — the corpus must stream, not
+        // shuffle, for the payload fetch).
+        broadcast(cands
           .withColumn("crank", row_number().over(w10))
-          .filter(col("crank") <= 10)
+          .filter(col("crank") <= 10))
           .join(index.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
           .withColumn("sim", Num.fround(
             VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
@@ -711,7 +719,8 @@ object Vectors {
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
         val totalHits = approx.select(col("probe_id"), col("vec_id"))
-          .join(exact.select(col("probe_id"), col("vec_id")), Seq("probe_id", "vec_id"))
+          .join(broadcast(exact.select(col("probe_id"), col("vec_id"))),
+            Seq("probe_id", "vec_id"))
           .agg(count(lit(1)).as("total_hits"))
         val totalCand = cand.agg(count(lit(1)).as("total_cand"))
         val nRows = c.agg(count(lit(1)).as("n"))

@@ -19,10 +19,27 @@ class PlanHygieneSpec extends SparkSuite {
   // the carve-out is granted.
   private val allowed: Map[String, Set[String]] = Map(
     // ROLLUP/CUBE grouping sets plan an Expand by definition.
-    "Expand" -> Set("q44_rollup_pricing", "q55_cube_summary"))
+    "Expand" -> Set("q44_rollup_pricing", "q55_cube_summary"),
+    // Legitimately shuffled joins, pinned per query (round-5 verdict
+    // #5: a dim join silently losing its broadcast — threshold
+    // drift, stats miss — previously failed nothing; now anything
+    // off this list fails the suite):
+    //  - q94: the salted-skew-join demonstration, which PlanSpec
+    //    REQUIRES to be a real shuffle join;
+    //  - q70/q86: corpus ⋈ corpus verdict joins (cluster labels /
+    //    dedup drops joined back onto every document or vector) —
+    //    both sides scale with the corpus, so a broadcast would be
+    //    the bug. Bounded-by-construction sides elsewhere (q72/q103
+    //    re-rank top-10, q112 exact top-k) carry explicit broadcast
+    //    hints instead; every other join must broadcast a dim.
+    "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
+      "q86_semantic_dedup"),
+    "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
+      "q86_semantic_dedup"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
-    "BatchEvalPython", "median(", "percentile(")
+    "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
+    "median(", "percentile(")
 
   test("every registered query plans free of hard anti-patterns") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
