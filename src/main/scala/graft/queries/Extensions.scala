@@ -570,5 +570,48 @@ object Extensions {
               quantile_disc(l_extendedprice, 0.99) AS p99
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     ),
+
+    // Mergeable log-bucketed quantile SKETCH (operators/LogQuantile,
+    // the DDSketch recipe) against its own exact ground truth — the
+    // quantile story for the STREAMING stats path (the sketch state
+    // is a plain update-mode aggregation; stream ≡ batch is spec'd in
+    // StreamingSpec) and for shard rollups, where ExactMedian's three
+    // batch passes don't apply. The sketch's bucket midpoints carry a
+    // HARD α=1% relative-error guarantee, so the oracle emits literal
+    // 1s (the q91/q92 hard-guarantee pattern) while the exact
+    // discrete quantiles (rank ceil(p·n), an exact data element) and
+    // counts hash-match cross-engine. Sketch estimates themselves
+    // never ride in hashed columns (libm ln/pow — engine-specific).
+    QueryDef(
+      "q113_quantile_sketch",
+      (s, dir) => {
+        import graft.operators.{ExactMedian, LogQuantile}
+        val li = Tables.lineitem(s, dir).filter(col("l_extendedprice") > 0)
+        val ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+        val sk = LogQuantile.sketch(li, Seq("l_returnflag"), col("l_extendedprice"))
+        val est = LogQuantile.quantiles(sk, Seq("l_returnflag"),
+          ps.map { case (nm, p) => s"e$nm" -> p })
+        val exact = ExactMedian.quantilesDisc(li, "l_returnflag", "l_extendedprice", ps)
+        val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        def ok(p: String) =
+          (abs(col(s"ep$p") - col(s"p$p")) / col(s"p$p") <= lit(LogQuantile.Alpha * 1.001))
+            .cast("int").as(s"ok$p")
+        n.join(broadcast(exact), Seq("l_returnflag"))
+          .join(broadcast(est), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"),
+            col("p50"), col("p95"), col("p99"),
+            ok("50"), ok("95"), ok("99"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH base AS (
+                SELECT l_returnflag, l_extendedprice FROM lineitem
+                WHERE l_extendedprice > 0)
+              SELECT l_returnflag, count(*)::BIGINT AS n,
+                quantile_disc(l_extendedprice, 0.5) AS p50,
+                quantile_disc(l_extendedprice, 0.95) AS p95,
+                quantile_disc(l_extendedprice, 0.99) AS p99,
+                1 AS ok50, 1 AS ok95, 1 AS ok99
+              FROM base GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    ),
   )
 }

@@ -266,4 +266,53 @@ class StreamingSpec extends SparkSuite {
     // Append mode must emit each sequence exactly once across batches.
     assert(spark.table("pack_mem").count() == streaming.size)
   }
+
+  test("log-quantile sketch: 3-batch streamed state == batch sketch, estimates within the alpha guarantee") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{ExactMedian, LogQuantile}
+    val sfDir = "/root/testdata/sf0.001"
+    val ps = Seq("p50" -> 0.5, "p95" -> 0.95)
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect()
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[(String, Double)]
+    val q = LogQuantile.sketch(stream.toDS().toDF("l_returnflag", "v"),
+        Seq("l_returnflag"), col("v"))
+      .writeStream.format("memory").queryName("lq_mem").outputMode("complete").start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    def skSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchSk = LogQuantile.sketch(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v")),
+      Seq("l_returnflag"), col("v"))
+    // The streamed state IS the batch sketch, bucket for bucket (the
+    // mergeability that makes it a plain update-mode aggregation).
+    // (Round-tripped through rows: quantiles() self-joins its input,
+    // and Spark cannot deduplicate attribute ids through a
+    // memory-sink view.)
+    val streamedSk = spark.createDataFrame(
+      spark.table("lq_mem").collectAsList(), spark.table("lq_mem").schema)
+    assert(skSet(streamedSk) == skSet(batchSk))
+    // Extraction from the streamed state = extraction from the batch
+    // sketch, and every estimate sits within the alpha guarantee of
+    // the exact discrete quantile.
+    def est(df: org.apache.spark.sql.DataFrame) =
+      LogQuantile.quantiles(df, Seq("l_returnflag"), ps)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val fromStream = est(streamedSk)
+    assert(fromStream == est(batchSk))
+    val exact = ExactMedian.quantilesDisc(
+      Tables.lineitem(spark, sfDir).filter(col("l_extendedprice") > 0),
+      "l_returnflag", "l_extendedprice", ps)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    fromStream.foreach { case (k, (e50, e95)) =>
+      val (x50, x95) = exact(k)
+      assert(math.abs(e50 - x50) / x50 <= LogQuantile.Alpha * 1.001, s"$k p50: $e50 vs $x50")
+      assert(math.abs(e95 - x95) / x95 <= LogQuantile.Alpha * 1.001, s"$k p95: $e95 vs $x95")
+    }
+  }
 }
