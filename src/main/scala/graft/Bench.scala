@@ -105,9 +105,23 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       sorted.map { case (name, _) => name -> scala.collection.mutable.ListBuffer.empty[(Double, Double)] }: _*)
     var fullPasses = 0
+    // Pass 1 always runs in full. Later passes run SLOWEST-FIRST with
+    // a per-query budget gate: the queries an outlier distorts most
+    // get their second measurement first, and a pass interrupted by
+    // the budget still leaves min-of-2 coverage where it matters
+    // (runs_per_query in the JSON records exactly what each query
+    // got; `runs` reports the number of COMPLETE passes).
     for (run <- 1 to maxRuns if run == 1 || spentSec < budgetSec) {
-      sorted.foreach { case (name, fn) => samples(name) += runOne(name, fn) }
-      fullPasses += 1
+      val order =
+        if (run == 1) sorted
+        else sorted.sortBy { case (name, _) =>
+          -samples(name).map(_._1).foldLeft(0.0)(math.max) }
+      var complete = true
+      order.foreach { case (name, fn) =>
+        if (run == 1 || spentSec < budgetSec) samples(name) += runOne(name, fn)
+        else complete = false
+      }
+      if (complete) fullPasses += 1
     }
     // Targeted reruns (round-4 verdict: the driver's 26.6 s q61 was a
     // budget-exhausted SINGLE-SHOT reading on a shared VM). When the
@@ -117,8 +131,11 @@ object Bench {
     // number is ever min-of-one while time remains.
     // maxRuns > 1 gate: an EXPLICIT SPARK_GRAFT_BENCH_RUNS=1 means
     // single-shot was asked for — grace reruns would both spend time
-    // the caller opted out of and report min-of-2 for a subset.
-    if (fullPasses == 1 && maxRuns > 1) {
+    // the caller opted out of and report min-of-2 for a subset. The
+    // all-size-1 gate skips the grace when a PARTIAL pass 2 already
+    // gave the slowest queries their second run (it covers the same
+    // queries the grace would).
+    if (fullPasses == 1 && maxRuns > 1 && samples.values.forall(_.size == 1)) {
       // The grace window is RELATIVE to when passes stopped (a slow
       // pass 1 must not consume it, or the driver environment — the
       // exact case this exists for — would still emit single-shots).
@@ -154,14 +171,14 @@ object Bench {
     val rpq = samples.map { case (k, ss) => "\"" + k + "\":" + ss.size }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":${errors.size},"errors":$errs,"runs_per_query":$rpq,"gc_sec":$gcs,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"wall_sec":${r3(spentSec)},"n_errors":${errors.size},"errors":$errs,"runs_per_query":$rpq,"gc_sec":$gcs,"queries":$qs}""")
     // Belt-and-braces tail: the driver captures the END of stdout, so
     // a second, compact summary line goes LAST — if front-truncation
     // ever eats into the full line above, this one still parses.
     val top10 = results.sortBy { case (_, (v, _)) => -v }.take(10)
       .map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":${errors.size},"top10":$top10}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"wall_sec":${r3(spentSec)},"n_errors":${errors.size},"top10":$top10}""")
     spark.stop()
   }
 }
