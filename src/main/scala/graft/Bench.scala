@@ -63,8 +63,16 @@ object Bench {
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // Don't let repetition blow the wall-clock budget in a slow
     // environment: further passes run only while cumulative bench time
-    // stays under this bound (first pass always runs).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "240").toInt
+    // stays under this bound (first pass always runs). Default 420:
+    // the round-5 driver artifact showed pass 1 alone consuming the
+    // old 240 s bound in the driver environment (133.6 s of measured
+    // query time + ~105 s of GC/scheduling overhead — wall_sec in the
+    // JSON now makes that split visible), which left the headline
+    // total min-of-ONE every round. 420 s admits a complete warm
+    // second pass there (~150 s — staged artifacts make pass 2 cheap)
+    // while the per-query gate below still cuts an overrunning pass
+    // at the bound.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Optional subset (the Verify convention): extra args = bench only
     // these queries; unknown names fail loudly.

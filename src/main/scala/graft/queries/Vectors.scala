@@ -685,11 +685,13 @@ object Vectors {
     // the oracle side (the q91/q92 hard-guarantee pattern) — a
     // regression flips the Spark side to 0 and the gate goes red.
     // Bands, calibrated to the near-random synthetic embeddings
-    // (measured mean recall .275–.375 across SFs, candidate fraction
-    // ≈ 1/16): floor mean recall ≥ 0.15, and ≥ 2× the fraction of
-    // the corpus the IVF actually scans — the LIFT that proves cell
-    // assignment concentrates true neighbors instead of sampling
-    // them (broken assignment → lift ≈ 1 → red).
+    // (measured mean recall .275–.375 across SFs; candidate fraction
+    // .17 at the small SFs where the 97-modulus yields ~6 cells,
+    // .063 at sf0.1's 16 cells → lift 2.2–4.4×): floor mean recall
+    // ≥ 0.15, and ≥ 2× the fraction of the corpus the IVF actually
+    // scans — the LIFT that proves cell assignment concentrates true
+    // neighbors instead of sampling them (broken assignment → lift
+    // ≈ 1 → red).
     QueryDef(
       "q112_ann_recall",
       (s, dir) => {
