@@ -180,9 +180,16 @@ object Text {
     val newDocs = docs.filter(col("doc_id") > mid)
     val key = s"incr_t${(threshold * 100).toInt}_m${mid}_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // Three staged artifacts (pairs, shingles, banded keys) = the
+    // three tables "yesterday's" run persisted; each build below runs
+    // once per JVM (a production pipeline writes all three in the
+    // same job — here they stage independently for clarity, and the
+    // signature projection inside the pairs build persists exactly
+    // like the full-rebuild path so the self-join doesn't recompute
+    // it per side).
     val basePairs = graft.operators.Staged.parquet(s, s"${key}_pairs") {
       val (sh, b) = sigTables(s, oldDocs)
-      candVerify(b, b, sh, sh, threshold)
+      candVerify(b.persist(), b, sh.persist(), sh, threshold)
     }
     val baseSh = graft.operators.Staged.parquet(s, s"${key}_shingles")(sigTables(s, oldDocs)._1)
     val baseBanded = graft.operators.Staged.parquet(s, s"${key}_banded")(sigTables(s, oldDocs)._2)
