@@ -1262,5 +1262,145 @@ object Text {
                       THEN 'base' ELSE 'delta' END AS batch
                FROM pairs ORDER BY doc_a, doc_b"""),
     ),
+
+    // BM25 ranked retrieval — score every document against a fixed
+    // query term set and return the global top-20: the search-serving
+    // relevance op (Robertson/Spärck Jones, k1=1.2, b=0.75) that
+    // complements q69's per-doc keyword EXTRACTION with cross-doc
+    // RANKING under document-length normalization.
+    //
+    // Scale shape: the query terms are a compile-time constant, so
+    // per-doc term frequencies come from a PURE NARROW MAP over the
+    // token array (size(filter(toks, t = w)) per term — no explode,
+    // no (doc, term) aggregate); df/avgdl/N collapse to ONE scalar
+    // aggregate row broadcast back; the final ranking is a global
+    // top-20 = per-partition TakeOrdered + a 20-row merge. The corpus
+    // itself never crosses an exchange — the q110 shape applied to
+    // relevance scoring.
+    //
+    // Determinism: ranking is on the 4dp-ROUNDED score (q69's rule)
+    // with doc_id tie-break, so rank is engine-independent whenever
+    // the rounded scores match — the same bet every 4dp column makes
+    // (ln's 1-ulp noise vs a 5e-5 boundary, q87's argument).
+    QueryDef(
+      "q114_bm25_retrieval",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "dup") // mixed-df query: two common, one rare
+        val (k1, b) = (1.2, 0.75)
+        val perDoc = Tables.documents(s, dir)
+          .select(col("doc_id") +: size(split(col("text"), " ")).as("dl") +:
+            terms.map(w => expr(s"size(filter(split(text, ' '), t -> t = '$w'))")
+              .cast("double").as(s"tf_$w")): _*)
+        val statCols = avg(col("dl").cast("double")).as("avgdl") +:
+          terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L))
+            .cast("double").as(s"df_$w"))
+        val stats = perDoc.agg(
+          count(lit(1)).cast("double").as("n"), statCols: _*)
+        val score = terms.map { w =>
+          val idf = log((col("n") - col(s"df_$w") + 0.5) / (col(s"df_$w") + 0.5) + 1.0)
+          idf * col(s"tf_$w") * (k1 + 1.0) /
+            (col(s"tf_$w") + (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1)
+        }.reduce(_ + _)
+        perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl").cast("long").as("dl"),
+            Num.fround(score, 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val terms = Seq("spark", "join", "dup")
+        val tfCols = terms.map(w =>
+          s"len(list_filter(string_split(text, ' '), t -> t = '$w'))::DOUBLE AS tf_$w")
+          .mkString(",\n                   ")
+        val dfCols = terms.map(w =>
+          s"sum(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$w")
+          .mkString(",\n                   ")
+        // Same IEEE association as the Spark expression, term for term
+        // (e.g. (dl/avgdl*0.75 + 0.25)*1.2, not 1.2*(0.25 + 0.75*dl/avgdl) —
+        // those differ in the last ulp), so the only cross-engine noise
+        // source left is ln itself.
+        val scoreSql = terms.map(w =>
+          s"""ln((n - df_$w + 0.5) / (df_$w + 0.5) + 1) * tf_$w * 2.2
+              / (tf_$w + (dl / avgdl * 0.75 + 0.25) * 1.2)""").mkString(" + ")
+        s"""WITH per_doc AS (
+                 SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
+                   $tfCols
+                 FROM documents),
+               stats AS (
+                 SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+                   $dfCols
+                 FROM per_doc)
+               SELECT doc_id, dl::BIGINT AS dl,
+                 ${Num.froundSql(scoreSql, 4)} AS score
+               FROM per_doc, stats
+               ORDER BY score DESC, doc_id LIMIT 20"""
+      },
+    ),
+
+    // Duplicated-span coverage — exact-substring dedup in the
+    // suffix-array style (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"), expressed as bounded relational
+    // passes: every 8-token span is hashed, a span is DUPLICATED if it
+    // occurs in ≥ 2 distinct documents, and each affected document
+    // reports the fraction of its spans that are duplicated — the
+    // signal an exact-substring pass cuts on (q67 handles the
+    // within-doc repetition axis; this is the cross-doc one).
+    // Passes: span explode (linear in corpus tokens, narrow) →
+    // (doc, span-hash) occurrence counts (partial agg collapses
+    // in-doc repeats map-side) → span df over that deduped table →
+    // df joined back head/tail (q87's structural Zipf fix: boilerplate
+    // refrains ARE hot keys at corpus scale — the top-HeadK spans by
+    // df broadcast and never enter an exchange; tail per-key
+    // cardinality is bounded by the head threshold) → per-doc ratio.
+    // All counts are exact integers; coverage is one exact rational
+    // rounded at 4dp — float-exact cross-engine.
+    QueryDef(
+      "q115_dup_span_coverage",
+      (s, dir) => {
+        val HeadK = 64
+        val occ = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            explode(TextFns.shingleExpr("toks", 8)).as("s"))
+          .select(col("doc_id"), md5(col("s")).as("h"))
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+          .persist()
+        val df = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val head = df.orderBy(col("df").desc, col("h")).limit(HeadK)
+        val tail = df.join(broadcast(head.select(col("h"))), Seq("h"), "left_anti")
+        val flaggedHead = occ.join(broadcast(head), Seq("h"))
+        val flaggedTail = occ
+          .join(broadcast(head.select(col("h"))), Seq("h"), "left_anti")
+          .join(tail, Seq("h"))
+        flaggedHead.unionByName(flaggedTail)
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("df") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_spans"),
+            sum(col("cnt")).as("total_spans"))
+          .filter(col("dup_spans") > 0)
+          .withColumn("coverage",
+            Num.fround(col("dup_spans").cast("double") / col("total_spans").cast("double"), 4))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              sh AS (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+                  THEN [array_to_string(t[i:i+7], ' ') for i in generate_series(1, len(t) - 7)]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+                FROM toks),
+              occ AS (
+                SELECT doc_id, md5(s) AS h, count(*) AS cnt
+                FROM sh GROUP BY doc_id, md5(s)),
+              df AS (SELECT h, count(*) AS df FROM occ GROUP BY h)
+              SELECT o.doc_id,
+                sum(CASE WHEN df.df >= 2 THEN o.cnt ELSE 0 END)::BIGINT AS dup_spans,
+                sum(o.cnt)::BIGINT AS total_spans,
+                ${Num.froundSql(
+          "sum(CASE WHEN df.df >= 2 THEN o.cnt ELSE 0 END)::DOUBLE / sum(o.cnt)::DOUBLE", 4)} AS coverage
+              FROM occ o JOIN df USING (h)
+              GROUP BY o.doc_id HAVING sum(CASE WHEN df.df >= 2 THEN o.cnt ELSE 0 END) > 0
+              ORDER BY o.doc_id"""),
+    ),
   )
 }

@@ -16,10 +16,17 @@ class PlanSpec extends SparkSuite {
     * asserting against the whole string lets a positive match (e.g.
     * "BroadcastHashJoin") be satisfied by the initial plan while AQE
     * re-planned the final one — so the initial section is cut off for
-    * EVERY assertion in this suite. */
+    * EVERY assertion in this suite. Only the TOP-LEVEL marker (a
+    * column-0 "+- == Initial Plan ==" line) cuts: cached subtrees
+    * (InMemoryRelation) embed their own nested AQE dumps — markers
+    * and all — in the MIDDLE of the final section, and splitting at
+    * the first occurrence would silently drop everything planned
+    * after the first cached subtree (q115's head join was the first
+    * victim). */
   private def finalPlan(df: DataFrame): String = {
     df.collect() // materialize so AQE settles on the final plan
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    df.queryExecution.executedPlan.toString
+      .split("(?m)^\\+- == Initial Plan ==")(0)
   }
 
   test("q01 flagship: dimension join is a broadcast hash join (no fact shuffle for the join)") {
@@ -56,6 +63,31 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join")
       && !plan.contains("Window"), s"pure map + top-k expected:\n$plan")
+  }
+
+  test("q114 BM25: corpus never hash-shuffles — narrow map, broadcast scalar stats, TakeOrdered") {
+    val plan = finalPlan(SparkEntry.queries("q114_bm25_retrieval")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$plan")
+    // The ONLY exchanges allowed are the 1-row stats aggregate's
+    // SinglePartition merge + its broadcast back; the corpus side is
+    // scan -> project -> join -> TakeOrdered with no repartitioning.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must not hash-shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"stats row must broadcast:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      s"pure map + broadcast + top-k expected:\n$plan")
+  }
+
+  test("q115 span coverage: hot-span df head is a broadcast TakeOrdered, no window, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q115_dup_span_coverage")(spark, sfDir))
+    // The top-HeadK spans by df (the Zipf-hot keys) come back as a
+    // bounded TakeOrdered that BROADCASTS — boilerplate refrains never
+    // enter an exchange as join keys.
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded df head:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"head df join must broadcast:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"aggregate-only shape expected:\n$plan")
   }
 
   test("q37 brute-force ANN: probe side broadcast, corpus never shuffles for the join") {
