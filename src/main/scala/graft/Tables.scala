@@ -25,16 +25,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (micros) cannot represent — reading it throws
-    * PARQUET_TYPE_ILLEGAL. We read nanos as a plain LongType
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and do all event-time
-    * bucketing with exact integer arithmetic on epoch-nanos (never
-    * double division: 2024 epoch-nanos ≈ 1.7e18 > 2^53, doubles would
-    * silently lose precision). */
+  /** The events table's `ts` column has shipped in two physical shapes
+    * across generator versions: parquet TIMESTAMP(NANOS) (unrepresentable
+    * in Spark's micros TimestampType — readable only as a raw LongType
+    * via `spark.sql.legacy.parquet.nanosAsLong`) and plain
+    * timestamp[us] (surfacing as TIMESTAMP_NTZ when written without a
+    * timezone). Every event query does exact integer arithmetic on
+    * epoch-NANOS (never double division: 2024 epoch-nanos ≈ 1.7e18 >
+    * 2^53, doubles would silently lose precision), so this loader
+    * normalizes BOTH shapes to an epoch-nanos LongType `ts`:
+    *  - LongType (nanos-as-long): already epoch-nanos, pass through.
+    *  - TIMESTAMP_NTZ: the naive wall-clock is UTC by convention (the
+    *    DuckDB oracle's `epoch_ns(ts)` makes the same assumption).
+    *    `cast` interprets NTZ in the session zone and
+    *    `from_utc_timestamp` re-adds that zone's offset, so the
+    *    round-trip pins the wall-clock to UTC for ANY session timezone
+    *    (identity under the UTC sessions all entry points configure).
+    *  - TIMESTAMP (tz-aware): an unambiguous instant; take it directly. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val df = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, from_utc_timestamp, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        df.withColumn(
+          "ts", unix_micros(from_utc_timestamp(col("ts").cast(TimestampType), tz)) * 1000L)
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported physical type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -237,10 +237,11 @@ object ExactMedian {
     // (value ranks). For fixed-precision data, distinct values inside
     // one range/buckets² span are a handful of ties; see the header
     // for the adversarial-continuous residual.
-    // BOTH the sub-slice offset branch (hist2→cum2→sel2) and the
-    // value-rank branch (valCum) read this table; persisting it saves
-    // each branch re-running the selected-bucket corpus scan (measured
-    // +1.3 s on q107/q108 at sf0.1 where the scan re-tokenizes). The
+    // BOTH the slice-offset branch (hist3→hist2→cum2/cum3→sel2/sel3)
+    // and the value-rank branch (valCum) read this table; persisting
+    // it saves each branch re-running the selected-bucket corpus scan
+    // (measured +1.3 s on q107/q108 at sf0.1 where the scan
+    // re-tokenizes). The
     // persist follows the SAME caller flag as the projection so
     // `persistProjection = false` remains a complete no-caching escape
     // hatch for long-lived sessions — with it off, the re-run is one
@@ -250,8 +251,17 @@ object ExactMedian {
         col("__em_b3"), col("__em_v"))
       .agg(count(lit(1)).as("__em_vc"))
     val candHist = if (persistProjection) candHistRaw.persist() else candHistRaw
-    val hist2 = candHist.groupBy(col(key), col("__em_b"), col("__em_b2"))
-      .agg(sum(col("__em_vc")).as("__em_c2"))
+    // b3-level histogram FIRST; the b2 level is then an aggregate OF
+    // THAT AGGREGATE, not a third reader of candHist — keeping exactly
+    // two consumers of the selected-bucket scan (valCum and hist3),
+    // the same count the two-level shape had. When the third level
+    // landed as a direct candHist.groupBy, the unpersisted path
+    // re-ran the selected-bucket corpus scan once more per query and
+    // q106 measured +2.2 s at sf0.1 for pure plumbing.
+    val hist3 = candHist.groupBy(col(key), col("__em_b"), col("__em_b2"), col("__em_b3"))
+      .agg(sum(col("__em_vc")).as("__em_c3"))
+    val hist2 = hist3.groupBy(col(key), col("__em_b"), col("__em_b2"))
+      .agg(sum(col("__em_c3")).as("__em_c2"))
     val wOff2 = Window.partitionBy(col(key), col("__em_b")).orderBy(col("__em_b2"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum2 = hist2.withColumn("__em_off2",
@@ -267,8 +277,6 @@ object ExactMedian {
     // again a window OVER AN AGGREGATE (≤ buckets rows per (key, b,
     // b2) partition), and the target's local rank narrows to one
     // range/buckets³ span before any per-value window runs.
-    val hist3 = candHist.groupBy(col(key), col("__em_b"), col("__em_b2"), col("__em_b3"))
-      .agg(sum(col("__em_vc")).as("__em_c3"))
     val wOff3 = Window.partitionBy(col(key), col("__em_b"), col("__em_b2"))
       .orderBy(col("__em_b3"))
       .rowsBetween(Window.unboundedPreceding, -1)
