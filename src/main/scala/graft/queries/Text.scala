@@ -1347,13 +1347,19 @@ object Text {
     // within-doc repetition axis; this is the cross-doc one).
     // Passes: span explode (linear in corpus tokens, narrow) →
     // (doc, span-hash) occurrence counts (partial agg collapses
-    // in-doc repeats map-side) → span df over that deduped table →
-    // df joined back head/tail (q87's structural Zipf fix: boilerplate
+    // in-doc repeats map-side) → span df over that deduped table,
+    // FILTERED to df ≥ 2 before anything joins back: only duplicated
+    // spans matter for the numerator, and on a mostly-unique corpus
+    // that filter drops the join build side by orders of magnitude
+    // (AQE then broadcasts the whole tail at bench scale). The
+    // denominator never joins at all — per-doc totals are a direct
+    // aggregate of the occurrence table. The df ≥ 2 survivors still
+    // split head/tail (q87's structural Zipf fix: boilerplate
     // refrains ARE hot keys at corpus scale — the top-HeadK spans by
-    // df broadcast and never enter an exchange; tail per-key
-    // cardinality is bounded by the head threshold) → per-doc ratio.
-    // All counts are exact integers; coverage is one exact rational
-    // rounded at 4dp — float-exact cross-engine.
+    // df broadcast and never enter an exchange; the probe side of the
+    // tail join spreads across its remaining keys). All counts are
+    // exact integers; coverage is one exact rational rounded at 4dp —
+    // float-exact cross-engine.
     QueryDef(
       "q115_dup_span_coverage",
       (s, dir) => {
@@ -1362,24 +1368,34 @@ object Text {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"),
             explode(TextFns.shingleExpr("toks", 8)).as("s"))
-          .select(col("doc_id"), md5(col("s")).as("h"))
+          // 16-byte binary digest, not the 32-char hex string: the
+          // span table is the query's largest exchange and the digest
+          // is most of each row — binary halves it. (128-bit ids are
+          // load-bearing at scale: a 64-bit hash would birthday-collide
+          // near 10^10 distinct spans and silently merge span classes.)
+          .select(col("doc_id"), unhex(md5(col("s"))).as("h"))
           .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
           .persist()
-        val df = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        val head = df.orderBy(col("df").desc, col("h")).limit(HeadK)
-        val tail = df.join(broadcast(head.select(col("h"))), Seq("h"), "left_anti")
-        val flaggedHead = occ.join(broadcast(head), Seq("h"))
-        val flaggedTail = occ
-          .join(broadcast(head.select(col("h"))), Seq("h"), "left_anti")
+        val dupSpans = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+        val head = dupSpans.orderBy(col("df").desc, col("h")).limit(HeadK)
+          .select(col("h"))
+        val tail = dupSpans.join(broadcast(head), Seq("h"), "left_anti")
+          .select(col("h"))
+        val dupHead = occ.join(broadcast(head), Seq("h"))
+        val dupTail = occ
+          .join(broadcast(head), Seq("h"), "left_anti")
           .join(tail, Seq("h"))
-        flaggedHead.unionByName(flaggedTail)
-          .groupBy(col("doc_id"))
-          .agg(
-            sum(when(col("df") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_spans"),
-            sum(col("cnt")).as("total_spans"))
-          .filter(col("dup_spans") > 0)
-          .withColumn("coverage",
-            Num.fround(col("dup_spans").cast("double") / col("total_spans").cast("double"), 4))
+        val dups = dupHead.unionByName(dupTail)
+          .groupBy(col("doc_id")).agg(sum(col("cnt")).as("dup_spans"))
+        val totals = occ.groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("total_spans"))
+        // Inner join = the dup_spans > 0 gate: `dups` only holds docs
+        // with at least one duplicated span.
+        totals.join(dups, Seq("doc_id"))
+          .select(col("doc_id"), col("dup_spans"), col("total_spans"),
+            Num.fround(col("dup_spans").cast("double") / col("total_spans").cast("double"), 4)
+              .as("coverage"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH toks AS (
