@@ -60,6 +60,29 @@ object Text {
   private val pairsStaged =
     new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
 
+  /** Per-doc 8-token-span occurrence table (doc_id, h, cnt) — the
+    * shared artifact of the exact-substring family (q115 coverage,
+    * q116 removal), STAGED through parquet once per input dir per JVM
+    * (the minhashPairs rationale: the span scan is the family's
+    * dominant cost and the table is exactly what a production
+    * exact-substring pass persists). `h` is the 16-byte binary md5 of
+    * the span, not the 32-char hex string: the span table is the
+    * build's largest exchange and the digest is most of each row —
+    * binary halves it. (128-bit ids are load-bearing at scale: a
+    * 64-bit hash would birthday-collide near 10^10 distinct spans and
+    * silently merge span classes.) `cnt` collapses in-doc repeats
+    * map-side; df-across-docs is then a count of rows per h. */
+  private def spanOcc(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Staged.parquet(s, s"spans8|$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(TextFns.shingleExpr("toks", 8)).as("s"))
+        .select(col("doc_id"), unhex(md5(col("s"))).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+    }
+
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Double): org.apache.spark.sql.DataFrame = {
     val path = pairsStaged.computeIfAbsent((dir, threshold), _ => {
@@ -1345,9 +1368,9 @@ object Text {
     // reports the fraction of its spans that are duplicated — the
     // signal an exact-substring pass cuts on (q67 handles the
     // within-doc repetition axis; this is the cross-doc one).
-    // Passes: span explode (linear in corpus tokens, narrow) →
-    // (doc, span-hash) occurrence counts (partial agg collapses
-    // in-doc repeats map-side) → span df over that deduped table,
+    // Passes: the staged span-occurrence table (spanOcc — one span
+    // explode per corpus per JVM, shared with q116's removal pass) →
+    // span df over that deduped table,
     // FILTERED to df ≥ 2 before anything joins back: only duplicated
     // spans matter for the numerator, and on a mostly-unique corpus
     // that filter drops the join build side by orders of magnitude
@@ -1364,18 +1387,7 @@ object Text {
       "q115_dup_span_coverage",
       (s, dir) => {
         val HeadK = 64
-        val occ = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"),
-            explode(TextFns.shingleExpr("toks", 8)).as("s"))
-          // 16-byte binary digest, not the 32-char hex string: the
-          // span table is the query's largest exchange and the digest
-          // is most of each row — binary halves it. (128-bit ids are
-          // load-bearing at scale: a 64-bit hash would birthday-collide
-          // near 10^10 distinct spans and silently merge span classes.)
-          .select(col("doc_id"), unhex(md5(col("s"))).as("h"))
-          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
-          .persist()
+        val occ = spanOcc(s, dir)
         val dupSpans = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2)
         val head = dupSpans.orderBy(col("df").desc, col("h")).limit(HeadK)
@@ -1417,6 +1429,77 @@ object Text {
               FROM occ o JOIN df USING (h)
               GROUP BY o.doc_id HAVING sum(CASE WHEN df.df >= 2 THEN o.cnt ELSE 0 END) > 0
               ORDER BY o.doc_id"""),
+    ),
+
+    // Exact-substring REMOVAL — the transformation q115 only measures
+    // (Lee et al.: cut every token covered by an 8-token span that
+    // occurs in ≥ 2 distinct documents; q67 handles within-doc
+    // repetition). The cross-doc df comes from the same staged span
+    // table as q115; the only corpus-scale fan-out is the
+    // position-annotated span explode, which immediately collapses to
+    // a per-doc START LIST (bounded by document length — the per-doc
+    // array regime q61/q67 already live in). Token masking is then a
+    // pure narrow map: filter(toks, (t, i) -> no dup span start in
+    // [i-7, i]) — per-token cost is |dup starts in the doc|, zero for
+    // the clean majority. Output is the FULL rewritten corpus (every
+    // doc, cleaned text + exact removal counts) — the honest cost of
+    // a transformation whose product is the training corpus itself.
+    QueryDef(
+      "q116_exact_substring_removal",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val dup = spanOcc(s, dir)
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("h"))
+        val starts = docs
+          .select(col("doc_id"),
+            posexplode(TextFns.shingleExpr("toks", 8)).as(Seq("p", "s")))
+          .select(col("doc_id"), col("p"), unhex(md5(col("s"))).as("h"))
+          .join(dup, Seq("h"))
+          .groupBy(col("doc_id")).agg(collect_list(col("p")).as("starts"))
+        docs.join(starts, Seq("doc_id"), "left")
+          .withColumn("starts",
+            coalesce(col("starts"), expr("array()").cast("array<int>")))
+          .withColumn("kept", expr(
+            "filter(toks, (t, i) -> NOT exists(starts, st -> st <= i AND i <= st + 7))"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+            array_join(col("kept"), " ").as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      // DuckDB notes: generate_series as a TABLE function cannot take
+      // lateral column args, so span positions come from a
+      // struct-comprehension + unnest (the scalar-context form q115
+      // already uses); and array_to_string([]) is NULL there where
+      // Spark's array_join is '' — the coalesce pins the fully-removed
+      // doc to the empty string both engines agree on.
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              sh0 AS (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+                  THEN [{'p': i - 1, 'h': md5(array_to_string(t[i:i+7], ' '))}
+                        for i in generate_series(1, len(t) - 7)]
+                  ELSE [{'p': 0, 'h': md5(array_to_string(t, ' '))}] END) AS sp
+                FROM toks),
+              sh AS (SELECT doc_id, sp.p AS p, sp.h AS h FROM sh0),
+              dup AS (
+                SELECT h FROM (
+                  SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY h)
+                WHERE df >= 2),
+              st AS (
+                SELECT doc_id, list(p) AS starts
+                FROM sh JOIN dup USING (h) GROUP BY doc_id)
+              SELECT toks.doc_id,
+                len(t)::BIGINT AS n_tokens,
+                (len(t) - len(kept))::BIGINT AS n_removed,
+                coalesce(array_to_string(kept, ' '), '') AS clean_text
+              FROM toks LEFT JOIN st USING (doc_id),
+                LATERAL (SELECT [t[i] for i in generate_series(1, len(t))
+                  IF len(list_filter(coalesce(starts, []),
+                    s -> s <= i - 1 AND i - 1 <= s + 7)) = 0] AS kept) k
+              ORDER BY toks.doc_id"""),
     ),
   )
 }

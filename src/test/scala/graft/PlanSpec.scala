@@ -90,6 +90,17 @@ class PlanSpec extends SparkSuite {
       s"aggregate-only shape expected:\n$plan")
   }
 
+  test("q116 substring removal: per-doc masking is a narrow map — no window, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q116_exact_substring_removal")(spark, sfDir))
+    // The dup-span set and the per-doc start lists are the only things
+    // joined back to the corpus — both bounded, both broadcastable at
+    // this scale; the token mask itself is a higher-order-function
+    // projection, never a per-token shuffle or window.
+    assert(plan.contains("BroadcastHashJoin"), s"bounded sides must broadcast:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"narrow-map shape expected:\n$plan")
+  }
+
   test("q37 brute-force ANN: probe side broadcast, corpus never shuffles for the join") {
     val plan = finalPlan(SparkEntry.queries("q37_cosine_topk_bruteforce")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
