@@ -844,5 +844,55 @@ object Curation {
                FROM tok JOIN vocab USING (w), tot
                GROUP BY doc_id ORDER BY doc_id"""),
     ),
+
+    // Deterministic training shuffle + sharding — the last step a
+    // curation pipeline runs before writing training shards: a global
+    // RNG-free permutation (md5 order key, the q65 house pattern) cut
+    // into N shards, each doc with its shard id, exact within-shard
+    // position, and the shard's total for balance checks. A trainer
+    // resumes mid-epoch from (shard, pos); determinism makes the
+    // permutation reproducible across reruns and engines.
+    //
+    // Scale shape: shard assignment is a NARROW MAP (md5 bits — no
+    // exchange); within-shard positions come from PrefixSum.keyedRank
+    // (local window per (shard, hex-prefix bucket) + tiny offset
+    // table), never a whole-shard window — the per-task row bound is
+    // corpus/(shards·4096) regardless of corpus size. At 100 TB the
+    // writer follows with repartitionByRange(shard, pos) → one sorted
+    // parquet file per shard; the ORDER BY here is that presentation
+    // sort. Shard bits (hex 29-32) and order bits (hex 1-12 via the
+    // bucket prefix + full-u tiebreak) come from DISJOINT digest
+    // regions, so shard membership and within-shard order are
+    // independent — the property that keeps every shard an unbiased
+    // sample of the corpus (what makes per-shard loss curves
+    // comparable during training).
+    QueryDef(
+      "q117_training_shuffle_shards",
+      (s, dir) => {
+        val NShards = 16
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(concat(lit("shuf|"), col("doc_id").cast("string"))).as("u"))
+          .withColumn("shard",
+            expr(s"cast(conv(substring(u, 29, 4), 16, 10) as int) % $NShards"))
+          .withColumn("ub", expr("cast(conv(substring(u, 1, 3), 16, 10) as int)"))
+        graft.operators.PrefixSum.keyedRank(
+            d, key = Seq("shard"), bucket = "ub",
+            ord = Seq(col("u"), col("doc_id")),
+            rankName = "pos", totalName = "n_in_shard",
+            persistProjection = false)
+          .select(col("shard"), col("doc_id"), col("pos"), col("n_in_shard"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, md5('shuf|' || doc_id::VARCHAR) AS u FROM documents),
+              sh AS (
+                SELECT doc_id, u,
+                  ('0x' || substr(u, 29, 4))::INT % 16 AS shard FROM d)
+              SELECT shard, doc_id,
+                row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS pos,
+                count(*) OVER (PARTITION BY shard)::BIGINT AS n_in_shard
+              FROM sh ORDER BY shard, pos"""),
+    ),
   )
 }
