@@ -189,13 +189,43 @@ object VectorFns {
   def normSqF(emb: String): Column =
     graft.functions.DotProductF.dotCol(col(emb), col(emb))
 
-  /** Signed projection onto deterministic hyperplane j. */
-  def hyperplaneDot(embCol: String, j: Int): Column =
+  /** Deterministic hyperplane weights, md5-derived per (plane, coord):
+    * the first 16 bits of md5("hp|j|i") minus 2^15 — INDEPENDENT
+    * pseudo-random weights across planes. The previous linear-hash
+    * scheme ((i·2654435761 + j·40503) mod 1009 − 504) made plane j+1's
+    * weight vector a constant mod-shift of plane j's (40503 ≡ 143 mod
+    * 1009), so successive sign bits correlated ~0.86 and an "8-bit"
+    * band key carried ~2 effective bits — the q118 recall tripwire
+    * measured lift ≈ 1.0 at sf0.1 (bucketing no better than random)
+    * and hot buckets at 1.8× uniform mass. md5 weights are computable
+    * bit-identically in Scala (for the plan-literal table), Spark SQL,
+    * and DuckDB (for the oracle mirror), so every engine buckets every
+    * vector identically. Supported dim ≤ [[MaxHyperplaneDim]]. */
+  def hpWeight(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp|$j|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (Integer.parseInt(hex.substring(0, 4), 16) - 32768).toDouble
+  }
+
+  /** Embedding dims supported by the literal weight tables (64 used by
+    * the test corpus; the cap bounds plan-literal size at
+    * MaxHyperplaneDim × planes doubles). */
+  val MaxHyperplaneDim = 256
+
+  private def hpWeights(j: Int): Array[Double] =
+    (0 until MaxHyperplaneDim).map(i => hpWeight(j, i)).toArray
+
+  /** Signed projection onto deterministic hyperplane j (HOF form for
+    * bounded contexts; the corpus path is [[hyperplaneProjections]]). */
+  def hyperplaneDot(embCol: String, j: Int): Column = {
+    val ws = hpWeights(j).mkString("array(", "D, ", "D)")
     expr(s"aggregate(sequence(0, size($embCol) - 1), 0D, " +
-      s"(acc, i) -> acc + CAST(element_at($embCol, i + 1) AS DOUBLE) * CAST(((i * 2654435761L + $j * 40503L) % 1009) - 504 AS DOUBLE))")
+      s"(acc, i) -> acc + CAST(element_at($embCol, i + 1) AS DOUBLE) * element_at($ws, i + 1))")
+  }
 
   def hyperplaneDotSql(emb: String, j: Int): String =
-    s"list_sum([$emb[i] * ((((i - 1) * 2654435761 + $j * 40503) % 1009) - 504) for i in generate_series(1, len($emb))])"
+    s"list_sum([$emb[i] * (('0x' || substr(md5('hp|' || $j || '|' || (i - 1)), 1, 4))::INT - 32768) for i in generate_series(1, len($emb))])"
 
   /** LSH bucket id from `nBits` hyperplane sign bits. At 100 TB this is
     * the blocking key that turns an O(n²) similarity join into a
@@ -235,10 +265,18 @@ object VectorFns {
       planes: Seq[Int]): org.apache.spark.sql.DataFrame = {
     val e = embeddings.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "x")))
+      // Dim cap is a CONTRACT, not a silent truncation: element_at past
+      // the literal table would null out and quietly zero the
+      // projection. The Or short-circuits, so assert_true only
+      // evaluates (and throws) on an out-of-range coordinate.
+      .filter(expr(s"i < $MaxHyperplaneDim OR assert_true(false, " +
+        s"'embedding dim exceeds MaxHyperplaneDim = $MaxHyperplaneDim') IS NULL"))
     val xd = col("x").cast("double")
     val projCols = planes.map { j =>
-      val w = ((col("i").cast("long") * lit(2654435761L) + lit(j.toLong * 40503L)) % 1009L - 504L)
-        .cast("double")
+      // Plan-literal weight table per plane (md5-derived, see
+      // hpWeight): element_at is O(1) inside whole-stage codegen — no
+      // join, no per-row hashing on the corpus path.
+      val w = element_at(lit(hpWeights(j)), col("i") + 1)
       sum(xd * w).as(s"d$j")
     }
     e.groupBy(col("vec_id"))

@@ -783,5 +783,142 @@ object Vectors {
                  1 AS lift_ok
                FROM th, tc, nn"""),
     ),
+
+    // Recall verdict for the LSH path — q112's tripwire applied to the
+    // OTHER scale family (q38/q60 hyperplane banding; q112 covers
+    // IVF). The approximate side is the PRODUCTION multi-band search
+    // (the standard LSH recall knob the single-band q38/q60 teaching
+    // shapes omit): two independent 8-bit bands, each multi-probed
+    // home + 8 hamming-1 buckets, candidates unioned and deduped on
+    // ids. This tripwire is what caught the round-7 hyperplane bug:
+    // with the old correlated weights (plane j+1 a constant mod-shift
+    // of plane j) lift measured ≈ 1.0 at sf0.1 — bucketing no better
+    // than scanning random vectors; md5-independent planes fix it.
+    // A broken bucketing (sign flip, band permutation, xor
+    // off-by-one) collapses lift back to ~1 and turns the row red;
+    // both engines compute recall vs their OWN exact top-10 from
+    // identical 4dp-rounded sims, so the exact-integer columns
+    // hash-match and the verdicts are literal 1s on the oracle side.
+    // Gates are active for n >= 1000: at the 500-vector small-SF
+    // corpora a 2^8 bucket holds ~2 vectors and an 8-probe recall
+    // estimate is single-digit-hit noise — the gate would measure
+    // sampling variance, not index quality (the q91/q92
+    // small-regime literal-pass pattern, with n in the output so the
+    // regime is visible).
+    QueryDef(
+      "q118_lsh_recall",
+      (s, dir) => {
+        graft.functions.DotProductF.register(s)
+        val K = 10
+        val c = corpus(s, dir).persist()
+        val sim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        val probes = c.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val exact = c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+        // Approximate side: 2 independent 8-bit bands (planes 0-7 and
+        // 8-15), each multi-probed home + 8 hamming-1, unioned and
+        // deduped on ids (sim is deterministic per pair, so distinct
+        // on the triple IS the id-dedup).
+        val proj = VectorFns.hyperplaneProjections(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 0 until 16)
+        val bucketed = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .join(proj.select(col("vec_id"), col("nsq"),
+            VectorFns.bucketFromProjections(0, 8).as("b0"),
+            VectorFns.bucketFromProjections(8, 8).as("b1")), Seq("vec_id"))
+          .withColumn("bk", explode(array(
+            struct(lit(0).as("band"), col("b0").as("bucket")),
+            struct(lit(1).as("band"), col("b1").as("bucket")))))
+          .select(col("vec_id"), col("embedding"), col("nsq"),
+            col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+          .persist()
+        val lshProbes = bucketed.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nsq").as("p_nsq"), col("band"), col("bucket").as("home"))
+        val probeKeys = lshProbes.select(col("probe_id"), col("p_emb"), col("p_nsq"),
+          col("band"),
+          explode(array(col("home") +:
+            (0 until 8).map(j => col("home").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+        val cand = bucketed.join(broadcast(probeKeys), Seq("band", "bucket"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .distinct()
+        val approx = cand
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+        val totalHits = approx.select(col("probe_id"), col("vec_id"))
+          .join(broadcast(exact.select(col("probe_id"), col("vec_id"))),
+            Seq("probe_id", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        val totalCand = cand.agg(count(lit(1)).as("total_cand"))
+        val nRows = c.agg(count(lit(1)).as("n"))
+        val meanRecall = col("total_hits").cast("double") / lit(K.toDouble * N_PROBES)
+        val meanFrac = col("total_cand").cast("double") /
+          (lit(N_PROBES.toDouble) * (col("n") - 1).cast("double"))
+        totalHits.crossJoin(totalCand).crossJoin(nRows)
+          .select(
+            lit(N_PROBES.toLong).as("n_probes"),
+            col("total_hits"), col("total_cand"),
+            col("n").cast("long").as("n_corpus"),
+            meanRecall.as("mean_recall_at_10"),
+            meanFrac.as("mean_cand_frac"),
+            when(col("n") < 1000, lit(1))
+              .otherwise((meanRecall >= lit(0.12)).cast("int")).as("floor_ok"),
+            when(col("n") < 1000, lit(1))
+              .otherwise((meanRecall >= lit(2.0) * meanFrac).cast("int")).as("lift_ok"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
+                        ${VectorFns.lshBucketRangeSql("(embedding::DOUBLE[])", 0, 8)} AS b0,
+                        ${VectorFns.lshBucketRangeSql("(embedding::DOUBLE[])", 8, 8)} AS b1
+                 FROM embeddings),
+               p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq FROM c
+                     WHERE vec_id < $N_PROBES),
+               esims AS (
+                 SELECT probe_id, vec_id,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                 FROM c, p WHERE vec_id <> probe_id),
+               exact AS (
+                 SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+                 FROM esims QUALIFY rank <= 10),
+               cb AS (
+                 SELECT vec_id, emb, nsq, 0 AS band, b0 AS bucket FROM c
+                 UNION ALL
+                 SELECT vec_id, emb, nsq, 1 AS band, b1 AS bucket FROM c),
+               lp AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, band, bucket AS home
+                      FROM cb WHERE vec_id < $N_PROBES),
+               pk AS (
+                 SELECT probe_id, p_emb, p_nsq, band, bucket FROM lp,
+                 UNNEST([home, ${(0 until 8).map(j => s"xor(home, ${1 << j})").mkString(", ")}]) AS u(bucket)),
+               cand AS (
+                 SELECT DISTINCT probe_id, cb.vec_id AS vec_id,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                 FROM cb JOIN pk ON cb.band = pk.band AND cb.bucket = pk.bucket
+                   AND cb.vec_id <> pk.probe_id),
+               approx AS (
+                 SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+                 FROM cand QUALIFY rank <= 10),
+               th AS (SELECT count(*) AS total_hits
+                      FROM exact e JOIN approx a
+                        ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id),
+               tc AS (SELECT count(*) AS total_cand FROM cand),
+               nn AS (SELECT count(*) AS n FROM c)
+               SELECT $N_PROBES::BIGINT AS n_probes,
+                 total_hits::BIGINT AS total_hits, total_cand::BIGINT AS total_cand,
+                 n::BIGINT AS n_corpus,
+                 total_hits::DOUBLE / (${10 * N_PROBES}::DOUBLE) AS mean_recall_at_10,
+                 total_cand::DOUBLE / ($N_PROBES::DOUBLE * (n - 1)) AS mean_cand_frac,
+                 1 AS floor_ok,
+                 1 AS lift_ok
+               FROM th, tc, nn"""),
+    ),
   )
 }
