@@ -894,5 +894,98 @@ object Curation {
                 count(*) OVER (PARTITION BY shard)::BIGINT AS n_in_shard
               FROM sh ORDER BY shard, pos"""),
     ),
+
+    // DSIR-style hashed-n-gram importance selection (Xie et al.,
+    // "Data Selection for Language Models via Importance Resampling",
+    // NeurIPS 2023): score every candidate document by how much its
+    // hashed-bigram distribution looks like a TARGET domain vs the
+    // raw pool, then keep the top scorers. Target here is a fixed
+    // source allowlist (stand-in for "Wikipedia+books" in the paper);
+    // features are bigrams hashed into B=256 buckets (the paper's
+    // 10^4-bucket trick at test-vocab scale); per-bucket weight is
+    // the Laplace-smoothed log-likelihood ratio
+    // ln p̂_tgt(h) − ln p̂_raw(h), and a document's score is the MEAN
+    // weight over its bigram occurrences (mean, not sum, so score is
+    // length-invariant). Complements q87 (in-distribution LM score —
+    // "is this fluent?") with the cross-domain axis ("is this the
+    // domain I want more of?").
+    //
+    // Scale shape: the feature map is a narrow explode (no exchange);
+    // the bucket histogram is a 256-key HashAggregate with map-side
+    // partials (hot buckets collapse per-mapper BEFORE the exchange —
+    // the bucket space is the skew absorber, same structural move as
+    // q87's head/tail vocab); the weight table is 256 rows × 1 double
+    // — broadcast, so scoring is explode → map-side broadcast join →
+    // per-doc partial agg. One doc-keyed exchange total, nothing
+    // keyed by a Zipf token. At 100 TB the weight table would be
+    // trained ONCE on a sample and persisted (the paper trains on a
+    // held-out slice); self-training it in-query costs one extra
+    // corpus scan here but changes no shape.
+    //
+    // Determinism: counts are exact integers; (c+0.5)/(N+128) is one
+    // correctly-rounded IEEE division per engine; ln's cross-libm
+    // 1-ulp noise is absorbed by the 4dp fround on the mean (error
+    // ~1e-15 vs boundary width 5e-5 — the q87 argument). Top-50 cut
+    // orders by the ROUNDED score with doc_id tiebreak on both
+    // engines, so the cut is identical.
+    QueryDef(
+      "q119_dsir_importance",
+      (s, dir) => {
+        val B = 256
+        val tgtSet = Seq("src1", "src2", "src3", "src4")
+        val isTgt = col("source").isin(tgtSet: _*)
+        val bgs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(expr("""transform(sequence(1, size(toks) - 1),
+                i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+              .as("bg"))
+          .withColumn("h", expr(s"cast(conv(substring(md5(bg), 1, 4), 16, 10) as int) % $B"))
+        val byBucket = bgs.groupBy(col("h")).agg(
+          sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+          sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
+        val tot = byBucket.agg(
+          sum(col("ct")).cast("double").as("nt"), sum(col("cr")).cast("double").as("nr"))
+        val weights = byBucket.crossJoin(broadcast(tot)).select(col("h"),
+          (log((col("ct").cast("double") + 0.5) / (col("nt") + 0.5 * B))
+            - log((col("cr").cast("double") + 0.5) / (col("nr") + 0.5 * B))).as("wt"))
+        bgs.filter(!isTgt)
+          .join(broadcast(weights), Seq("h"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            Num.fround(avg(col("wt")), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+               bg AS (
+                 SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                 FROM toks WHERE len(toks) >= 2),
+               h AS (
+                 SELECT doc_id, source,
+                   ('0x' || substr(md5(bg), 1, 4))::INT % 256 AS h,
+                   source IN ('src1', 'src2', 'src3', 'src4') AS is_tgt
+                 FROM bg),
+               byb AS (
+                 SELECT h,
+                   sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,
+                   sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS cr
+                 FROM h GROUP BY h),
+               tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr FROM byb),
+               wt AS (
+                 SELECT h, ln((ct::DOUBLE + 0.5) / (nt + 128.0))
+                         - ln((cr::DOUBLE + 0.5) / (nr + 128.0)) AS wt
+                 FROM byb, tot)
+               SELECT doc_id, source, count(*)::BIGINT AS n_bigrams,
+                 ${Num.froundSql("avg(wt)", 4)} AS score
+               FROM h JOIN wt USING (h)
+               WHERE NOT is_tgt
+               GROUP BY doc_id, source
+               ORDER BY score DESC, doc_id LIMIT 50"""),
+    ),
   )
 }

@@ -613,5 +613,60 @@ object Extensions {
                 1 AS ok50, 1 AS ok95, 1 AS ok99
               FROM base GROUP BY l_returnflag ORDER BY l_returnflag"""),
     ),
+
+    // Z-order layout statistics — the data-skipping proof for
+    // operators/ZOrder.scala. Orders are coded on (customer, order
+    // day): x = o_custkey masked to 16 bits, y = days since
+    // 1995-01-01 (exact integer epoch-day arithmetic — the corpus
+    // spans ~2 400 days, 12 bits), z = the 32-bit Morton interleave.
+    // Each fixed-width z-range (z >> 16 — deterministic buckets, so
+    // the oracle can mirror them; the write path would use
+    // repartitionByRange instead, ZOrder.layout) reports its row
+    // count and its min/max span on BOTH dims — the exact numbers a
+    // parquet footer would carry per file after a z-ordered write,
+    // and therefore the skipping bound for any 2-D predicate:
+    // a (custkey, date-range) filter touches only buckets whose
+    // [min,max] boxes intersect it. A date-sorted layout would show
+    // span_cust ≈ full key range in every bucket; the z layout keeps
+    // both spans bounded (the bucket's bit prefix pins the top 8 bits
+    // of each dim).
+    //
+    // Scale shape: the z code is a narrow map (32 codegen shift/mask
+    // terms); the per-bucket stats are one HashAggregate over ~2^8
+    // keys with map-side partials — the cheapest possible layout
+    // audit, and the same plan at any corpus size.
+    QueryDef(
+      "q121_zorder_layout",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          expr("cast(o_custkey & 65535 as bigint)").as("x"),
+          expr("cast(unix_timestamp(o_orderdate) div 86400 as bigint) - 9131").as("y"))
+        o.withColumn("z", graft.operators.ZOrder.zvalue(col("x"), col("y")))
+          .withColumn("bucket", shiftright(col("z"), 16))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+            min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+          .select(col("bucket"), col("n"),
+            col("min_cust"), col("max_cust"),
+            (col("max_cust") - col("min_cust") + 1L).as("span_cust"),
+            col("min_day"), col("max_day"),
+            (col("max_day") - col("min_day") + 1L).as("span_day"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH d AS (
+                 SELECT (o_custkey & 65535)::BIGINT AS x,
+                   (epoch(o_orderdate)::BIGINT // 86400) - 9131 AS y
+                 FROM orders),
+               z AS (
+                 SELECT x, y, ${graft.operators.ZOrder.zvalueSql("x", "y")} AS z
+                 FROM d)
+               SELECT z >> 16 AS bucket, count(*)::BIGINT AS n,
+                 min(x) AS min_cust, max(x) AS max_cust,
+                 max(x) - min(x) + 1 AS span_cust,
+                 min(y) AS min_day, max(y) AS max_day,
+                 max(y) - min(y) + 1 AS span_day
+               FROM z GROUP BY bucket ORDER BY bucket"""),
+    ),
   )
 }
