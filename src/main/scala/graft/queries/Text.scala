@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{Num, TextFns}
 
@@ -1500,6 +1501,107 @@ object Text {
                   IF len(list_filter(coalesce(starts, []),
                     s -> s <= i - 1 AND i - 1 <= s + 7)) = 0] AS kept) k
               ORDER BY toks.doc_id"""),
+    ),
+
+    // EXACT set-similarity self-join via prefix filtering (Chaudhuri
+    // et al. SSJoin / Xiao et al. PPJoin) — the exact complement of
+    // q34's LSH blocking: every pair of documents whose DISTINCT
+    // 3-shingle sets (Broder w-shingling — unigram sets are
+    // corpus-degenerate on a shared vocabulary: measured 71k of 125k
+    // possible pairs above 0.6 at sf0.01, vs 25 true near-dup pairs
+    // on shingles) have Jaccard ≥ τ = 3/5, with ZERO recall loss.
+    // The prefix-filter lemma: order every set by one global element
+    // order (here ascending document frequency, rarest first — the
+    // order that minimizes candidates — with the shingle string as
+    // tiebreak); then any pair with J ≥ τ must share an element
+    // inside each side's first |x| − ⌈τ·|x|⌉ + 1 elements, so the
+    // candidate join runs on exploded PREFIXES only. τ = 3/5 keeps
+    // EVERYTHING integer-exact: prefix length is
+    // sz − (3·sz+4) div 5 + 1, the size-implication prune is
+    // 5·min(sa,sb) ≥ 3·max(sa,sb), and the verification is
+    // 5·inter ≥ 3·union — no float touches a decision anywhere
+    // (jaccard in the output is display-only).
+    //
+    // Scale shape: the df build is a HashAggregate with map-side
+    // partials; the df re-join is the q87 structural head/tail split
+    // (top-HeadK hot tokens broadcast and joined map-side, the tail
+    // shuffled with per-key cardinality bounded by the head
+    // threshold — no Zipf key ever enters an exchange; the split is
+    // output-invariant so the oracle mirrors only the math). Ranking
+    // is a window partitioned BY DOCUMENT (bounded by document
+    // length, never corpus-wide). The candidate join explodes
+    // prefixes only — rare tokens by construction, so per-key fanout
+    // is small and corpus-bound; the prune filter runs BEFORE the
+    // pair dedup. Verification joins the ≤|cand| pairs back to the
+    // doc→token-set table (doc-keyed, AQE-broadcast at test scale,
+    // legitimately shuffled at corpus scale) and intersects arrays
+    // in one codegen'd narrow map.
+    QueryDef(
+      "q122_exact_jaccard_join",
+      (s, dir) => {
+        val HeadK = 64
+        val arrays = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            array_distinct(TextFns.shingleExpr("toks", 3)).as("ta"))
+        val toks = arrays.select(col("doc_id"), explode(col("ta")).as("w"))
+        val dfT = toks.groupBy(col("w")).agg(count(lit(1)).as("df")).persist()
+        val head = dfT.orderBy(col("df").desc, col("w")).limit(HeadK)
+        val tail = dfT.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+        val withDf = toks.join(broadcast(head), Seq("w")).unionByName(
+          toks.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+            .join(tail, Seq("w")))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val pre = withDf
+          .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("w"))))
+          .withColumn("sz", count(lit(1)).over(wDoc))
+          .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+          .select(col("doc_id"), col("w"), col("sz"))
+        val cand = pre.as("a").join(pre.as("b"),
+            col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id")
+              && lit(5) * least(col("a.sz"), col("b.sz"))
+                 >= lit(3) * greatest(col("a.sz"), col("b.sz")))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.sz").as("sa"), col("b.sz").as("sb"))
+          .distinct()
+        cand
+          .join(arrays.select(col("doc_id").as("da"), col("ta").as("arr_a")), Seq("da"))
+          .join(arrays.select(col("doc_id").as("db"), col("ta").as("arr_b")), Seq("db"))
+          .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+          .withColumn("uni", col("sa") + col("sb") - col("inter"))
+          .filter(lit(5) * col("inter") >= lit(3) * col("uni"))
+          .select(col("da"), col("db"), col("inter"), col("uni"),
+            Num.fround(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("da"), col("db"))
+      },
+      Some(s"""WITH arr AS (
+                SELECT doc_id,
+                  list_distinct(${TextFns.shingleSql("string_split(text, ' ')", 3)}) AS ta
+                FROM documents),
+              toks AS (SELECT doc_id, unnest(ta) AS w FROM arr),
+              dft AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+              r AS (
+                SELECT doc_id, w,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY df, w) AS rk,
+                  count(*) OVER (PARTITION BY doc_id) AS sz
+                FROM toks JOIN dft USING (w)),
+              pre AS (
+                SELECT doc_id, w, sz FROM r
+                WHERE rk <= sz - (3 * sz + 4) // 5 + 1),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                  a.sz AS sa, b.sz AS sb
+                FROM pre a JOIN pre b ON a.w = b.w AND a.doc_id < b.doc_id
+                WHERE 5 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)),
+              v AS (
+                SELECT da, db, sa, sb,
+                  len(list_intersect(x.ta, y.ta))::BIGINT AS inter
+                FROM cand JOIN arr x ON x.doc_id = da
+                  JOIN arr y ON y.doc_id = db)
+              SELECT da, db, inter, (sa + sb - inter)::BIGINT AS uni,
+                floor((inter::DOUBLE / (sa + sb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+              FROM v WHERE 5 * inter >= 3 * (sa + sb - inter)
+              ORDER BY jaccard DESC, da, db"""),
     ),
   )
 }

@@ -32,10 +32,14 @@ class PlanHygieneSpec extends SparkSuite {
     //    the bug. Bounded-by-construction sides elsewhere (q72/q103
     //    re-rank top-10, q112 exact top-k) carry explicit broadcast
     //    hints instead; every other join must broadcast a dim.
+    //  - q122: the prefix-filter self-join (prefix ⋈ prefix on the
+    //    shingle) and the candidate→token-set verification joins —
+    //    every side scales with the corpus, so these are the
+    //    legitimately-shuffled exact-similarity-join exchanges.
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
-      "q86_semantic_dedup"),
+      "q86_semantic_dedup", "q122_exact_jaccard_join"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
-      "q86_semantic_dedup"))
+      "q86_semantic_dedup", "q122_exact_jaccard_join"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
