@@ -668,5 +668,86 @@ object Extensions {
                  max(y) - min(y) + 1 AS span_day
                FROM z GROUP BY bucket ORDER BY bucket"""),
     ),
+
+    // Grouped least-squares regression from EXACT integer moment sums
+    // — the in-database ML primitive (per-group trend in ONE pass over
+    // the fact table): slope / intercept / r² of extendedprice ~
+    // quantity per supplier nation. The q102 determinism recipe
+    // extended to second moments: quantity is already integral and
+    // price is a 2-decimal rational, so x and y·100 are exact BIGINTs
+    // and every moment sum (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    // integer — the regression closed forms then run on identical
+    // doubles in both engines (each sum cast to double BEFORE any
+    // product, because n·Σxy at corpus scale exceeds both 2^53 and
+    // BIGINT — the double product is correctly rounded identically,
+    // while a BIGINT product would overflow DuckDB). Σy² alone
+    // exceeds long range, so it accumulates in decimal(38,0) (Spark)
+    // / HUGEINT (DuckDB) — both exact, both cast to the same double.
+    //
+    // Scale shape: two broadcast dim hops (supplier, nation) onto the
+    // fact scan, then ONE HashAggregate with map-side partials over
+    // 25 keys — moments are associative/commutative, so partials
+    // collapse per mapper before the exchange; this is the plan shape
+    // that turns a 100 TB regression into a scan.
+    QueryDef(
+      "q123_grouped_regression",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_suppkey"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        val m = li
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        val (nD, sxD, syD, sxyD, sxxD, syyD) =
+          (col("n").cast("double"), col("sx").cast("double"),
+            col("sy").cast("double"), col("sxy").cast("double"),
+            col("sxx").cast("double"), col("syy").cast("double"))
+        val cov = nD * sxyD - sxD * syD
+        val varX = nD * sxxD - sxD * sxD
+        val varY = nD * syyD - syD * syD
+        // y is in cents: slope/intercept divide by 100 LAST, mirrored.
+        m.select(col("n_name"), col("n"),
+            Num.fround(cov / varX / 100.0, 6).as("slope"),
+            Num.fround((syD - cov / varX * sxD) / nD / 100.0, 4).as("intercept"),
+            Num.fround(cov * cov / (varX * varY), 6).as("r2"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH pts AS (
+                SELECT n_name, l_quantity::BIGINT AS x,
+                  floor(l_extendedprice * 100 + 0.5)::BIGINT AS y
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey),
+              m AS (
+                SELECT n_name, count(*)::BIGINT AS n,
+                  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                  sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+                  sum(y::HUGEINT * y) AS syy
+                FROM pts GROUP BY n_name),
+              d AS (
+                SELECT n_name, n,
+                  n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+                  sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+                FROM m)
+              SELECT n_name, n,
+                floor((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) / 100
+                  * 1000000 + 0.5) / 1000000 AS slope,
+                floor((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+                  / nd / 100 * 10000 + 0.5) / 10000 AS intercept,
+                floor((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                  / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                  * 1000000 + 0.5) / 1000000 AS r2
+              FROM d ORDER BY n_name"""),
+    ),
   )
 }
