@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering (Chaudhuri et
+  * al. SSJoin; Xiao et al. PPJoin) — ALL pairs of sets with Jaccard ≥
+  * τ, zero recall loss, without the all-pairs cross join.
+  *
+  * τ is a rational tNum/tDen so every decision is exact integer
+  * arithmetic: prefix length sz − ⌈τ·sz⌉ + 1 (ceil as
+  * (tNum·sz + tDen − 1) div tDen), size prune tDen·min ≥ tNum·max,
+  * and the overlap test (tDen+tNum)·I ≥ tNum·(sa+sb) (equivalent to
+  * tDen·I ≥ tNum·(sa+sb−I), i.e. J ≥ τ) — used both as PPJoin's
+  * positional upper-bound filter on candidates and as the final
+  * verification. No float touches a decision.
+  *
+  * The prefix-filter lemma needs ONE global element order; document
+  * frequency ascending (rarest first, element value as tiebreak) is
+  * used because it minimizes candidate volume. The df re-join is the
+  * head/tail Zipf split (top-`headK` hot elements broadcast, tail
+  * shuffled with per-key cardinality bounded by the head threshold);
+  * ranking windows partition BY SET ID (bounded by set size, never
+  * corpus-wide); the candidate join explodes prefixes only; the
+  * verification is one codegen'd `array_intersect` after two
+  * id-keyed payload joins. Correctness of this whole pipeline vs the
+  * brute-force definition is pinned by `SimilarityJoinSpec` (the
+  * DuckDB oracle of q122 mirrors the same algorithm, so that
+  * differential alone could not catch a recall-losing lemma bug —
+  * the spec closes exactly that gap).
+  *
+  * @param sets (id: long-ish, ta: array of DISTINCT elements)
+  * @return (da, db, inter, uni) with da < db and
+  *         inter/uni ≥ tNum/tDen, unordered
+  */
+object SimilarityJoin {
+  def exactJaccardPairs(
+      sets: DataFrame, idCol: String, setCol: String,
+      tNum: Int, tDen: Int, headK: Int = 64): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad tau $tNum/$tDen")
+    val arrays = sets.select(col(idCol).as("__id"), col(setCol).as("__ta")).persist()
+    val toks = arrays.select(col("__id"), explode(col("__ta")).as("__w"))
+    val dfT = toks.groupBy(col("__w")).agg(count(lit(1)).as("__df")).persist()
+    val head = dfT.orderBy(col("__df").desc, col("__w")).limit(headK)
+    val tail = dfT.join(broadcast(head.select(col("__w"))), Seq("__w"), "left_anti")
+    val withDf = toks.join(broadcast(head), Seq("__w")).unionByName(
+      toks.join(broadcast(head.select(col("__w"))), Seq("__w"), "left_anti")
+        .join(tail, Seq("__w")))
+    val wDoc = Window.partitionBy(col("__id"))
+    val pre = withDf
+      .withColumn("__rk", row_number().over(wDoc.orderBy(col("__df"), col("__w"))))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
+      .filter(col("__rk") <=
+        col("__sz") - expr(s"($tNum * __sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col("__id"), col("__w"), col("__sz"), col("__rk"))
+      .persist()
+    val both = tNum + tDen
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.__w") === col("b.__w") && col("a.__id") < col("b.__id")
+          && lit(tDen) * least(col("a.__sz"), col("b.__sz"))
+             >= lit(tNum) * greatest(col("a.__sz"), col("b.__sz"))
+          && lit(both) * (lit(1L) + least(col("a.__sz") - col("a.__rk"),
+               col("b.__sz") - col("b.__rk")))
+             >= lit(tNum) * (col("a.__sz") + col("b.__sz")))
+      .select(col("a.__id").as("da"), col("b.__id").as("db"),
+        col("a.__sz").as("sa"), col("b.__sz").as("sb"))
+      .distinct()
+    cand
+      .join(arrays.select(col("__id").as("da"), col("__ta").as("__arr_a")), Seq("da"))
+      .join(arrays.select(col("__id").as("db"), col("__ta").as("__arr_b")), Seq("db"))
+      .withColumn("inter",
+        size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .filter(lit(both) * col("inter") >= lit(tNum) * (col("sa") + col("sb")))
+      .select(col("da"), col("db"), col("inter"), col("uni"))
+  }
+}

@@ -1549,60 +1549,29 @@ object Text {
         // without the persists + positional filter; 4 s with; the
         // staged read thereafter is the artifact-shaped cost).
         val pairs = graft.operators.Staged.parquet(s, s"q122pairs|$dir") {
-        val HeadK = 64
-        // Shingles are 60-bit md5-derived codes, not strings: every
-        // downstream structure (df keys, window order, prefix join
-        // key, intersect arrays) runs on 8-byte longs instead of
-        // ~30-char strings — smaller exchanges, cheaper hashing —
-        // and the DuckDB oracle derives the IDENTICAL codes, so the
-        // differential stays exact over the hashed universe (the
-        // standard shingle-hashing move; collision odds ~2^-60/pair).
-        val arrays = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
-          .select(col("doc_id"), array_distinct(expr(
-            "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-            .as("ta"))
-          .persist()
-        val toks = arrays.select(col("doc_id"), explode(col("ta")).as("w"))
-        val dfT = toks.groupBy(col("w")).agg(count(lit(1)).as("df")).persist()
-        val head = dfT.orderBy(col("df").desc, col("w")).limit(HeadK)
-        val tail = dfT.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
-        val withDf = toks.join(broadcast(head), Seq("w")).unionByName(
-          toks.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
-            .join(tail, Seq("w")))
-        val wDoc = Window.partitionBy(col("doc_id"))
-        val pre = withDf
-          .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("w"))))
-          .withColumn("sz", count(lit(1)).over(wDoc))
-          .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-          .select(col("doc_id"), col("w"), col("sz"), col("rk"))
-          .persist()
-        // PPJoin's positional filter, still exact integers: a match at
-        // prefix positions (rk_a, rk_b) bounds the overlap above by
-        // 1 + min(sa − rk_a, sb − rk_b), and J ≥ 3/5 needs
-        // 8·inter ≥ 3·(sa+sb) — candidates whose bound can't reach it
-        // are dropped BEFORE the pair dedup (prunes ~40% of raw
-        // candidate rows at sf0.1; output-invariant, they'd fail
-        // verification anyway).
-        val cand = pre.as("a").join(pre.as("b"),
-            col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id")
-              && lit(5) * least(col("a.sz"), col("b.sz"))
-                 >= lit(3) * greatest(col("a.sz"), col("b.sz"))
-              && lit(8) * (lit(1L) + least(col("a.sz") - col("a.rk"),
-                   col("b.sz") - col("b.rk")))
-                 >= lit(3) * (col("a.sz") + col("b.sz")))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            col("a.sz").as("sa"), col("b.sz").as("sb"))
-          .distinct()
-        cand
-          .join(arrays.select(col("doc_id").as("da"), col("ta").as("arr_a")), Seq("da"))
-          .join(arrays.select(col("doc_id").as("db"), col("ta").as("arr_b")), Seq("db"))
-          .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-          .withColumn("uni", col("sa") + col("sb") - col("inter"))
-          .filter(lit(5) * col("inter") >= lit(3) * col("uni"))
-          .select(col("da"), col("db"), col("inter"), col("uni"),
-            Num.fround(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+          // Shingles are 60-bit md5-derived codes, not strings: every
+          // downstream structure (df keys, window order, prefix join
+          // key, intersect arrays) runs on 8-byte longs instead of
+          // ~30-char strings — smaller exchanges, cheaper hashing —
+          // and the DuckDB oracle derives the IDENTICAL codes, so the
+          // differential stays exact over the hashed universe (the
+          // standard shingle-hashing move; collisions ~2^-60/pair).
+          // The join itself is operators/SimilarityJoin (prefix
+          // filter + positional filter + head/tail df split); its
+          // exactness vs the brute-force definition is pinned by
+          // SimilarityJoinSpec — necessary because THIS query's
+          // DuckDB oracle mirrors the same algorithm, so the
+          // differential alone can't catch a recall-losing lemma bug.
+          val arrays = Tables.documents(s, dir)
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
+            .select(col("doc_id"), array_distinct(expr(
+              "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+              .as("ta"))
+          graft.operators.SimilarityJoin
+            .exactJaccardPairs(arrays, "doc_id", "ta", tNum = 3, tDen = 5)
+            .select(col("da"), col("db"), col("inter"), col("uni"),
+              Num.fround(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
         }
         pairs.orderBy(col("jaccard").desc, col("da"), col("db"))
       },

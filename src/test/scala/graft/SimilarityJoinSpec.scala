@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityJoin
+
+/** Differential check of the prefix-filter exact similarity join
+  * against the brute-force all-pairs definition. This is the check
+  * the q122 DuckDB oracle CANNOT provide: the oracle mirrors the same
+  * prefix-filter algorithm, so a recall-losing bug in the lemma
+  * arithmetic (prefix length off by one, wrong positional bound)
+  * would pass the differential on both engines — here the reference
+  * side is the definition itself.
+  */
+class SimilarityJoinSpec extends SparkSuite {
+
+  /** All pairs with tDen·inter ≥ tNum·uni, by definition. */
+  private def brute(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val a = sets.select(col("id").as("da"), col("ta").as("arr_a"))
+    val b = sets.select(col("id").as("db"), col("ta").as("arr_b"))
+    a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("arr_a")) + size(col("arr_b")) - col("inter"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("uni"))
+      .select(col("da"), col("db"), col("inter"), col("uni"))
+  }
+
+  private def check(sets: DataFrame, tNum: Int, tDen: Int, headK: Int = 64): Unit = {
+    val got = SimilarityJoin.exactJaccardPairs(sets, "id", "ta", tNum, tDen, headK)
+    val want = brute(sets, tNum, tDen)
+    val missing = want.except(got).collect()
+    val extra = got.except(want).collect()
+    assert(missing.isEmpty && extra.isEmpty,
+      s"tau=$tNum/$tDen headK=$headK: missing=${missing.take(5).mkString(";")} " +
+        s"extra=${extra.take(5).mkString(";")}")
+    assert(want.count() > 0, s"fixture degenerate: no true pairs at $tNum/$tDen")
+  }
+
+  /** Deterministic synthetic corpus engineered for the edge cases:
+    * near-dup families at graded overlap (some straddling τ), exact
+    * dups, a GLOBAL hot element present in every set (head path), a
+    * singleton set, and unrelated sets. */
+  private def fixture = {
+    import spark.implicits._
+    def base(seed: Int, n: Int): Seq[Long] =
+      (0 until n).map(i => (seed * 10000 + i * 7).toLong)
+    val rows: Seq[(Long, Seq[Long])] =
+      // 8 disjoint families: original + mutations replacing k elements
+      (0 until 8).flatMap { f =>
+        val orig = base(f + 1, 20) :+ 999999L // 999999 = global hot element
+        Seq.tabulate(4) { k =>
+          val mutated = orig.dropRight(3 * k) ++
+            (0 until 3 * k).map(i => (900000 + f * 100 + i).toLong)
+          ((f * 10 + k).toLong, mutated.distinct)
+        }
+      } ++ Seq(
+        (500L, Seq(999999L)),              // singleton, all-hot
+        (501L, base(77, 20) :+ 999999L),   // exact dup pair
+        (502L, base(77, 20) :+ 999999L),
+        (503L, base(88, 2)),               // tiny set
+        (504L, base(88, 2)))               // tiny exact dup
+    rows.toDF("id", "ta")
+  }
+
+  test("prefix-filter join equals brute force at tau = 3/5") {
+    check(fixture, 3, 5)
+  }
+
+  test("prefix-filter join equals brute force at tau = 1/2 and 4/5") {
+    check(fixture, 1, 2)
+    check(fixture, 4, 5)
+  }
+
+  test("tiny headK forces real traffic through the head path, still exact") {
+    check(fixture, 3, 5, headK = 2)
+  }
+
+  test("tau = 1 (exact duplicates only), boundary arithmetic holds") {
+    check(fixture, 1, 1)
+  }
+}
