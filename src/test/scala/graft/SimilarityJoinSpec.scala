@@ -81,4 +81,30 @@ class SimilarityJoinSpec extends SparkSuite {
   test("tau = 1 (exact duplicates only), boundary arithmetic holds") {
     check(fixture, 1, 1)
   }
+
+  test("randomized corpora: equality vs brute force holds across seeds and taus") {
+    import spark.implicits._
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      // Sets drawn from a small shared pool (heavy overlap, elements
+      // with wildly varying df) plus private elements; sizes 1..30 —
+      // the regime where off-by-one prefix/positional arithmetic
+      // would actually flip pair membership.
+      val originals = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(30)
+        val pool = (0 until n).map(_ => rnd.nextInt(40).toLong)
+        val priv = (0 until rnd.nextInt(4)).map(_ => 1000L + rnd.nextInt(1000))
+        (i.toLong, (pool ++ priv).distinct)
+      }
+      // Mutated copies of a third of the sets (replace 0..3 elements)
+      // guarantee true pairs straddling every tau under test.
+      val mutants = originals.take(13).map { case (id, ta) =>
+        val k = rnd.nextInt(4).min(ta.size - 1).max(0)
+        (100L + id, (ta.drop(k) ++ (0 until k).map(_ => 5000L + rnd.nextInt(50))).distinct)
+      }
+      val sets = (originals ++ mutants).toDF("id", "ta")
+      for ((tn, td) <- Seq((1, 2), (3, 5), (4, 5)))
+        check(sets, tn, td, headK = 8)
+    }
+  }
 }
