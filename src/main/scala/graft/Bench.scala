@@ -71,8 +71,13 @@ object Bench {
     // total min-of-ONE every round. 420 s admits a complete warm
     // second pass there (~150 s — staged artifacts make pass 2 cheap)
     // while the per-query gate below still cuts an overrunning pass
-    // at the bound.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
+    // at the bound. Round-7 continuation: default raised 420 → 480 —
+    // the suite gained five queries whose pass-1 cost includes staged
+    // builds (q122's pair graph ~13 s, q119's weight table ~8 s at
+    // sf0.1), so pass 1 grew ~25 s while pass 2 (staged reads) grew
+    // only ~4 s; 480 keeps a complete warm second pass inside the
+    // budget in the driver environment.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Optional subset (the Verify convention): extra args = bench only
     // these queries; unknown names fail loudly.
