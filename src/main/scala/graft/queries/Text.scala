@@ -230,6 +230,35 @@ object Text {
   /** DuckDB mirror of [[minhashPairs]] as a CTE list (no leading WITH,
     * so callers can prefix WITH or WITH RECURSIVE): defines `pairs`
     * with columns doc_a, doc_b, jaccard. */
+  /** The EXACT Jaccard ≥ 3/5 pair graph over distinct 3-shingle sets
+    * (60-bit md5-hashed codes), staged through parquet per input dir —
+    * the production dedup artifact. Shingles are hashed to longs so
+    * every downstream structure (df keys, window order, prefix join
+    * key, intersect arrays) runs on 8-byte longs instead of ~30-char
+    * strings, and the DuckDB oracles derive the IDENTICAL codes
+    * (collisions ~2^-60/pair). The join itself is
+    * operators/SimilarityJoin (prefix filter + positional filter +
+    * head/tail df split); its exactness vs the brute-force definition
+    * is pinned by SimilarityJoinSpec — necessary because q122's
+    * DuckDB oracle mirrors the same algorithm, so that differential
+    * alone can't catch a recall-losing lemma bug (q124's oracle uses
+    * brute force, adding an independent cross-check at sf0.01).
+    * Consumers: q122 (the pair listing), q124 (recall truth set). */
+  private def exactPairsStaged(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Staged.parquet(s, s"q122pairs|$dir") {
+      val arrays = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+          .as("ta"))
+      graft.operators.SimilarityJoin
+        .exactJaccardPairs(arrays, "doc_id", "ta", tNum = 3, tDen = 5)
+        .select(col("da"), col("db"), col("inter"), col("uni"),
+          Num.fround(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+    }
+
   private def minhashPairsSqlCtes(threshold: Double): String = {
     val sigs = (0 until 8).map(i => s"${TextFns.minhashSql("shingles", i)} AS mh_$i")
       .mkString(", ")
@@ -1548,32 +1577,8 @@ object Text {
         // once PER SIDE of the self-join (measured 16 s warm at sf0.1
         // without the persists + positional filter; 4 s with; the
         // staged read thereafter is the artifact-shaped cost).
-        val pairs = graft.operators.Staged.parquet(s, s"q122pairs|$dir") {
-          // Shingles are 60-bit md5-derived codes, not strings: every
-          // downstream structure (df keys, window order, prefix join
-          // key, intersect arrays) runs on 8-byte longs instead of
-          // ~30-char strings — smaller exchanges, cheaper hashing —
-          // and the DuckDB oracle derives the IDENTICAL codes, so the
-          // differential stays exact over the hashed universe (the
-          // standard shingle-hashing move; collisions ~2^-60/pair).
-          // The join itself is operators/SimilarityJoin (prefix
-          // filter + positional filter + head/tail df split); its
-          // exactness vs the brute-force definition is pinned by
-          // SimilarityJoinSpec — necessary because THIS query's
-          // DuckDB oracle mirrors the same algorithm, so the
-          // differential alone can't catch a recall-losing lemma bug.
-          val arrays = Tables.documents(s, dir)
-            .select(col("doc_id"), split(col("text"), " ").as("toks"))
-            .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
-            .select(col("doc_id"), array_distinct(expr(
-              "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-              .as("ta"))
-          graft.operators.SimilarityJoin
-            .exactJaccardPairs(arrays, "doc_id", "ta", tNum = 3, tDen = 5)
-            .select(col("da"), col("db"), col("inter"), col("uni"),
-              Num.fround(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
-        }
-        pairs.orderBy(col("jaccard").desc, col("da"), col("db"))
+        exactPairsStaged(s, dir)
+          .orderBy(col("jaccard").desc, col("da"), col("db"))
       },
       Some(s"""WITH arr AS (
                 SELECT doc_id,
@@ -1607,6 +1612,89 @@ object Text {
                 floor((inter::DOUBLE / (sa + sb - inter)) * 10000 + 0.5) / 10000 AS jaccard
               FROM v WHERE 5 * inter >= 3 * (sa + sb - inter)
               ORDER BY jaccard DESC, da, db"""),
+    ),
+
+    // Recall tripwire for the staged MinHash pair graph — the q112/
+    // q118 pattern applied to the TEXT dedup backbone: the banded-LSH
+    // pair graph (threshold 0.5; feeds q33/q68/q70/q90/q109/q111) is
+    // measured against the EXACT J ≥ 3/5 pair set (q122's staged
+    // SimilarityJoin artifact — every τ ≥ 3/5 pair is a ≥ 0.5 pair,
+    // so each truth pair belongs in the graph iff banding caught it).
+    // Banding theory: a J pair survives a 4-minhash band pair w.p.
+    // 1−(1−J⁴)², ≈ 0.65 at J = 0.8 and → 1 as J → 1; this corpus's
+    // near-dups are high-J, measured recall 0.96 (sf0.01) / 0.977
+    // (sf0.1). Gate: recall ≥ 0.8 (20% margin under the measured
+    // band), active only when the truth set has ≥ 20 pairs (the
+    // q91/q92 small-regime literal-pass convention). A banding
+    // regression — fewer effective bits, correlated slots, a band
+    // key typo — drops recall through the floor while every
+    // individual query still hash-matches its own oracle; this row
+    // is what catches it (q118's hyperplane-weights bug was caught
+    // by exactly this shape).
+    //
+    // Scale/verification: Spark intersects two STAGED artifacts
+    // (warm cost two parquet reads + a pair-keyed join of bounded
+    // near-dup sets); the DuckDB oracle recomputes the truth by
+    // BRUTE FORCE (different algorithm from the prefix filter that
+    // built the artifact — an independent cross-check of
+    // SimilarityJoin at sf0.01) and mirrors the banded-LSH graph
+    // CTEs. All counts exact integers; recall is one exact division
+    // rounded at 4dp.
+    QueryDef(
+      "q124_minhash_recall",
+      (s, dir) => {
+        val truth = exactPairsStaged(s, dir).select(col("da"), col("db"))
+        val graph = minhashPairs(s, dir, threshold = 0.5)
+          .select(col("doc_a").as("da"), col("doc_b").as("db"))
+        val agg = truth.join(graph, Seq("da", "db"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+          .crossJoin(broadcast(graph.agg(count(lit(1)).as("n_graph"))))
+        agg.select(col("n_true"), col("n_graph"), col("hits"),
+            when(col("n_true") > 0,
+              Num.fround(col("hits").cast("double") / col("n_true"), 4))
+              .otherwise(lit(1.0)).as("recall"))
+          .withColumn("recall_ok",
+            when(col("n_true") < 20 || col("recall") >= 0.8, 1).otherwise(0))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               sh AS (SELECT doc_id, ${TextFns.shingleSql("ws", 3)} AS shingles FROM t),
+               sets AS (
+                 SELECT doc_id, list_distinct(list_transform(shingles,
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS ta
+                 FROM sh),
+               ex AS (
+                 SELECT x.doc_id AS da, y.doc_id AS db,
+                   len(list_filter(x.ta, e -> list_contains(y.ta, e))) AS i,
+                   len(x.ta) + len(y.ta) AS ss
+                 FROM sets x JOIN sets y ON x.doc_id < y.doc_id),
+               truth AS (SELECT da, db FROM ex WHERE 8 * i >= 3 * ss),
+               sig AS (SELECT doc_id, shingles,
+                 ${(0 until 8).map(i => s"${TextFns.minhashSql("shingles", i)} AS mh_$i").mkString(", ")}
+                 FROM sh),
+               banded AS (
+                 SELECT doc_id, shingles, band FROM sig,
+                 UNNEST(['b0|' || mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3,
+                         'b1|' || mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7]) AS u(band)),
+               rawpairs AS (
+                 SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                   ${Num.froundSql(
+                     """len(list_filter(list_distinct(a.shingles), x -> list_contains(b.shingles, x)))
+                        / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                           - len(list_filter(list_distinct(a.shingles), x -> list_contains(b.shingles, x))))::DOUBLE""", 4)} AS jaccard
+                 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+               g AS (SELECT da, db FROM rawpairs WHERE jaccard >= 0.5),
+               h AS (SELECT count(*) AS hits FROM truth JOIN g USING (da, db)),
+               tt AS (SELECT count(*) AS n_true FROM truth),
+               tg AS (SELECT count(*) AS n_graph FROM g)
+               SELECT n_true::BIGINT AS n_true, n_graph::BIGINT AS n_graph,
+                 hits::BIGINT AS hits,
+                 CASE WHEN n_true > 0
+                   THEN ${Num.froundSql("hits::DOUBLE / n_true", 4)} ELSE 1.0 END AS recall,
+                 CASE WHEN n_true < 20 OR (CASE WHEN n_true > 0
+                     THEN ${Num.froundSql("hits::DOUBLE / n_true", 4)} ELSE 1.0 END) >= 0.8
+                   THEN 1 ELSE 0 END AS recall_ok
+               FROM h, tt, tg"""),
     ),
   )
 }
