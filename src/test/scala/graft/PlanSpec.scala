@@ -344,4 +344,39 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Join") && !plan.contains("Window"),
       s"pure flatMap expected:\n$plan")
   }
+
+  test("q119 DSIR scoring: weight table joins broadcast; exactly one doc-keyed exchange") {
+    val plan = finalPlan(SparkEntry.queries("q119_dsir_importance")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"no shuffled join or window in the scoring path:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-50 must be TakeOrdered:\n$plan")
+  }
+
+  test("q120 RRF fusion: rankings are TakeOrdered cuts; windows see only the cut rows") {
+    val plan = finalPlan(SparkEntry.queries("q120_hybrid_rrf")(spark, sfDir))
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 3,
+      s"both ranking cuts + final cut must be TakeOrdered:\n$plan")
+    // Every Window must sit ABOVE a TakeOrderedAndProject (constant-K
+    // input); a Window directly over a scan/exchange of the corpus
+    // would be the 100 TB bug.
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fusion must be union+agg, never a shuffled join:\n$plan")
+  }
+
+  test("q121 z-order audit: narrow Morton map + single aggregate exchange") {
+    val plan = finalPlan(SparkEntry.queries("q121_zorder_layout")(spark, sfDir))
+    assert(!plan.contains("Join") && !plan.contains("Window")
+      && !plan.contains("Generate"), s"pure map + agg expected:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"one aggregate exchange expected:\n$plan")
+  }
+
+  test("q123 grouped regression: both dims broadcast, fact unshuffled before the aggregate") {
+    val plan = finalPlan(SparkEntry.queries("q123_grouped_regression")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"supplier and nation must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact must not shuffle for dim joins:\n$plan")
+    assert(plan.contains("HashAggregate"), s"moment sums must hash-aggregate:\n$plan")
+  }
 }
