@@ -50,4 +50,19 @@ class CorpusFixtureSpec extends SparkSuite {
     assert(out(100L) > out(101L),
       s"in-domain candidate must outrank: ${out(100L)} vs ${out(101L)}")
   }
+
+  test("q114 BM25 direction: rare-term match outranks common-term match; idf orders terms") {
+    // 'dup' appears in one doc (rare → high idf); 'spark' in ten
+    // (common → low idf). Same tf and length everywhere, so the
+    // ranking must follow idf alone.
+    val filler = (1 to 6).map(i => s"f$i").mkString(" ")
+    val dir = docsDir(
+      Seq((1L, s"dup $filler", "s")) ++
+        (2L to 11L).map(i => (i, s"spark $filler", "s")))
+    val rows = SparkEntry.queries("q114_bm25_retrieval")(spark, dir).collect()
+    val top = rows.head
+    assert(top.getLong(0) == 1L, s"rare-term doc must rank first: ${rows.toSeq}")
+    val scores = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(2L), s"idf ordering violated: $scores")
+  }
 }
