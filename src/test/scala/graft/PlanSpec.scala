@@ -379,4 +379,23 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), s"fact must not shuffle for dim joins:\n$plan")
     assert(plan.contains("HashAggregate"), s"moment sums must hash-aggregate:\n$plan")
   }
+
+  test("q125 inverted index: block-bounded aggregation chain, no join anywhere") {
+    val plan = finalPlan(SparkEntry.queries("q125_inverted_index")(spark, sfDir))
+    assert(!plan.contains("Join"), s"index build is aggregation-only:\n$plan")
+    assert(!plan.contains("Window"), s"no window over postings:\n$plan")
+    // occ + block + term levels: at most three aggregate exchanges;
+    // the block grouping keys (term, block) bound every collect_list
+    // buffer at 1024 entries regardless of term hotness.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
+      s"expected <=3 aggregate exchanges:\n$plan")
+  }
+
+  test("q126 maxscore: pruned scan -> narrow score -> TakeOrdered; no join, no corpus exchange") {
+    val plan = finalPlan(SparkEntry.queries("q126_maxscore_topk")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$plan")
+    assert(!plan.contains("Join"), s"stats ride as literals, never a join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the corpus must not shuffle for a pruned top-k:\n$plan")
+  }
 }

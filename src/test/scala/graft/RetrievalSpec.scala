@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Retrieval
+
+/** Differential check of the MaxScore-pruned BM25 top-k against the
+  * brute-force full-scan definition, on corpora engineered for the
+  * regimes the production corpus never exercises: fewer rare-term
+  * postings than k (θ₀ uncertifiable → pruning must switch off),
+  * zero-score filler documents entering the top-k, and a query whose
+  * terms are all common (essential set = everything). The q126 DuckDB
+  * oracle proves losslessness on the shipped corpus; this spec proves
+  * the switch-off logic on the corpora where pruning would be unsound.
+  *
+  * The brute side recomputes BM25 from the definition via an
+  * explode-based (doc, term) aggregate — a different plan shape from
+  * the operator's narrow tf map — with the same scoring formula, and
+  * results compare on (doc_id set, 4dp score within 1e-9): floats on
+  * both sides are JVM doubles over identical inputs, so any
+  * association-order noise is ulp-scale, far inside the tolerance.
+  */
+class RetrievalSpec extends SparkSuite {
+
+  private val (k1, b) = (1.2, 0.75)
+
+  /** Full-scan BM25 from the definition: explode → (doc, term) tf →
+    * df per term → score every document, top-k. */
+  private def brute(docs: DataFrame, terms: Seq[String], k: Int): Seq[(Long, Double)] = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val base = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val n = base.length.toDouble
+    val avgdl = base.map(_._2).sum / n
+    val df = terms.map(w => w -> base.count { case (id, _) => tf.contains((id, w)) }.toDouble).toMap
+    base.map { case (id, dl) =>
+      val score = terms.map { w =>
+        val f = tf.getOrElse((id, w), 0.0)
+        val idf = math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1.0)
+        idf * f * (k1 + 1.0) / (f + (dl / avgdl * b + (1.0 - b)) * k1)
+      }.sum
+      (id, math.floor(score * 1e4 + 0.5) / 1e4)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(k).toSeq
+  }
+
+  private def check(docs: DataFrame, terms: Seq[String], k: Int): Unit = {
+    val got = Retrieval.maxscoreTopK(docs, terms, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val want = brute(docs, terms, k)
+    assert(got.map(_._1) == want.map(_._1),
+      s"doc order: got=${got.mkString(",")} want=${want.mkString(",")}")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-9, s"score drift: $g vs $w")
+    }
+  }
+
+  private def corpus(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("pruning regime: rare term dominant, >= k postings — result equals full scan") {
+    val docs = corpus(
+      (0L until 40L).map(i => i -> s"alpha beta common filler pad$i x y") ++
+        (100L until 115L).map(i => i -> s"needle alpha row content pad$i extra words here") ++
+        Seq(200L -> "needle needle needle dense hit", 201L -> "beta beta beta beta"))
+    check(docs, Seq("needle", "alpha", "beta"), 10)
+  }
+
+  test("switch-off regime: fewer rare-term postings than k — full scan, zero-score filler kept") {
+    val docs = corpus(
+      Seq(0L -> "needle one two", 1L -> "needle three four") ++ // only 2 postings, k=10
+        (10L until 30L).map(i => i -> s"unrelated tokens pad$i"))
+    check(docs, Seq("needle", "one"), 10)
+  }
+
+  test("all-common query: essential set is everything, still exact") {
+    val docs = corpus((0L until 60L).map(i =>
+      i -> (if (i % 2 == 0) s"join batch join pad$i" else s"batch other pad$i words")))
+    check(docs, Seq("join", "batch"), 10)
+  }
+
+  test("no query term present at all: top-k is the zero-score head by doc_id") {
+    val docs = corpus((0L until 25L).map(i => i -> s"nothing matches here pad$i"))
+    check(docs, Seq("absent", "missing"), 10)
+  }
+
+  test("randomized corpora across seeds match brute force") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("rare", "mid", "hot", "a", "b", "c", "d", "e", "f", "g")
+      val docs = corpus((0L until 120L).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        val words = Seq.fill(len) {
+          val r = rnd.nextInt(100)
+          if (r < 2) "rare" else if (r < 20) "mid" else vocab(3 + rnd.nextInt(7))
+        }
+        i -> words.mkString(" ")
+      })
+      check(docs, Seq("rare", "mid", "hot"), 10)
+    }
+  }
+
+  test("q126 on the shipped corpus: pruning engages (essential gate, not full scan)") {
+    // On sf0.001 the rare term has ~25 postings >= k=10 and theta0 is
+    // far above the common terms' bound sum — the gate must reference
+    // ONLY the rare term's tf, visible in the plan as a single
+    // pushed-down tf filter (no `true` literal gate).
+    val df = SparkEntry.queries("q126_maxscore_topk")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), s"expected a pruning filter in:\n$plan")
+    assert(df.count() == 10)
+  }
+}
