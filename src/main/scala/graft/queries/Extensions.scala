@@ -749,5 +749,146 @@ object Extensions {
                   * 1000000 + 0.5) / 1000000 AS r2
               FROM d ORDER BY n_name"""),
     ),
+
+    // Snapshot diff / CDC — the change-data-capture primitive between
+    // two corpus versions (the Delta CDF `table_changes` shape, and
+    // the reference's `processed:False` incremental contract read
+    // backwards: WHAT changed since the last run, derived from state,
+    // not from a log). Two deterministic snapshots derive from the
+    // shipped corpus (old drops doc_id ≡ 3 mod 11; new drops ≡ 5 mod
+    // 13 and rewrites every ≡ 0 mod 7 text), a full-outer join on the
+    // key classifies every id as added / removed / changed /
+    // unchanged by CONTENT HASH (md5 — renames of identical bytes
+    // stay 'unchanged', the dedup-friendly definition), and the
+    // output is one bounded row per class: exact counts, id sums,
+    // min/max, and an order-independent bit_xor fold of a 60-bit
+    // row digest — the commutative digest that lets 1000 executors
+    // fold partition-local XORs with no ordered collect anywhere.
+    //
+    // Scale shape: the classify join is corpus ⋈ corpus on the
+    // primary key — the one join family that SHOULD shuffle (hygiene
+    // allowlist), and the one that stops shuffling the day snapshots
+    // are written bucketed by key (storage-partitioned join); the
+    // aggregate above it is 4 groups with map-side partials.
+    QueryDef(
+      "q127_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val old = docs.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"), md5(col("text")).as("h_old"))
+        val nw = docs.filter(col("doc_id") % 13 =!= 5)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text"))).as("h_new"))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("h_old").isNull, "added")
+              .when(col("h_new").isNull, "removed")
+              .when(col("h_old") =!= col("h_new"), "changed")
+              .otherwise("unchanged").as("change_type"),
+            expr("""cast(conv(substring(md5(concat(cast(doc_id as string), ':',
+                    coalesce(h_old, ''), ':', coalesce(h_new, ''))), 1, 15), 16, 10)
+                    as bigint)""").as("rh"))
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+            expr("bit_xor(rh)").as("digest"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("change_type"))
+      },
+      Some("""WITH old AS (
+                SELECT doc_id, md5(text) AS h_old FROM documents
+                WHERE doc_id % 11 != 3),
+              nw AS (
+                SELECT doc_id,
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                      ELSE text END) AS h_new
+                FROM documents WHERE doc_id % 13 != 5),
+              d AS (
+                SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id, h_old, h_new
+                FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id),
+              c AS (
+                SELECT doc_id,
+                  CASE WHEN h_old IS NULL THEN 'added'
+                       WHEN h_new IS NULL THEN 'removed'
+                       WHEN h_old <> h_new THEN 'changed'
+                       ELSE 'unchanged' END AS change_type,
+                  ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                    coalesce(h_old, '') || ':' || coalesce(h_new, '')), 1, 15))::BIGINT AS rh
+                FROM d)
+              SELECT change_type, count(*)::BIGINT AS n,
+                sum(doc_id)::BIGINT AS sum_id, bit_xor(rh) AS digest,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+              FROM c GROUP BY change_type ORDER BY change_type"""),
+    ),
+
+    // Count-Min sketch — the third mergeable sketch family (q45/q93
+    // HLL count DISTINCT cardinality, q91 Misra-Gries finds WHICH
+    // keys are heavy; CMS answers point FREQUENCY queries for any key
+    // in O(d) from O(d·w) state). Four md5-derived hash rows × 256
+    // counters over the corpus token stream; every cell is an exact
+    // integer and the whole 1024-cell sketch is a plain (row, bucket)
+    // aggregate — partition-local sketches merge by cell-wise sum,
+    // the textbook distributed shape. Every vocabulary term is then
+    // probed: est = min over rows of its cell, true count from the
+    // exact aggregate. The one-sided CMS guarantee est ≥ true is HARD
+    // (hash collisions only ever add) — literal 1 on the oracle side,
+    // any under-count turns the row red; the ε-bound column
+    // (est ≤ true + ceil(eN/w)) is probabilistic, so it rides
+    // hash-matched (both engines compute identical sketches), not as
+    // a literal. At 31 terms × 256 buckets collisions are rare and
+    // most estimates are exact; the guarantee columns are what the
+    // oracle enforces.
+    QueryDef(
+      "q128_countmin_sketch",
+      (s, dir) => {
+        val W = 256
+        val occ = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+        // (posexplode keeps the hash row implicit: pos = row index r.)
+        val cells = occ.select(posexplode(array((0 until 4).map(r =>
+          expr(s"cast(conv(substring(md5(concat('$r', ':', term)), 1, 6), 16, 10) as bigint) % $W")): _*))
+          .as(Seq("r", "bucket")))
+          .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        val truth = occ.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+        val total = occ.agg(count(lit(1)).as("n_total"))
+        val probes = truth.select(col("term"), col("true_cnt"),
+          posexplode(array((0 until 4).map(r =>
+            expr(s"cast(conv(substring(md5(concat('$r', ':', term)), 1, 6), 16, 10) as bigint) % $W")): _*))
+            .as(Seq("r", "bucket")))
+        probes.join(broadcast(cells), Seq("r", "bucket"))
+          .groupBy(col("term"), col("true_cnt"))
+          .agg(min(col("cnt")).as("est_cnt"))
+          .crossJoin(broadcast(total))
+          .select(col("term"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("true_cnt")).cast("int").as("over_ok"),
+            (col("est_cnt") <= col("true_cnt")
+              + ceil(lit(math.E) * col("n_total") / lit(W.toDouble)).cast("long"))
+              .cast("int").as("within_eps"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH occ AS (
+                SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+              cells AS (
+                SELECT r, bucket, count(*) AS cnt FROM (
+                  SELECT r,
+                    ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 6))::BIGINT % 256 AS bucket
+                  FROM occ, generate_series(0, 3) AS g(r))
+                GROUP BY r, bucket),
+              truth AS (
+                SELECT term, count(*) AS true_cnt FROM occ GROUP BY term),
+              total AS (SELECT count(*) AS n_total FROM occ),
+              probes AS (
+                SELECT term, true_cnt, r,
+                  ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 6))::BIGINT % 256 AS bucket
+                FROM truth, generate_series(0, 3) AS g(r)),
+              est AS (
+                SELECT term, true_cnt, min(cnt) AS est_cnt
+                FROM probes JOIN cells USING (r, bucket)
+                GROUP BY term, true_cnt)
+              SELECT term, true_cnt::BIGINT AS true_cnt, est_cnt::BIGINT AS est_cnt,
+                1 AS over_ok,
+                (est_cnt <= true_cnt + ceil(2.718281828459045 * n_total / 256))::INT AS within_eps
+              FROM est, total ORDER BY term"""),
+    ),
   )
 }

@@ -36,10 +36,14 @@ class PlanHygieneSpec extends SparkSuite {
     //    shingle) and the candidate→token-set verification joins —
     //    every side scales with the corpus, so these are the
     //    legitimately-shuffled exact-similarity-join exchanges.
+    //  - q127: the snapshot-diff full-outer join — two corpus-scale
+    //    snapshots keyed on the primary key; the shuffle disappears
+    //    only when snapshots are stored bucketed by key
+    //    (storage-partitioned join), never via broadcast.
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
-      "q86_semantic_dedup", "q122_exact_jaccard_join"),
+      "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
-      "q86_semantic_dedup", "q122_exact_jaccard_join"))
+      "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",

@@ -391,6 +391,23 @@ class PlanSpec extends SparkSuite {
       s"expected <=3 aggregate exchanges:\n$plan")
   }
 
+  test("q127 snapshot diff: key-partitioned full-outer join + 4-group aggregate") {
+    val plan = finalPlan(SparkEntry.queries("q127_snapshot_diff")(spark, sfDir))
+    assert(plan.contains("FullOuter"), s"classification must be a full-outer join:\n$plan")
+    // Corpus-vs-corpus on the key: a shuffle join is the CORRECT
+    // shape (broadcast would be the 100 TB bug); hygiene allowlists it.
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"snapshot join must partition by key, not broadcast:\n$plan")
+    assert(plan.contains("HashAggregate"), s"digest fold must hash-aggregate:\n$plan")
+  }
+
+  test("q128 count-min: 1024-cell sketch broadcasts to the probe join; truth never shuffles twice") {
+    val plan = finalPlan(SparkEntry.queries("q128_countmin_sketch")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"sketch side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"bounded sketch must never shuffle-join:\n$plan")
+  }
+
   test("q126 maxscore: pruned scan -> narrow score -> TakeOrdered; no join, no corpus exchange") {
     val plan = finalPlan(SparkEntry.queries("q126_maxscore_topk")(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$plan")
