@@ -1040,5 +1040,101 @@ object Vectors {
                ORDER BY rrf DESC, id LIMIT 20"""
       },
     ),
+
+    // Johnson–Lindenstrauss random projection — the embedding
+    // COMPRESSION axis the quantization family doesn't cover: q71/q72
+    // shrink bits per dimension (64-dim stays 64-dim at int8), this
+    // shrinks DIMENSIONS (64 → 16 via a Rademacher ±1 projection,
+    // 4× fewer multiplies for every downstream distance) with the JL
+    // distance-preservation guarantee as the measured verdict.
+    // Signs are md5-derived per (output dim, input dim) — the q118
+    // lesson baked in: independent pseudo-random rows, computable
+    // bit-identically as Scala plan literals and in DuckDB SQL.
+    //
+    // Determinism: the per-pair distortion ratio is ONE libm sqrt of
+    // an IEEE quotient whose operands are fixed-order sums (the
+    // normSq/dot house pattern) — sqrt is correctly rounded, so the
+    // ratio is bit-identical cross-engine and the e4-scaled integer
+    // copy makes every aggregate exact (sums of longs, integer band
+    // comparisons). mean/frac columns derive from those integers.
+    // Verdicts (hard on the oracle side): mean ratio within
+    // [0.85, 1.15] and ≥ 60% of pairs within ±30% — k=16 puts the
+    // distortion sd near 0.18, so ~90% of pairs sit inside the band;
+    // a sign-table bug (correlated rows, wrong indexing) collapses
+    // both.
+    //
+    // Scale shape: pairs form by locality (vec_id div 2) in ONE
+    // key-partitioned aggregate — no self-join; the projection is a
+    // narrow map with the 16×64 sign table as plan literals (the
+    // hyperplane-LSH shape), so the whole audit is scan → aggregate →
+    // narrow map → 1-row rollup at any corpus size.
+    QueryDef(
+      "q129_jl_projection",
+      (s, dir) => {
+        val K = 16
+        def signLit(j: Int): String = (0 until 64).map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"jl|$j|$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          if (Integer.parseInt(hex.substring(0, 1), 16) < 8) "1D" else "-1D"
+        }.mkString("array(", ", ", ")")
+        val pairs = Tables.embeddings(s, dir)
+          .select((col("vec_id") / 2).cast("long").as("g"), col("vec_id"), col("embedding"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("cnt"),
+            expr("min_by(embedding, vec_id)").as("a"),
+            expr("max_by(embedding, vec_id)").as("b"))
+          .filter(col("cnt") === 2)
+          .withColumn("d", expr("zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"))
+          .withColumn("d_orig2", expr("aggregate(d, 0D, (acc, x) -> acc + x * x)"))
+          .filter(col("d_orig2") > 0)
+          .withColumn("proj", expr(
+            (0 until K).map(j =>
+              s"aggregate(sequence(0, 63), 0D, (acc, i) -> acc + element_at(d, i + 1) * element_at(${signLit(j)}, i + 1))")
+              .mkString("array(", ", ", ")")))
+          .withColumn("d_proj2", expr("aggregate(proj, 0D, (acc, p) -> acc + p * p)"))
+          .withColumn("ratio_e4",
+            floor(sqrt(col("d_proj2") / (lit(K.toDouble) * col("d_orig2"))) * 1e4 + 0.5)
+              .cast("long"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ratio_e4").between(7000L, 13000L), 1L).otherwise(0L)).as("n_within"),
+          sum(col("ratio_e4")).as("sum_e4"))
+          .select(col("n_pairs"), col("n_within"),
+            Num.fround(col("sum_e4").cast("double") / col("n_pairs").cast("double") / 1e4, 4)
+              .as("mean_ratio"),
+            Num.fround(col("n_within").cast("double") / col("n_pairs").cast("double"), 4)
+              .as("within_frac"),
+            (col("sum_e4") >= col("n_pairs") * 8500L &&
+              col("sum_e4") <= col("n_pairs") * 11500L).cast("int").as("mean_ok"),
+            (col("n_within") * 10L >= col("n_pairs") * 6L).cast("int").as("within_ok"))
+      },
+      Some(s"""WITH pr AS (
+                 SELECT vec_id // 2 AS g, count(*) AS cnt,
+                   min_by(embedding, vec_id) AS a,
+                   max_by(embedding, vec_id) AS b
+                 FROM embeddings GROUP BY vec_id // 2),
+               d AS (
+                 SELECT g,
+                   [a[i]::DOUBLE - b[i]::DOUBLE for i in generate_series(1, len(a))] AS d
+                 FROM pr WHERE cnt = 2),
+               m AS (
+                 SELECT g, d, list_sum([x * x for x in d]) AS d_orig2,
+                   [list_sum([d[i] * (CASE WHEN ('0x' || substr(md5('jl|' || j || '|' || (i - 1)), 1, 1))::INT < 8
+                                      THEN 1 ELSE -1 END)
+                              for i in generate_series(1, len(d))])
+                    for j in generate_series(0, 15)] AS proj
+                 FROM d WHERE list_sum([x * x for x in d]) > 0),
+               r AS (
+                 SELECT g,
+                   floor(sqrt(list_sum([p * p for p in proj]) / (16.0 * d_orig2)) * 10000 + 0.5)::BIGINT AS ratio_e4
+                 FROM m)
+               SELECT count(*)::BIGINT AS n_pairs,
+                 sum(CASE WHEN ratio_e4 BETWEEN 7000 AND 13000 THEN 1 ELSE 0 END)::BIGINT AS n_within,
+                 ${Num.froundSql("sum(ratio_e4)::DOUBLE / count(*)::DOUBLE / 10000", 4)} AS mean_ratio,
+                 ${Num.froundSql("sum(CASE WHEN ratio_e4 BETWEEN 7000 AND 13000 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE", 4)} AS within_frac,
+                 1 AS mean_ok,
+                 1 AS within_ok
+               FROM r"""),
+    ),
   )
 }

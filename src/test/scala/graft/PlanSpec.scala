@@ -391,6 +391,13 @@ class PlanSpec extends SparkSuite {
       s"expected <=3 aggregate exchanges:\n$plan")
   }
 
+  test("q129 JL projection: pair aggregate + literal sign table, no self-join of the corpus") {
+    val plan = finalPlan(SparkEntry.queries("q129_jl_projection")(spark, sfDir))
+    assert(!plan.contains("Join"), s"pairs form by key-partitioned aggregate, not a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"one pair-grouping exchange expected:\n$plan")
+  }
+
   test("q127 snapshot diff: key-partitioned full-outer join + 4-group aggregate") {
     val plan = finalPlan(SparkEntry.queries("q127_snapshot_diff")(spark, sfDir))
     assert(plan.contains("FullOuter"), s"classification must be a full-outer join:\n$plan")
