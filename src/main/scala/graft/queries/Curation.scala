@@ -994,5 +994,63 @@ object Curation {
                GROUP BY doc_id, source
                ORDER BY score DESC, doc_id LIMIT 50"""),
     ),
+
+    // Distributed BPE tokenizer training (Sennrich et al.) — the
+    // tokenizer-construction step every LLM data pipeline runs before
+    // token counting/packing (q29/q66/q81 all ASSUME a tokenizer;
+    // this trains one). Classic algorithm: collapse the corpus to the
+    // word-TYPE table (word, count) — the corpus-scale reduction: all
+    // further passes touch vocabulary types, not corpus tokens — then
+    // iteratively (a) count adjacent symbol pairs weighted by word
+    // count, (b) take the most frequent pair (count desc, then
+    // lexicographic — total order), (c) merge it everywhere, 8 rounds.
+    // The driver sees ONE row per round (the argmax) — bounded state,
+    // the ConnectedComponents loop discipline — and each merge is a
+    // narrow map over the persisted type table.
+    //
+    // The merge step must be canonical GREEDY LEFT-TO-RIGHT
+    // non-overlapping (fold semantics) in both engines. Encoding
+    // symbol sequences with DOUBLE-space separators makes plain
+    // `replace(s, ' l  r ', ' lr ')` exactly that fold: each match
+    // consumes only the inner halves of its two separators, so
+    // adjacent candidate matches never share characters and the
+    // scan-after-match rule = the fold's consume-the-symbol rule.
+    // (With single spaces, runs like 'a a a a' drop every second
+    // merge — the shared-space bug; the spec pins these fixtures.)
+    // All counts are exact integers; ties break lexicographically on
+    // pure-ASCII symbols — identical in both engines.
+    QueryDef(
+      "q130_bpe_merges",
+      (s, dir) => graft.operators.Bpe.merges(s, Tables.documents(s, dir), rounds = 8),
+      Some {
+        // Every round's CTEs are MATERIALIZED: DuckDB inlines plain
+        // CTEs, and an 8-deep chain where each level references its
+        // predecessor ~5 times would otherwise expand to ~5^8 scans.
+        val rounds = (1 to 8).map { k =>
+          s"""p$k AS MATERIALIZED (
+                SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS pc FROM (
+                  SELECT cnt, unnest([{'l': toks[i], 'r': toks[i + 1]}
+                    for i in generate_series(1, len(toks) - 1)]) AS p
+                  FROM (SELECT cnt, string_split(trim(s), '  ') AS toks FROM wt${k - 1}))
+                GROUP BY p.l, p.r),
+              m$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+              wt$k AS MATERIALIZED (
+                SELECT w, cnt,
+                  replace(s, ' ' || (SELECT l FROM m$k) || '  ' || (SELECT r FROM m$k) || ' ',
+                    ' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' ') AS s
+                FROM wt${k - 1})"""
+        }.mkString(",\n              ")
+        val union = (1 to 8).map(k => s"SELECT $k AS rank, l AS \"left\", r AS \"right\", pc AS pair_count FROM m$k")
+          .mkString("\n              UNION ALL ")
+        s"""WITH wt0 AS MATERIALIZED (
+                SELECT w, count(*)::BIGINT AS cnt,
+                  '  ' || array_to_string([w[i] for i in generate_series(1, len(w))], '  ') || '  ' AS s
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w),
+              $rounds
+              $union
+              ORDER BY rank"""
+      },
+    ),
   )
 }
