@@ -95,6 +95,37 @@ object Curation {
   private val strataBucketSql =
     "('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10"
 
+  private val BpeRounds = 8
+
+  /** DuckDB mirror of [[graft.operators.Bpe]]: wt0 (word types with
+    * double-space-encoded symbols) and per-round (p_k pair counts,
+    * m_k argmax, wt_k merged) CTEs up to [[BpeRounds]]. Every CTE is
+    * MATERIALIZED: DuckDB inlines plain CTEs, and an 8-deep chain
+    * where each level references its predecessor ~5 times would
+    * otherwise expand to ~5^8 scans. */
+  private lazy val bpeSqlCtes: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+            SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS pc FROM (
+              SELECT cnt, unnest([{'l': toks[i], 'r': toks[i + 1]}
+                for i in generate_series(1, len(toks) - 1)]) AS p
+              FROM (SELECT cnt, string_split(trim(s), '  ') AS toks FROM wt${k - 1}))
+            GROUP BY p.l, p.r),
+          m$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+          wt$k AS MATERIALIZED (
+            SELECT w, cnt,
+              replace(s, ' ' || (SELECT l FROM m$k) || '  ' || (SELECT r FROM m$k) || ' ',
+                ' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' ') AS s
+            FROM wt${k - 1})"""
+    }.mkString(",\n          ")
+    s"""wt0 AS MATERIALIZED (
+            SELECT w, count(*)::BIGINT AS cnt,
+              '  ' || array_to_string([w[i] for i in generate_series(1, len(w))], '  ') || '  ' AS s
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w),
+          $rounds"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Cross-document duplicated-chunk removal — the C4/RefinedWeb
@@ -1022,35 +1053,44 @@ object Curation {
     QueryDef(
       "q130_bpe_merges",
       (s, dir) => graft.operators.Bpe.merges(s, Tables.documents(s, dir), rounds = 8),
-      Some {
-        // Every round's CTEs are MATERIALIZED: DuckDB inlines plain
-        // CTEs, and an 8-deep chain where each level references its
-        // predecessor ~5 times would otherwise expand to ~5^8 scans.
-        val rounds = (1 to 8).map { k =>
-          s"""p$k AS MATERIALIZED (
-                SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS pc FROM (
-                  SELECT cnt, unnest([{'l': toks[i], 'r': toks[i + 1]}
-                    for i in generate_series(1, len(toks) - 1)]) AS p
-                  FROM (SELECT cnt, string_split(trim(s), '  ') AS toks FROM wt${k - 1}))
-                GROUP BY p.l, p.r),
-              m$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
-              wt$k AS MATERIALIZED (
-                SELECT w, cnt,
-                  replace(s, ' ' || (SELECT l FROM m$k) || '  ' || (SELECT r FROM m$k) || ' ',
-                    ' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' ') AS s
-                FROM wt${k - 1})"""
-        }.mkString(",\n              ")
-        val union = (1 to 8).map(k => s"SELECT $k AS rank, l AS \"left\", r AS \"right\", pc AS pair_count FROM m$k")
-          .mkString("\n              UNION ALL ")
-        s"""WITH wt0 AS MATERIALIZED (
-                SELECT w, count(*)::BIGINT AS cnt,
-                  '  ' || array_to_string([w[i] for i in generate_series(1, len(w))], '  ') || '  ' AS s
-                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-                GROUP BY w),
-              $rounds
-              $union
-              ORDER BY rank"""
+      Some(s"""WITH $bpeSqlCtes
+              ${(1 to BpeRounds).map(k =>
+        s"SELECT $k AS rank, l AS \"left\", r AS \"right\", pc AS pair_count FROM m$k")
+        .mkString("\n              UNION ALL ")}
+              ORDER BY rank"""),
+    ),
+
+    // BPE vocabulary / corpus segmentation — the ENCODE side of q130:
+    // the 8 learned merges applied back over the whole word-type
+    // table (8 chained narrow replaces — at corpus scale this is the
+    // tokenizer pass over every shard), then the resulting subword
+    // vocabulary with corpus-weighted frequencies. Train + apply in
+    // one lineage: the merge table q130 emits is exactly what this
+    // query folds in, so a drift between the two (wrong rank order,
+    // re-derived merges) breaks the differential. All counts exact
+    // integers; the vocabulary is bounded by |chars| + rounds.
+    QueryDef(
+      "q131_bpe_vocab",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.operators.Bpe.train(docs, rounds = 8)
+        val encoded = merges.foldLeft(graft.operators.Bpe.typeTable(docs)) {
+          (df, m) =>
+            df.withColumn("s",
+              expr(s"replace(s, ' ${m.left}  ${m.right} ', ' ${m.left}${m.right} ')"))
+        }
+        encoded
+          .select(col("cnt"), explode(split(trim(col("s")), "  ")).as("sym"))
+          .groupBy(col("sym"))
+          .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
+          .orderBy(col("n_tokens").desc, col("sym"))
       },
+      Some(s"""WITH $bpeSqlCtes
+              SELECT sym, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+              FROM (SELECT cnt, unnest(string_split(trim(s), '  ')) AS sym
+                    FROM wt$BpeRounds)
+              GROUP BY sym ORDER BY n_tokens DESC, sym"""),
     ),
   )
+
 }
