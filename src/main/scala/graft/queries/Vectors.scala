@@ -1136,5 +1136,65 @@ object Vectors {
                  1 AS within_ok
                FROM r"""),
     ),
+
+    // PCA from exact integer moments — the LEARNED dimensionality-
+    // reduction axis (q129's JL projection is data-independent; this
+    // finds the corpus's own dominant direction). One pass computes
+    // per-dim sums and the d(d+1)/2 upper-triangle cross-products on
+    // e3-quantized integers (operators/Pca; the q123 moments stance:
+    // exact integers, map-side partials, d²-bounded traffic), the
+    // driver solves the d×d eigenproblem by 50 power-iteration rounds
+    // (bounded state: 2080 moment rows + a 64-vector), and the output
+    // row carries md5 digests of BOTH moment tables in key order —
+    // the distributed computation hash-matches cross-engine — plus
+    // self-certifying eigen verdicts (oracle literal 1s): the
+    // power-iteration residual ‖Cv−λv‖/λ ≤ 1e-6 (a wrong eigenpair
+    // fails its own residual) and λ ≥ trace/d (λmax can never
+    // undercut the eigenvalue mean; catches sign/NaN collapses).
+    QueryDef(
+      "q132_pca_moments",
+      (s, dir) => {
+        import graft.operators.Pca
+        val e = Pca.quantize(Tables.embeddings(s, dir)).persist()
+        val n = e.count()
+        val sums = Pca.dimSums(e).persist()
+        val prods = Pca.crossProducts(e).persist()
+        val sArr = sums.collect().sortBy(_.getInt(0))
+          .map(r => BigDecimal(r.getDecimal(1)))
+        val pMap = prods.collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> BigDecimal(r.getDecimal(2))).toMap
+        val cov = Pca.covFromMoments(n, sArr, pMap)
+        val (lambda, _, resid) = Pca.powerIterate(cov)
+        val trace = (0 until cov.length).map(i => cov(i)(i)).sum
+        val sumDig = Pca.orderedDigest(sums, Seq("i"), "s")
+        val prodDig = Pca.orderedDigest(prods, Seq("i", "j"), "p")
+          .withColumnRenamed("digest", "prod_digest")
+        e.unpersist()
+        sumDig.withColumnRenamed("digest", "sum_digest")
+          .crossJoin(prodDig)
+          .select(lit(n).as("n"), col("sum_digest"), col("prod_digest"),
+            lit(if (resid <= 1e-6) 1 else 0).as("resid_ok"),
+            lit(if (lambda >= trace / cov.length.toDouble && lambda > 0) 1 else 0)
+              .as("eig_ok"))
+      },
+      Some("""WITH e AS (
+                SELECT [floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT
+                        for i in generate_series(1, 64)] AS e
+                FROM embeddings),
+              s AS (
+                SELECT i, sum(e[i]) AS s
+                FROM e, generate_series(1, 64) AS g(i) GROUP BY i),
+              p AS (
+                SELECT i, j, sum(e[i] * e[j]) AS p
+                FROM e, generate_series(1, 64) AS g1(i), generate_series(1, 64) AS g2(j)
+                WHERE j >= i GROUP BY i, j),
+              nn AS (SELECT count(*)::BIGINT AS n FROM e)
+              SELECT n,
+                (SELECT md5(string_agg(s::VARCHAR, ',' ORDER BY i)) FROM s) AS sum_digest,
+                (SELECT md5(string_agg(p::VARCHAR, ',' ORDER BY i, j)) FROM p) AS prod_digest,
+                1 AS resid_ok,
+                1 AS eig_ok
+              FROM nn"""),
+    ),
   )
 }
