@@ -67,7 +67,19 @@ object Explain {
     // (per-doc windows, prefix-only candidate exchange).
     "q119_dsir_importance", "q120_hybrid_rrf", "q121_zorder_layout",
     "q122_exact_jaccard_join", "q123_grouped_regression",
-    "q124_minhash_recall")
+    "q124_minhash_recall",
+    // round-7 continuation: blocked inverted index (bounded
+    // collect_list per (term, block), Merkle digest rollup),
+    // MaxScore-pruned BM25 (pruning filter + narrow score +
+    // TakeOrdered, stats as plan literals), snapshot-diff CDC
+    // (key-partitioned full-outer + commutative bit_xor fold),
+    // Count-Min probe join (1024-cell broadcast), JL projection
+    // (pair aggregate + literal sign table), BPE vocabulary (8
+    // chained replaces over the type table), PCA moments (d²-bounded
+    // cross-product aggregate).
+    "q125_inverted_index", "q126_maxscore_topk", "q127_snapshot_diff",
+    "q128_countmin_sketch", "q129_jl_projection", "q131_bpe_vocab",
+    "q132_pca_moments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -80,6 +80,20 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
+  /** Merge table trained ONCE per (input dir, rounds) per JVM and
+    * staged through parquet (the Staged house pattern): the trainer's
+    * 8 sequential argmax jobs are a one-time cost shared by q130
+    * (emits the table) and q131 (folds the merges into the encode
+    * pass — read back as a bounded `rounds`-row collect). */
+  def stagedMerges(spark: SparkSession, docs: => DataFrame, dir: String, rounds: Int): DataFrame =
+    Staged.parquet(spark, s"bpe_merges|$rounds|$dir")(merges(spark, docs, rounds))
+
+  /** The staged merge table as driver [[Merge]]s, rank order. */
+  def stagedMergeList(spark: SparkSession, docs: => DataFrame, dir: String, rounds: Int): Seq[Merge] =
+    stagedMerges(spark, docs, dir, rounds).collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
   /** Reference greedy fold (spec-side ground truth): canonical BPE
     * merge of one (l, r) pair over a symbol sequence, left to right,
     * non-overlapping. */

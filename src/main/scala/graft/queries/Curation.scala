@@ -1052,7 +1052,9 @@ object Curation {
     // pure-ASCII symbols — identical in both engines.
     QueryDef(
       "q130_bpe_merges",
-      (s, dir) => graft.operators.Bpe.merges(s, Tables.documents(s, dir), rounds = 8),
+      (s, dir) => graft.operators.Bpe
+        .stagedMerges(s, Tables.documents(s, dir), dir, rounds = 8)
+        .orderBy(col("rank")),
       Some(s"""WITH $bpeSqlCtes
               ${(1 to BpeRounds).map(k =>
         s"SELECT $k AS rank, l AS \"left\", r AS \"right\", pc AS pair_count FROM m$k")
@@ -1073,7 +1075,7 @@ object Curation {
       "q131_bpe_vocab",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = graft.operators.Bpe.train(docs, rounds = 8)
+        val merges = graft.operators.Bpe.stagedMergeList(s, docs, dir, rounds = 8)
         val encoded = merges.foldLeft(graft.operators.Bpe.typeTable(docs)) {
           (df, m) =>
             df.withColumn("s",

@@ -17,7 +17,7 @@ class PcaSpec extends SparkSuite {
     val e = Pca.quantize(emb)
     val sums = Pca.dimSums(e).collect().map(r => r.getInt(0) -> r.getDecimal(1).longValue()).toMap
     assert(sums == Map(0 -> 3L, 1 -> 11L), s"got $sums") // 1+3-1, 2+5+4
-    val prods = Pca.crossProducts(e).collect()
+    val prods = Pca.crossProducts(e, d = 2).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).longValue()).toMap
     // p00 = 1+9+1 = 11; p01 = 2+15-4 = 13; p11 = 4+25+16 = 45
     assert(prods == Map((0, 0) -> 11L, (0, 1) -> 13L, (1, 1) -> 45L), s"got $prods")
