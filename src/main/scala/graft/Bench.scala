@@ -76,8 +76,11 @@ object Bench {
     // builds (q122's pair graph ~13 s, q119's weight table ~8 s at
     // sf0.1), so pass 1 grew ~25 s while pass 2 (staged reads) grew
     // only ~4 s; 480 keeps a complete warm second pass inside the
-    // budget in the driver environment.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toInt
+    // budget in the driver environment. Second continuation: 480 →
+    // 540 for the eight q125–q132 additions (pass-1 cold cost ~25 s —
+    // BPE staged training, CMS/PCA codegen warmup — pass-2 warm cost
+    // ~7 s).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Optional subset (the Verify convention): extra args = bench only
     // these queries; unknown names fail loudly.

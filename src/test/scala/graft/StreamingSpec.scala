@@ -315,4 +315,34 @@ class StreamingSpec extends SparkSuite {
       assert(math.abs(e95 - x95) / x95 <= LogQuantile.Alpha * 1.001, s"$k p95: $e95 vs $x95")
     }
   }
+
+  test("count-min cells: 3-batch streamed state == batch sketch, cell for cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // q128's sketch build is a plain (r, bucket) count — the
+    // mergeability claim ("partition-local sketches merge by
+    // cell-wise sum") IS update-mode streamability; this pins it.
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(posexplode(array((0 until 4).map(r =>
+        expr(s"cast(conv(substring(md5(term), ${1 + 6 * r}, 6), 16, 10) as bigint) % 256")): _*))
+        .as(Seq("r", "bucket")))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .as[String].collect()
+    val (b1, rest) = toks.splitAt(toks.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[String]
+    val q = cells(stream.toDS().toDF("term"))
+      .writeStream.format("memory").queryName("cms_mem").outputMode("complete").start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = cellSet(spark.table("cms_mem"))
+    val batch = cellSet(cells(Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))))
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(5)}; batch-only: ${batch.diff(streamed).take(5)}")
+  }
 }
