@@ -79,7 +79,17 @@ object Explain {
     // cross-product aggregate).
     "q125_inverted_index", "q126_maxscore_topk", "q127_snapshot_diff",
     "q128_countmin_sketch", "q129_jl_projection", "q131_bpe_vocab",
-    "q132_pca_moments")
+    "q132_pca_moments",
+    // learned-curation wave: logistic-regression scoring (the final
+    // apply pass — narrow map with D literal weights; the GD steps
+    // run before planning, so the dumped plan is the serving shape),
+    // domain mixture reweighting (corpus → one bounded row per
+    // domain, broadcast scalars after), bigram LM (single corpus-side
+    // join keyed by (w1,w2), vocab ⋈ vocab enrichment), kNN graph
+    // (cluster-mate self-join on the staged hierarchical build,
+    // bounded per-vector window).
+    "q133_quality_classifier", "q134_domain_mixture", "q135_bigram_lm",
+    "q136_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -475,5 +475,59 @@ object Clustering {
                QUALIFY rank <= 3
                ORDER BY probe_id, rank"""),
     ),
+
+    // kNN-GRAPH construction: each vector's top-3 nearest neighbors
+    // WITHIN its fine cluster — the graph primitive under
+    // graph-based dedup variants (SemDeDup++ keeps one node per
+    // dense neighborhood) and kNN-classifier label spreading. The
+    // hierarchical build is what makes this sub-quadratic: candidate
+    // pairs are cluster-mates only, and fine cluster size is bounded
+    // ≈ TargetClusterSize BY CONSTRUCTION (hierBuild's derived kc),
+    // so per-vector candidate work is a constant independent of
+    // corpus size — the same boundedness that q86's pair scan rides.
+    //
+    // Rank order uses the UNROUNDED cosine (fixed-order fold → ulp-
+    // identical on both engines; vec_id breaks exact ties); the
+    // emitted sim is frounded. The top-3 trim is a per-vector window
+    // whose partition is bounded by the cluster-size contract (the
+    // q89 precedent).
+    QueryDef(
+      "q136_knn_graph",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = hierFinal(s, dir)
+          .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
+            Seq("vec_id"))
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+          .persist()
+        val a = m.select(col("fcid"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nsq").as("na"))
+        val b = m.select(col("fcid"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nsq").as("nb"))
+        val sims = a.join(b, Seq("fcid"))
+          .filter(col("va") =!= col("vb"))
+          .select(col("va"), col("vb"), col("fcid"),
+            (VectorFns.dotF("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+        val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("va").as("vec_id"), col("rank"), col("vb").as("neighbor"),
+            col("fcid").as("cluster_id"), Num.fround(col("sim"), 6).as("sim"))
+          .orderBy(col("vec_id"), col("rank"))
+      },
+      Some(s"""WITH $hierSqlCtes,
+               memf AS (SELECT fa2.vec_id, fa2.fcid, e.emb,
+                          ${VectorFns.normSqSql("e.emb")} AS nsq
+                        FROM fa2 JOIN e USING (vec_id)),
+               sims AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.fcid,
+                          ${VectorFns.dotSql("a.emb", "b.emb")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS sim
+                        FROM memf a JOIN memf b
+                          ON a.fcid = b.fcid AND a.vec_id <> b.vec_id)
+               SELECT va AS vec_id,
+                 row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)::BIGINT AS rank,
+                 vb AS neighbor, fcid AS cluster_id,
+                 ${Num.froundSql("sim", 6)} AS sim
+               FROM sims QUALIFY rank <= 3 ORDER BY vec_id, rank"""),
+    ),
   )
 }

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Num, TextFns}
+
+/** Learned curation operators: the training-data-pipeline steps that
+  * FIT something on the corpus (a quality classifier, a domain
+  * mixture, a smoothed LM) instead of applying a fixed heuristic.
+  * The reference has no learned surface at all (its scoring is
+  * row-at-a-time arithmetic, transformer_loader/main.py:75-110);
+  * these extend the curation family (SURVEY.md §7.2 step 5) the way
+  * production LLM pipelines do: train on an aggregate pass, apply as
+  * a narrow map.
+  *
+  * All three queries keep the house determinism contract (SURVEY.md
+  * §5.3): md5/IEEE-only math, every cross-engine-compared double
+  * routed through [[Num.fround]], fixed left-to-right association on
+  * every inner product, and total output orders.
+  */
+object Learning {
+
+  /** Sources treated as the "curated target" class for the classifier
+    * label — the stand-in for "docs from vetted domains" (the same
+    * role as q119's DSIR target allowlist). */
+  private val TargetSources = Seq("src0", "src1", "src2", "src3")
+
+  /** Gradient-descent hyperparameters: full-batch steps with a fixed
+    * learning rate. 3 steps is enough to move every weight off zero
+    * and exercise the iterate-collect-rebroadcast loop; production
+    * runs more steps of the SAME shape (driver state stays D+1
+    * doubles per step regardless of corpus size). */
+  private val Steps = 3
+  private val Eta = 2.0
+  private val D = 5
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Distributed logistic regression (fastText-style quality
+    // classifier): learn P(doc is from a curated source) from cheap
+    // text statistics, by full-batch gradient descent where each step
+    // is ONE distributed aggregate.
+    //
+    // Scale shape: the feature projection is a narrow map (no
+    // shuffle); each GD step reduces the corpus to D gradient sums
+    // (map-side partial aggregation — one D-double row per partition
+    // reaches the driver); the model state that rides in the plan is
+    // D literal doubles. Corpus size only changes the scan cost per
+    // step — the exact shape a 100 TB classifier-training pass needs
+    // (DoReMi/fastText quality filters train this way: few features,
+    // full-data gradient passes).
+    //
+    // Determinism: features are exact IEEE per row (dyadic /128, /1024
+    // scalings; ratio features are single correctly-rounded
+    // divisions); the margin is frounded to 6dp before the sigmoid so
+    // both engines exponentiate bit-identical inputs; weights are
+    // frounded to 6dp after every step (the q85 centroid-rounding
+    // contract). The only engine-order-dependent op is the gradient
+    // SUM (~1e-13 relative noise vs the 1e-6 rounding grid).
+    QueryDef(
+      "q133_quality_classifier",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val feat = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(col("source").isin(TargetSources.map(x => x: Any): _*), 1.0)
+              .otherwise(0.0).as("y"),
+            lit(1.0).as("x0"),
+            (size(toks) / lit(128.0)).as("x1"),
+            (size(array_distinct(toks)).cast("double") / nTok).as("x2"),
+            (size(filter(toks, t => t.isin(TextFns.STOPWORDS.map(x => x: Any): _*)))
+              .cast("double") / nTok).as("x3"),
+            (col("n_chars") / lit(1024.0)).as("x4"))
+          .persist()
+        def margin(w: IndexedSeq[Double]): Column =
+          Num.fround((0 until D).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _), 6)
+        def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+        var w: IndexedSeq[Double] = Vector.fill(D)(0.0)
+        for (_ <- 1 to Steps) {
+          val p = sigmoid(margin(w))
+          val g = feat.select((0 until D).map(j =>
+            avg((p - col("y")) * col(s"x$j")).as(s"g$j")): _*).first()
+          w = Vector.tabulate(D)(j =>
+            math.floor((w(j) - Eta * g.getDouble(j)) * 1e6 + 0.5) / 1e6)
+        }
+        val p = sigmoid(margin(w))
+        feat.select(col("doc_id"), col("y").cast("long").as("label"),
+            Num.fround(p, 4).as("score"), (p >= 0.5).as("pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val targetList = TargetSources.map(x => s"'$x'").mkString("(", ", ", ")")
+        val featSql =
+          s"""f AS (SELECT doc_id,
+                 CASE WHEN source IN $targetList THEN 1.0 ELSE 0.0 END AS y,
+                 (1.0::DOUBLE) AS x0,
+                 len(string_split(text, ' ')) / (128.0::DOUBLE) AS x1,
+                 len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))::DOUBLE AS x2,
+                 len(list_filter(string_split(text, ' '), t -> t IN ${TextFns.stopListSql})) / len(string_split(text, ' '))::DOUBLE AS x3,
+                 n_chars / (1024.0::DOUBLE) AS x4
+               FROM documents)"""
+        def zSql(wTbl: String) =
+          Num.froundSql((0 until D).map(j => s"$wTbl.w$j * x$j").mkString(" + "), 6)
+        def pSql(wTbl: String) = s"(1.0::DOUBLE) / ((1.0::DOUBLE) + exp(-(${zSql(wTbl)})))"
+        val w0 = s"w0 AS (SELECT ${(0 until D).map(j => s"(0.0::DOUBLE) AS w$j").mkString(", ")})"
+        val steps = (1 to Steps).map { t =>
+          val prev = s"w${t - 1}"
+          val g = s"""g$t AS (SELECT ${(0 until D).map(j =>
+            s"avg((${pSql("w")} - y) * x$j) AS g$j").mkString(", ")}
+                 FROM f, $prev w)"""
+          val upd = s"""w$t AS (SELECT ${(0 until D).map(j =>
+            Num.froundSql(s"w.w$j - $Eta * g.g$j", 6) + s" AS w$j").mkString(", ")}
+                 FROM $prev w, g$t g)"""
+          s"$g,\n               $upd"
+        }.mkString(",\n               ")
+        s"""WITH $featSql,
+               $w0,
+               $steps
+               SELECT doc_id, y::BIGINT AS label,
+                 ${Num.froundSql(pSql("w"), 4)} AS score,
+                 (${pSql("w")} >= 0.5) AS pred
+               FROM f, w$Steps w ORDER BY doc_id"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // DoReMi-style domain mixture reweighting (Xie et al., "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    // 2023): per-domain excess loss under a reference LM → exponential
+    // (softmax) reweighting → per-domain token budgets. Domains whose
+    // text the unigram LM finds HARDER (higher avg NLL than the
+    // corpus-wide token mean) get upweighted — the multiplicative-
+    // weights step of the published recipe with the proxy-model loss
+    // stood in by the q87 unigram LM.
+    //
+    // Scale shape: the corpus collapses to one bounded row per domain
+    // (count + avg NLL, map-side combined); everything after runs on
+    // the |domains|-row frame (broadcast scalars for the global mean
+    // and the softmax normalizer). Domain count is bounded by design
+    // (sources/languages), so no stage scales worse than the q87 scan.
+    QueryDef(
+      "q134_domain_mixture",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val tot = vocab.agg(sum(col("c")).cast("double").as("n"))
+        val nd = Tables.documents(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val perDom = toks.join(vocab, Seq("w"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            Num.fround(avg(-log(col("c").cast("double") / col("n"))), 6).as("avg_nll"))
+          .persist()
+        val g = perDom.agg(
+          (sum(col("n_tokens") * col("avg_nll")) / sum(col("n_tokens"))).as("gbar"))
+        val ex = perDom.crossJoin(broadcast(g))
+          .withColumn("ex", col("avg_nll") - col("gbar"))
+        val z = ex.agg(sum(exp(col("ex"))).as("zden"))
+        val alpha = Num.fround(exp(col("ex")) / col("zden"), 6)
+        ex.crossJoin(broadcast(z))
+          .join(broadcast(nd), Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("avg_nll"),
+            alpha.as("alpha"),
+            floor(alpha * 1e6 + 0.5).cast("long").as("token_budget"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val alphaSql = Num.froundSql("exp(ex) / zden", 6)
+        s"""WITH tok AS (
+                 SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+               vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+               tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
+               nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+               pd AS (SELECT source, count(*)::BIGINT AS n_tokens,
+                        ${Num.froundSql("avg(-ln(c::DOUBLE / n))", 6)} AS avg_nll
+                      FROM tok JOIN vocab USING (w), tot GROUP BY source),
+               g AS (SELECT sum(n_tokens * avg_nll) / sum(n_tokens) AS gbar FROM pd),
+               ex AS (SELECT pd.*, avg_nll - gbar AS ex FROM pd, g),
+               z AS (SELECT sum(exp(ex)) AS zden FROM ex)
+               SELECT ex.source, nd.n_docs, ex.n_tokens, ex.avg_nll,
+                 $alphaSql AS alpha,
+                 floor(($alphaSql) * 1000000 + 0.5)::BIGINT AS token_budget
+               FROM ex CROSS JOIN z JOIN nd ON nd.source = ex.source
+               ORDER BY ex.source"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Interpolated bigram LM scoring — the next model up from q87's
+    // unigram: per-doc average NLL under
+    //   p(w2 | w1) = 0.75 · c(w1,w2)/c(w1) + 0.25 · c(w2)/N
+    // (Jelinek-Mercer interpolation with the unigram back-off). The
+    // fluency/perplexity filter of classic curation stacks (CCNet
+    // buckets by LM perplexity; this is that score with a
+    // corpus-trained bigram model).
+    //
+    // Scale shape: bigram extraction is a NARROW map (1-indexed
+    // element_at over the token array — no self-join, no window);
+    // c(w1) and c(w2) attach to the bigram VOCAB (distinct bigrams —
+    // derived-size vocab ⋈ vocab joins), so the corpus-scale stream
+    // takes exactly ONE join, keyed by (w1,w2) — a far flatter key
+    // distribution than the raw unigram Zipf (q87's head/tail split
+    // is the recipe if a bigram head ever needs it).
+    QueryDef(
+      "q135_bigram_lm",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val bg = docs.select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(t) - 1), i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .persist()
+        val toks = Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("w"))
+        val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+        val tot = uni.agg(sum(col("c")).cast("double").as("n"))
+        val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val enriched = big
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"),
+            (lit(0.75) * (col("c12").cast("double") / col("c1"))
+              + lit(0.25) * (col("c2").cast("double") / col("n"))).as("p"))
+        bg.join(enriched, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            Num.fround(avg(-log(col("p"))), 4).as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+               bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                      FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+               tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+               uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+               tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+               big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+               enr AS (SELECT big.w1, big.w2,
+                         (0.75::DOUBLE) * (big.c12::DOUBLE / u1.c)
+                           + (0.25::DOUBLE) * (u2.c::DOUBLE / tot.n) AS p
+                       FROM big JOIN uni u1 ON u1.w = big.w1
+                                JOIN uni u2 ON u2.w = big.w2, tot)
+               SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                 ${Num.froundSql("avg(-ln(p))", 4)} AS avg_nll
+               FROM bg JOIN enr ON bg.w1 = enr.w1 AND bg.w2 = enr.w2
+               GROUP BY bg.doc_id ORDER BY doc_id"""),
+    ),
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic fixtures for the learned-curation family (q133-q136) —
+  * direction/shape laws the DuckDB differential can't catch because
+  * both engines run the same formulas.
+  */
+class LearningSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q133: three GD steps reduce the training log-loss below the w=0 baseline") {
+    val out = SparkEntry.queries("q133_quality_classifier")(spark, sfDir)
+      .select(col("label").cast("double").as("y"), col("score")).collect()
+    // w = 0 scores every doc 0.5 → loss = ln 2. The trained scores
+    // must beat that ON AVERAGE (full-batch GD on a convex loss with
+    // a small step strictly descends). Scores are 4dp-rounded; clamp
+    // away from 0/1 before the log (rounding can emit exact 0/1).
+    val eps = 1e-4
+    val losses = out.map { r =>
+      val y = r.getDouble(0)
+      val p = math.min(1 - eps, math.max(eps, r.getDouble(1)))
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }
+    val mean = losses.sum / losses.length
+    assert(mean < math.log(2.0), s"trained mean loss $mean not below ln2 baseline")
+  }
+
+  test("q133: pred column is exactly score >= 0.5 and labels match the source allowlist") {
+    val out = SparkEntry.queries("q133_quality_classifier")(spark, sfDir)
+    val bad = out.filter((col("score") >= 0.5) =!= col("pred")).count()
+    assert(bad == 0)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val joined = out.join(docs, Seq("doc_id"))
+      .filter(col("source").isin("src0", "src1", "src2", "src3") =!= (col("label") === 1))
+    assert(joined.count() == 0)
+  }
+
+  test("q134: alphas form a distribution and upweight above-average-NLL domains") {
+    val rows = SparkEntry.queries("q134_domain_mixture")(spark, sfDir).collect()
+    val aSum = rows.map(_.getAs[Double]("alpha")).sum
+    assert(math.abs(aSum - 1.0) < 1e-4, s"alpha sum $aSum")
+    // token-weighted mean NLL
+    val totTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val gbar = rows.map(r => r.getAs[Long]("n_tokens") * r.getAs[Double]("avg_nll")).sum / totTok
+    val uniform = 1.0 / rows.length
+    rows.foreach { r =>
+      val above = r.getAs[Double]("avg_nll") > gbar + 1e-9
+      val below = r.getAs[Double]("avg_nll") < gbar - 1e-9
+      val a = r.getAs[Double]("alpha")
+      if (above) assert(a > uniform - 1e-6, s"${r.getAs[String]("source")} above-avg but alpha $a < uniform")
+      if (below) assert(a < uniform + 1e-6, s"${r.getAs[String]("source")} below-avg but alpha $a > uniform")
+      assert(r.getAs[Long]("token_budget") == math.floor(a * 1e6 + 0.5).toLong)
+    }
+  }
+
+  test("q135: bigram counts reconcile with token counts and NLLs are positive") {
+    val out = SparkEntry.queries("q135_bigram_lm")(spark, sfDir)
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("exp_n"))
+      .filter(col("exp_n") >= 1)
+    val mismatched = out.join(expected, Seq("doc_id"))
+      .filter(col("n_bigrams") =!= col("exp_n")).count()
+    assert(mismatched == 0)
+    assert(out.filter(col("avg_nll") <= 0).count() == 0)
+    assert(out.count() == expected.count())
+  }
+
+  test("q135: a doc of repeated high-probability bigrams scores lower NLL than rare-bigram docs") {
+    // Ranking sanity on the real corpus: the doc whose bigrams are
+    // most frequent corpus-wide must not be the worst-scored doc.
+    val out = SparkEntry.queries("q135_bigram_lm")(spark, sfDir).collect()
+    val span = out.map(_.getAs[Double]("avg_nll"))
+    assert(span.max - span.min > 0.1, "bigram LM gives a flat score — no discrimination")
+  }
+
+  test("q136: neighbors are cluster-mates, ranks are consecutive, sims non-increasing") {
+    val out = SparkEntry.queries("q136_knn_graph")(spark, sfDir).collect()
+    val byVec = out.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq, s"vec $v ranks")
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b - 1e-9 }, s"vec $v sims not sorted")
+      assert(rows.map(_.getAs[Long]("neighbor")).distinct.length == rows.length, s"vec $v dup neighbor")
+      assert(rows.map(_.getAs[Long]("cluster_id")).distinct.length == 1, s"vec $v crosses clusters")
+    }
+  }
+
+  test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
+    // Independent re-derivation: for each vector, the rank-1 neighbor
+    // must be the true within-cluster max-cosine mate (ties by id).
+    val assignments = SparkEntry.queries("q85_kmeans_assign")(spark, sfDir)
+      .select(col("vec_id"), col("cluster_id"))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    val clusters = assignments.collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).sorted).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val top1 = SparkEntry.queries("q136_knn_graph")(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor")).toMap
+    clusters.values.filter(_.length >= 2).foreach { members =>
+      members.foreach { v =>
+        val best = members.filter(_ != v)
+          .map(u => (-cos(vecs(v), vecs(u)), u)).min._2
+        assert(top1(v) == best, s"vec $v: top1 ${top1(v)} != brute-force $best")
+      }
+    }
+  }
+}
