@@ -89,7 +89,11 @@ object Explain {
     // (cluster-mate self-join on the staged hierarchical build,
     // bounded per-vector window).
     "q133_quality_classifier", "q134_domain_mixture", "q135_bigram_lm",
-    "q136_knn_graph")
+    "q136_knn_graph",
+    // tokenizer fertility (type-level joins only after the one corpus
+    // collapse) and hard-negative mining (cluster-mate self-join,
+    // label-filtered).
+    "q137_tokenizer_fertility", "q138_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -94,6 +94,17 @@ object Bpe {
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_.rank).toSeq
 
+  /** ENCODE pass: the staged learned merges folded back over the
+    * word-type table (rank order — `rounds` chained narrow replaces).
+    * The tokenizer application every downstream consumer shares
+    * (q131 vocabulary, q137 fertility); at corpus scale this runs
+    * over every shard as a pure map. Columns (w, cnt, s). */
+  def encodedTypes(spark: SparkSession, docs: DataFrame, dir: String, rounds: Int): DataFrame =
+    stagedMergeList(spark, docs, dir, rounds).foldLeft(typeTable(docs)) { (df, m) =>
+      df.withColumn("s",
+        expr(s"replace(s, ' ${m.left}  ${m.right} ', ' ${m.left}${m.right} ')"))
+    }
+
   /** Reference greedy fold (spec-side ground truth): canonical BPE
     * merge of one (l, r) pair over a symbol sequence, left to right,
     * non-overlapping. */

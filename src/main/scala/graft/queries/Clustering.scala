@@ -529,5 +529,59 @@ object Clustering {
                  ${Num.froundSql("sim", 6)} AS sim
                FROM sims QUALIFY rank <= 3 ORDER BY vec_id, rank"""),
     ),
+
+    // HARD-NEGATIVE mining for contrastive embedding training: for
+    // each anchor vector, the top-2 most-similar cluster-mates with a
+    // DIFFERENT class label — the highest-value negatives (similar
+    // representation, different class) a contrastive/triplet trainer
+    // samples. Rides the same hierarchical cluster-size bound as
+    // q136's kNN graph (candidates = cluster-mates, constant per
+    // anchor at any corpus); the label filter only SHRINKS the
+    // candidate set. Rank on the unrounded fixed-fold cosine, ties by
+    // negative id; anchors whose cluster holds no other-label mate
+    // simply emit nothing (both engines derive that from the same
+    // join).
+    QueryDef(
+      "q138_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+        val m = hierFinal(s, dir)
+          .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
+            Seq("vec_id"))
+          .join(lab, Seq("vec_id"))
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"), col("label"))
+          .persist()
+        val a = m.select(col("fcid"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nsq").as("na"), col("label").as("la"))
+        val b = m.select(col("fcid"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nsq").as("nb"), col("label").as("lb"))
+        val sims = a.join(b, Seq("fcid"))
+          .filter(col("la") =!= col("lb"))
+          .select(col("va"), col("la"), col("vb"), col("lb"),
+            (VectorFns.dotF("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+        val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 2)
+          .select(col("va").as("anchor"), col("la").as("anchor_label"),
+            col("rank"), col("vb").as("negative"), col("lb").as("negative_label"),
+            Num.fround(col("sim"), 6).as("sim"))
+          .orderBy(col("anchor"), col("rank"))
+      },
+      Some(s"""WITH $hierSqlCtes,
+               meml AS (SELECT fa2.vec_id, fa2.fcid, e.emb,
+                          ${VectorFns.normSqSql("e.emb")} AS nsq, emb0.label
+                        FROM fa2 JOIN e USING (vec_id)
+                          JOIN embeddings emb0 ON emb0.vec_id = fa2.vec_id),
+               sims AS (SELECT a.vec_id AS anchor, a.label AS anchor_label,
+                          b.vec_id AS negative, b.label AS negative_label,
+                          ${VectorFns.dotSql("a.emb", "b.emb")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS sim
+                        FROM meml a JOIN meml b
+                          ON a.fcid = b.fcid AND a.label <> b.label)
+               SELECT anchor, anchor_label,
+                 row_number() OVER (PARTITION BY anchor ORDER BY sim DESC, negative)::BIGINT AS rank,
+                 negative, negative_label, ${Num.froundSql("sim", 6)} AS sim
+               FROM sims QUALIFY rank <= 2 ORDER BY anchor, rank"""),
+    ),
   )
 }

@@ -1075,13 +1075,7 @@ object Curation {
       "q131_bpe_vocab",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = graft.operators.Bpe.stagedMergeList(s, docs, dir, rounds = 8)
-        val encoded = merges.foldLeft(graft.operators.Bpe.typeTable(docs)) {
-          (df, m) =>
-            df.withColumn("s",
-              expr(s"replace(s, ' ${m.left}  ${m.right} ', ' ${m.left}${m.right} ')"))
-        }
-        encoded
+        graft.operators.Bpe.encodedTypes(s, docs, dir, rounds = 8)
           .select(col("cnt"), explode(split(trim(col("s")), "  ")).as("sym"))
           .groupBy(col("sym"))
           .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
@@ -1092,6 +1086,50 @@ object Curation {
               FROM (SELECT cnt, unnest(string_split(trim(s), '  ')) AS sym
                     FROM wt$BpeRounds)
               GROUP BY sym ORDER BY n_tokens DESC, sym"""),
+    ),
+
+    // Tokenizer FERTILITY audit — subwords emitted per word, by
+    // language, under the q130-trained BPE: the standard multilingual
+    // tokenizer-quality metric (a tokenizer trained on skewed data
+    // over-fragments under-represented languages; fertility is the
+    // number compression/cost planning reads). Same staged merge
+    // lineage as q130/q131.
+    //
+    // Scale shape: the corpus collapses ONCE to (lang, word, count)
+    // — all joins after that are TYPE-level: (lang × vocab) ⋈
+    // encoded-vocab on the word, never the corpus token stream (the
+    // Bpe word-type reduction applied to the audit too). Per-lang
+    // output is bounded by |languages|.
+    QueryDef(
+      "q137_tokenizer_fertility",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val enc = graft.operators.Bpe.encodedTypes(s, docs, dir, rounds = 8)
+          .select(col("w"), size(split(trim(col("s")), "  ")).cast("long").as("nsub"))
+        val lwc = docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+        lwc.join(enc, Seq("w"))
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).as("n_words"),
+            sum(col("c") * col("nsub")).as("n_subwords"))
+          .select(col("lang"), col("n_words"), col("n_subwords"),
+            Num.fround(col("n_subwords").cast("double") / col("n_words"), 4)
+              .as("fertility"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $bpeSqlCtes,
+              enc AS (SELECT w, len(string_split(trim(s), '  '))::BIGINT AS nsub
+                      FROM wt$BpeRounds),
+              lwc AS (SELECT lang, w, count(*)::BIGINT AS c FROM (
+                        SELECT lang, unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                      GROUP BY lang, w),
+              agg AS (SELECT lang, sum(c)::BIGINT AS n_words,
+                        sum(c * nsub)::BIGINT AS n_subwords
+                      FROM lwc JOIN enc USING (w) GROUP BY lang)
+              SELECT lang, n_words, n_subwords,
+                ${Num.froundSql("n_subwords::DOUBLE / n_words", 4)} AS fertility
+              FROM agg ORDER BY lang"""),
     ),
   )
 

@@ -89,6 +89,55 @@ class LearningSpec extends SparkSuite {
     }
   }
 
+  test("q137: fertility >= 1 everywhere and per-lang word counts cover the corpus") {
+    val rows = SparkEntry.queries("q137_tokenizer_fertility")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0, s"${r.getAs[String]("lang")} fertility < 1")
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"))
+    }
+    val totalWords = rows.map(_.getAs[Long]("n_words")).sum
+    val corpusToks = Tables.documents(spark, sfDir)
+      .select(sum(size(split(col("text"), " ")))).first().getLong(0)
+    assert(totalWords == corpusToks, s"per-lang words $totalWords != corpus tokens $corpusToks")
+  }
+
+  test("q137: 8 merges strictly reduce fertility vs the unmerged character tokenizer") {
+    // Character-level fertility = avg word length; BPE merges can only
+    // shrink subword counts, and with 8 learned merges must do so
+    // strictly somewhere.
+    val rows = SparkEntry.queries("q137_tokenizer_fertility")(spark, sfDir).collect()
+    val charFert = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"))
+      .agg((sum(length(col("w"))).cast("double") / count(lit(1))).as("cf"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("cf")).toMap
+    var strict = false
+    rows.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      val cf = charFert(r.getAs[String]("lang"))
+      assert(f <= cf + 1e-9, s"${r.getAs[String]("lang")}: BPE fertility $f above char fertility $cf")
+      if (f < cf - 1e-9) strict = true
+    }
+    assert(strict, "8 merges changed no language's fertility at all")
+  }
+
+  test("q138: negatives differ in label, share the anchor's cluster, ranks consecutive") {
+    val out = SparkEntry.queries("q138_hard_negatives")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("anchor_label") != r.getAs[Int]("negative_label"))
+    }
+    val cluster = SparkEntry.queries("q85_kmeans_assign")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    out.foreach { r =>
+      assert(cluster(r.getAs[Long]("anchor")) == cluster(r.getAs[Long]("negative")),
+        s"anchor ${r.getAs[Long]("anchor")} negative in another cluster")
+    }
+    out.groupBy(_.getAs[Long]("anchor")).foreach { case (a, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length).toSeq, s"anchor $a ranks")
+    }
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).
