@@ -93,7 +93,10 @@ object Explain {
     // tokenizer fertility (type-level joins only after the one corpus
     // collapse) and hard-negative mining (cluster-mate self-join,
     // label-filtered).
-    "q137_tokenizer_fertility", "q138_hard_negatives")
+    "q137_tokenizer_fertility", "q138_hard_negatives",
+    // perplexity buckets (staged score read + quantilesDisc broadcast
+    // thresholds) and label propagation (fixed-round edge ⋈ labels).
+    "q139_perplexity_buckets", "q140_label_propagation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -291,6 +291,51 @@ object Clustering {
                  FROM d2) WHERE rn = 1)"""
   }
 
+  /** Within-cluster kNN graph (top-3 cluster-mate neighbors per
+    * vector), the shared core of q136 (the graph listing) and q140
+    * (label propagation over it). Columns (va, rank, vb, fcid, sim) —
+    * sim UNROUNDED (rank order is taken on the ulp-identical
+    * fixed-fold cosine; consumers round for display). See q136's
+    * scaladoc for the boundedness contract. */
+  private def knnRanked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = hierFinal(s, dir)
+      .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+      .persist()
+    val a = m.select(col("fcid"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = m.select(col("fcid"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
+    val sims = a.join(b, Seq("fcid"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), col("fcid"),
+        (VectorFns.dotF("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** DuckDB mirror of [[knnRanked]]: extends [[hierSqlCtes]] with
+    * `memf`, `sims` and the MATERIALIZED `knn(va, rank, vb, fcid,
+    * sim)` (materialized because q140 references it once per
+    * propagation round — inlining would re-run the whole hierarchical
+    * chain per reference). */
+  private def knnSqlCtes: String =
+    s"""$hierSqlCtes,
+        memf AS (SELECT fa2.vec_id, fa2.fcid, e.emb,
+                   ${VectorFns.normSqSql("e.emb")} AS nsq
+                 FROM fa2 JOIN e USING (vec_id)),
+        sims AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.fcid,
+                   ${VectorFns.dotSql("a.emb", "b.emb")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS sim
+                 FROM memf a JOIN memf b
+                   ON a.fcid = b.fcid AND a.vec_id <> b.vec_id),
+        knn AS MATERIALIZED (
+          SELECT va, row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)::BIGINT AS rank,
+            vb, fcid, sim
+          FROM sims QUALIFY rank <= 3)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Hierarchical k-means assignment: constant-k sample-trained
@@ -493,41 +538,15 @@ object Clustering {
     // q89 precedent).
     QueryDef(
       "q136_knn_graph",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val m = hierFinal(s, dir)
-          .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
-            Seq("vec_id"))
-          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
-          .persist()
-        val a = m.select(col("fcid"), col("vec_id").as("va"),
-          col("embedding").as("ea"), col("nsq").as("na"))
-        val b = m.select(col("fcid"), col("vec_id").as("vb"),
-          col("embedding").as("eb"), col("nsq").as("nb"))
-        val sims = a.join(b, Seq("fcid"))
-          .filter(col("va") =!= col("vb"))
-          .select(col("va"), col("vb"), col("fcid"),
-            (VectorFns.dotF("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
-        val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
-        sims.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+      (s, dir) =>
+        knnRanked(s, dir)
           .select(col("va").as("vec_id"), col("rank"), col("vb").as("neighbor"),
             col("fcid").as("cluster_id"), Num.fround(col("sim"), 6).as("sim"))
-          .orderBy(col("vec_id"), col("rank"))
-      },
-      Some(s"""WITH $hierSqlCtes,
-               memf AS (SELECT fa2.vec_id, fa2.fcid, e.emb,
-                          ${VectorFns.normSqSql("e.emb")} AS nsq
-                        FROM fa2 JOIN e USING (vec_id)),
-               sims AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.fcid,
-                          ${VectorFns.dotSql("a.emb", "b.emb")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS sim
-                        FROM memf a JOIN memf b
-                          ON a.fcid = b.fcid AND a.vec_id <> b.vec_id)
-               SELECT va AS vec_id,
-                 row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)::BIGINT AS rank,
-                 vb AS neighbor, fcid AS cluster_id,
+          .orderBy(col("vec_id"), col("rank")),
+      Some(s"""WITH $knnSqlCtes
+               SELECT va AS vec_id, rank, vb AS neighbor, fcid AS cluster_id,
                  ${Num.froundSql("sim", 6)} AS sim
-               FROM sims QUALIFY rank <= 3 ORDER BY vec_id, rank"""),
+               FROM knn ORDER BY vec_id, rank"""),
     ),
 
     // HARD-NEGATIVE mining for contrastive embedding training: for
@@ -582,6 +601,90 @@ object Clustering {
                  row_number() OVER (PARTITION BY anchor ORDER BY sim DESC, negative)::BIGINT AS rank,
                  negative, negative_label, ${Num.froundSql("sim", 6)} AS sim
                FROM sims QUALIFY rank <= 2 ORDER BY anchor, rank"""),
+    ),
+
+    // Semi-supervised LABEL PROPAGATION over the kNN graph (Zhu &
+    // Ghahramani's label spreading, majority-vote form): 20% of
+    // vectors (vec_id % 5 = 0) keep their true label as seeds; two
+    // rounds of "unlabeled node takes the majority label among its
+    // already-labeled kNN neighbors" (ties → smallest label; no
+    // labeled neighbor → still unlabeled). The curation use: extend
+    // a small human-labeled seed set over the whole corpus cheaply.
+    //
+    // Scale shape: each round is one edge ⋈ current-labels join
+    // (edges = 3n rows, key-partitioned) + a vote count whose groups
+    // are bounded by |labels| per node + a per-node top-1 window over
+    // ≤|labels| rows. Rounds are FIXED (2), driver sees nothing —
+    // the ConnectedComponents discipline without even a convergence
+    // scalar. Vote counts are exact integers; tie-break total — both
+    // engines derive identical assignments round by round.
+    QueryDef(
+      "q140_label_propagation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val edges = knnRanked(s, dir).select(col("va").as("vec_id"), col("vb").as("neighbor"))
+        val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+        var cur = lab.select(col("vec_id"),
+          when(col("vec_id") % 5 === 0, col("label")).as("lbl"),
+          when(col("vec_id") % 5 === 0, lit(0)).otherwise(lit(-1)).as("rnd"))
+        for (round <- 1 to 2) {
+          val known = cur.filter(col("lbl").isNotNull)
+            .select(col("vec_id").as("neighbor"), col("lbl").as("nl"))
+          val votes = edges.join(known, Seq("neighbor"))
+            .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("c"))
+          val rn = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nl"))
+          val win = votes.withColumn("rn", row_number().over(rn))
+            .filter(col("rn") === 1).select(col("vec_id"), col("nl"))
+          cur = cur.join(win, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              coalesce(col("lbl"), col("nl")).as("lbl"),
+              when(col("lbl").isNotNull, col("rnd"))
+                .when(col("nl").isNotNull, lit(round)).otherwise(lit(-1)).as("rnd"))
+        }
+        cur.join(lab, Seq("vec_id"))
+          .select(col("vec_id"), col("label").as("true_label"),
+            coalesce(col("lbl"), lit(-1)).as("predicted"),
+            col("rnd").as("round_assigned"),
+            (coalesce(col("lbl"), lit(-1)) === col("label")).as("hit"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $knnSqlCtes,
+               lab AS (SELECT vec_id, label FROM embeddings),
+               l0 AS MATERIALIZED (
+                 SELECT vec_id,
+                   CASE WHEN vec_id % 5 = 0 THEN label END AS lbl,
+                   CASE WHEN vec_id % 5 = 0 THEN 0 ELSE -1 END AS rnd
+                 FROM lab),
+               v1 AS (SELECT k.va AS vec_id, p.lbl AS nl, count(*) AS c
+                      FROM knn k JOIN l0 p ON p.vec_id = k.vb
+                      WHERE p.lbl IS NOT NULL
+                      GROUP BY k.va, p.lbl),
+               w1 AS (SELECT vec_id, nl FROM (
+                        SELECT vec_id, nl,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nl) AS rn
+                        FROM v1) WHERE rn = 1),
+               l1 AS MATERIALIZED (
+                 SELECT l0.vec_id, coalesce(l0.lbl, w1.nl) AS lbl,
+                   CASE WHEN l0.lbl IS NOT NULL THEN l0.rnd
+                        WHEN w1.nl IS NOT NULL THEN 1 ELSE -1 END AS rnd
+                 FROM l0 LEFT JOIN w1 USING (vec_id)),
+               v2 AS (SELECT k.va AS vec_id, p.lbl AS nl, count(*) AS c
+                      FROM knn k JOIN l1 p ON p.vec_id = k.vb
+                      WHERE p.lbl IS NOT NULL
+                      GROUP BY k.va, p.lbl),
+               w2 AS (SELECT vec_id, nl FROM (
+                        SELECT vec_id, nl,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nl) AS rn
+                        FROM v2) WHERE rn = 1),
+               l2 AS (SELECT l1.vec_id, coalesce(l1.lbl, w2.nl) AS lbl,
+                        CASE WHEN l1.lbl IS NOT NULL THEN l1.rnd
+                             WHEN w2.nl IS NOT NULL THEN 2 ELSE -1 END AS rnd
+                      FROM l1 LEFT JOIN w2 USING (vec_id))
+               SELECT l2.vec_id, lab.label AS true_label,
+                 coalesce(l2.lbl, -1) AS predicted,
+                 l2.rnd AS round_assigned,
+                 (coalesce(l2.lbl, -1) = lab.label) AS hit
+               FROM l2 JOIN lab USING (vec_id) ORDER BY l2.vec_id"""),
     ),
   )
 }

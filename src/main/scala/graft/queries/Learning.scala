@@ -35,6 +35,63 @@ object Learning {
   private val Eta = 2.0
   private val D = 5
 
+  /** Per-doc interpolated bigram NLL (doc_id, n_bigrams, avg_nll),
+    * STAGED through parquet once per input dir per JVM — the scored
+    * corpus is the artifact a curation pipeline persists (CCNet
+    * materializes its perplexity column before bucketing), shared by
+    * q135 (the listing) and q139 (the bucket cut). See q135's
+    * scaladoc for the per-stage scale shape. */
+  private def bigramNllStaged(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Staged.parquet(s, s"bigram_nll|$dir") {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bg = docs.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"))
+            .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist()
+      val toks = Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+      val tot = uni.agg(sum(col("c")).cast("double").as("n"))
+      val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val enriched = big
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"),
+          (lit(0.75) * (col("c12").cast("double") / col("c1"))
+            + lit(0.25) * (col("c2").cast("double") / col("n"))).as("p"))
+      bg.join(enriched, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          Num.fround(avg(-log(col("p"))), 4).as("avg_nll"))
+    }
+
+  /** DuckDB CTE list mirroring [[bigramNllStaged]] (no leading WITH):
+    * defines `scored(doc_id, n_bigrams, avg_nll)`. */
+  private def bigramNllSqlCtes: String =
+    s"""t AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         WHERE len(string_split(text, ' ')) >= 2),
+       bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+       tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+       big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       enr AS (SELECT big.w1, big.w2,
+                 (0.75::DOUBLE) * (big.c12::DOUBLE / u1.c)
+                   + (0.25::DOUBLE) * (u2.c::DOUBLE / tot.n) AS p
+               FROM big JOIN uni u1 ON u1.w = big.w1
+                        JOIN uni u2 ON u2.w = big.w2, tot),
+       scored AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                    ${Num.froundSql("avg(-ln(p))", 4)} AS avg_nll
+                  FROM bg JOIN enr ON bg.w1 = enr.w1 AND bg.w2 = enr.w2
+                  GROUP BY bg.doc_id)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -208,51 +265,56 @@ object Learning {
     // is the recipe if a bigram head ever needs it).
     QueryDef(
       "q135_bigram_lm",
+      (s, dir) => bigramNllStaged(s, dir).orderBy(col("doc_id")),
+      Some(s"""WITH $bigramNllSqlCtes
+               SELECT doc_id, n_bigrams, avg_nll FROM scored ORDER BY doc_id"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // CCNet perplexity-bucket curation (Wenzek et al., "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data", 2020): cut each LANGUAGE's documents into head/middle/
+    // tail thirds by LM score (lower NLL = more fluent), keep
+    // head+middle — the published recipe, with q135's bigram LM as
+    // the scorer. Per-language thresholds make the cut
+    // language-fair: an absolute global threshold would empty the
+    // hardest language (exactly why CCNet buckets per language).
+    //
+    // Scale shape: the scored corpus is the STAGED q135 artifact (one
+    // read); thresholds come from ExactMedian.quantilesDisc — the
+    // bounded three-pass rank selection, never a whole-group
+    // percentile buffer — and join back as a |languages|-row
+    // broadcast. The verdict pass is a narrow map.
+    QueryDef(
+      "q139_perplexity_buckets",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 2)
-        val bg = docs.select(col("doc_id"),
-            explode(expr(
-              "transform(sequence(1, size(t) - 1), i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"))
-              .as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .persist()
-        val toks = Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("w"))
-        val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
-        val tot = uni.agg(sum(col("c")).cast("double").as("n"))
-        val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-        val enriched = big
-          .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
-          .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-          .crossJoin(broadcast(tot))
-          .select(col("w1"), col("w2"),
-            (lit(0.75) * (col("c12").cast("double") / col("c1"))
-              + lit(0.25) * (col("c2").cast("double") / col("n"))).as("p"))
-        bg.join(enriched, Seq("w1", "w2"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            Num.fround(avg(-log(col("p"))), 4).as("avg_nll"))
+        val scored = bigramNllStaged(s, dir)
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val thr = graft.operators.ExactMedian.quantilesDisc(
+          scored, "lang", "avg_nll", Seq("p33" -> 1.0 / 3, "p67" -> 2.0 / 3))
+        val bucket = when(col("avg_nll") <= col("p33"), "head")
+          .when(col("avg_nll") <= col("p67"), "middle")
+          .otherwise("tail")
+        scored.join(broadcast(thr), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("avg_nll"),
+            bucket.as("bucket"), (bucket =!= "tail").as("keep"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH t AS (
-                 SELECT doc_id, string_split(text, ' ') AS t FROM documents
-                 WHERE len(string_split(text, ' ')) >= 2),
-               bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-                      FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
-               tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-               uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-               tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
-               big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-               enr AS (SELECT big.w1, big.w2,
-                         (0.75::DOUBLE) * (big.c12::DOUBLE / u1.c)
-                           + (0.25::DOUBLE) * (u2.c::DOUBLE / tot.n) AS p
-                       FROM big JOIN uni u1 ON u1.w = big.w1
-                                JOIN uni u2 ON u2.w = big.w2, tot)
-               SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
-                 ${Num.froundSql("avg(-ln(p))", 4)} AS avg_nll
-               FROM bg JOIN enr ON bg.w1 = enr.w1 AND bg.w2 = enr.w2
-               GROUP BY bg.doc_id ORDER BY doc_id"""),
+      Some(s"""WITH $bigramNllSqlCtes,
+               sl AS (SELECT scored.doc_id, d.lang, scored.avg_nll
+                      FROM scored JOIN documents d ON d.doc_id = scored.doc_id),
+               thr AS (SELECT lang,
+                         quantile_disc(avg_nll, (1.0::DOUBLE) / 3) AS p33,
+                         quantile_disc(avg_nll, (2.0::DOUBLE) / 3) AS p67
+                       FROM sl GROUP BY lang),
+               b AS (SELECT sl.doc_id, sl.lang, sl.avg_nll,
+                       CASE WHEN sl.avg_nll <= thr.p33 THEN 'head'
+                            WHEN sl.avg_nll <= thr.p67 THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                     FROM sl JOIN thr USING (lang))
+               SELECT doc_id, lang, avg_nll, bucket,
+                 (bucket <> 'tail') AS keep
+               FROM b ORDER BY doc_id"""),
     ),
   )
 }

@@ -138,6 +138,64 @@ class LearningSpec extends SparkSuite {
     }
   }
 
+  test("q139: buckets are ordered by score within each language and tail is dropped") {
+    val out = SparkEntry.queries("q139_perplexity_buckets")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("keep") == (r.getAs[String]("bucket") != "tail")))
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      def scores(b: String) =
+        rows.filter(_.getAs[String]("bucket") == b).map(_.getAs[Double]("avg_nll"))
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      assert(h.nonEmpty && m.nonEmpty && t.nonEmpty, s"$lang: a tercile is empty")
+      assert(h.max <= m.min, s"$lang: head overlaps middle")
+      assert(m.max <= t.min, s"$lang: middle overlaps tail")
+      // terciles: each bucket within [n/3 - ties, n/3 + ties] — sanity
+      // that no bucket swallowed the language
+      val n = rows.length
+      Seq(h, m, t).foreach(b => assert(b.length < n, s"$lang: one bucket took everything"))
+    }
+  }
+
+  test("q140: seeds keep their true label at round 0; assignments are consistent") {
+    val out = SparkEntry.queries("q140_label_propagation")(spark, sfDir).collect()
+    out.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val rnd = r.getAs[Int]("round_assigned")
+      val pred = r.getAs[Int]("predicted")
+      if (v % 5 == 0) {
+        assert(rnd == 0, s"seed $v round $rnd")
+        assert(pred == r.getAs[Int]("true_label"), s"seed $v predicted $pred")
+      } else {
+        assert(rnd != 0, s"non-seed $v claims round 0")
+      }
+      assert((pred == -1) == (rnd == -1), s"vec $v predicted/round inconsistent")
+      assert(r.getAs[Boolean]("hit") == (pred == r.getAs[Int]("true_label")))
+    }
+    val spread = out.count(r => r.getAs[Int]("round_assigned") > 0)
+    assert(spread > 0, "propagation labeled nothing beyond the seeds")
+  }
+
+  test("q140: round-1 labels match a driver-side recomputation from the kNN graph") {
+    val edges = SparkEntry.queries("q136_knn_graph")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor"))
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val expectedR1 = edges.toSeq.groupBy(_._1).flatMap { case (v, es) =>
+      if (v % 5 == 0) None
+      else {
+        val votes = es.map(_._2).filter(_ % 5 == 0).map(labels)
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        if (votes.isEmpty) None
+        else Some(v -> votes.minBy { case (l, c) => (-c, l) }._1)
+      }
+    }
+    val got = SparkEntry.queries("q140_label_propagation")(spark, sfDir).collect()
+      .filter(_.getAs[Int]("round_assigned") == 1)
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("predicted")).toMap
+    assert(got == expectedR1, "round-1 assignments diverge from the reference recomputation")
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).

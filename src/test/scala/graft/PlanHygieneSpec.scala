@@ -40,16 +40,16 @@ class PlanHygieneSpec extends SparkSuite {
     //    snapshots keyed on the primary key; the shuffle disappears
     //    only when snapshots are stored bucketed by key
     //    (storage-partitioned join), never via broadcast.
-    //  - q136/q138: the kNN-graph / hard-negative cluster-mate
-    //    self-joins — the same corpus ⋈ corpus shape as q86 (both
-    //    sides scale with the corpus, keyed by fine cluster id;
-    //    broadcast would be the bug).
+    //  - q136/q138/q140: the kNN-graph / hard-negative cluster-mate
+    //    self-joins and the label-propagation edge ⋈ labels rounds —
+    //    the same corpus ⋈ corpus shape as q86 (both sides scale
+    //    with the corpus; broadcast would be the bug).
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
-      "q136_knn_graph", "q138_hard_negatives"),
+      "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
-      "q136_knn_graph", "q138_hard_negatives"))
+      "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
