@@ -96,7 +96,10 @@ object Explain {
     "q137_tokenizer_fertility", "q138_hard_negatives",
     // perplexity buckets (staged score read + quantilesDisc broadcast
     // thresholds) and label propagation (fixed-round edge ⋈ labels).
-    "q139_perplexity_buckets", "q140_label_propagation")
+    "q139_perplexity_buckets", "q140_label_propagation",
+    // mixture budgets applied as a greedy prefix selection (PrefixSum
+    // cum-sum, broadcast budget row).
+    "q141_mixture_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

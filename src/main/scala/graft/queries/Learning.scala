@@ -70,6 +70,57 @@ object Learning {
           Num.fround(avg(-log(col("p"))), 4).as("avg_nll"))
     }
 
+  /** The DoReMi mixture frame (source, n_docs, n_tokens, avg_nll,
+    * alpha) — shared by q134 (the listing with budgets) and q141 (the
+    * budget APPLIED as a document selection). avg_nll and alpha are
+    * 6dp-frounded, so downstream arithmetic starts from the same grid
+    * values on both engines. The |domains|-row result is persisted —
+    * every consumer branch re-reads it. */
+  private def domainMixture(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum(col("c")).cast("double").as("n"))
+    val nd = Tables.documents(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perDom = toks.join(vocab, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.fround(avg(-log(col("c").cast("double") / col("n"))), 6).as("avg_nll"))
+      .persist()
+    val g = perDom.agg(
+      (sum(col("n_tokens") * col("avg_nll")) / sum(col("n_tokens"))).as("gbar"))
+    val ex = perDom.crossJoin(broadcast(g))
+      .withColumn("ex", col("avg_nll") - col("gbar"))
+    val z = ex.agg(sum(exp(col("ex"))).as("zden"))
+    ex.crossJoin(broadcast(z))
+      .join(broadcast(nd), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("avg_nll"),
+        Num.fround(exp(col("ex")) / col("zden"), 6).as("alpha"))
+      .persist()
+  }
+
+  /** DuckDB CTE list mirroring [[domainMixture]] (no leading WITH):
+    * defines `mix(source, n_docs, n_tokens, avg_nll, alpha)`. */
+  private def mixtureSqlCtes: String =
+    s"""tok AS (
+         SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
+       nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+       pd AS (SELECT source, count(*)::BIGINT AS n_tokens,
+                ${Num.froundSql("avg(-ln(c::DOUBLE / n))", 6)} AS avg_nll
+              FROM tok JOIN vocab USING (w), tot GROUP BY source),
+       g AS (SELECT sum(n_tokens * avg_nll) / sum(n_tokens) AS gbar FROM pd),
+       ex AS (SELECT pd.*, avg_nll - gbar AS ex FROM pd, g),
+       z AS (SELECT sum(exp(ex)) AS zden FROM ex),
+       mix AS MATERIALIZED (
+         SELECT ex.source, nd.n_docs, ex.n_tokens, ex.avg_nll,
+           ${Num.froundSql("exp(ex) / zden", 6)} AS alpha
+         FROM ex CROSS JOIN z JOIN nd ON nd.source = ex.source)"""
+
   /** DuckDB CTE list mirroring [[bigramNllStaged]] (no leading WITH):
     * defines `scored(doc_id, n_bigrams, avg_nll)`. */
   private def bigramNllSqlCtes: String =
@@ -200,51 +251,16 @@ object Learning {
     // (sources/languages), so no stage scales worse than the q87 scan.
     QueryDef(
       "q134_domain_mixture",
-      (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        val tot = vocab.agg(sum(col("c")).cast("double").as("n"))
-        val nd = Tables.documents(s, dir).groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"))
-        val perDom = toks.join(vocab, Seq("w"))
-          .crossJoin(broadcast(tot))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_tokens"),
-            Num.fround(avg(-log(col("c").cast("double") / col("n"))), 6).as("avg_nll"))
-          .persist()
-        val g = perDom.agg(
-          (sum(col("n_tokens") * col("avg_nll")) / sum(col("n_tokens"))).as("gbar"))
-        val ex = perDom.crossJoin(broadcast(g))
-          .withColumn("ex", col("avg_nll") - col("gbar"))
-        val z = ex.agg(sum(exp(col("ex"))).as("zden"))
-        val alpha = Num.fround(exp(col("ex")) / col("zden"), 6)
-        ex.crossJoin(broadcast(z))
-          .join(broadcast(nd), Seq("source"))
+      (s, dir) =>
+        domainMixture(s, dir)
           .select(col("source"), col("n_docs"), col("n_tokens"), col("avg_nll"),
-            alpha.as("alpha"),
-            floor(alpha * 1e6 + 0.5).cast("long").as("token_budget"))
-          .orderBy(col("source"))
-      },
-      Some {
-        val alphaSql = Num.froundSql("exp(ex) / zden", 6)
-        s"""WITH tok AS (
-                 SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
-               vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-               tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
-               nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
-               pd AS (SELECT source, count(*)::BIGINT AS n_tokens,
-                        ${Num.froundSql("avg(-ln(c::DOUBLE / n))", 6)} AS avg_nll
-                      FROM tok JOIN vocab USING (w), tot GROUP BY source),
-               g AS (SELECT sum(n_tokens * avg_nll) / sum(n_tokens) AS gbar FROM pd),
-               ex AS (SELECT pd.*, avg_nll - gbar AS ex FROM pd, g),
-               z AS (SELECT sum(exp(ex)) AS zden FROM ex)
-               SELECT ex.source, nd.n_docs, ex.n_tokens, ex.avg_nll,
-                 $alphaSql AS alpha,
-                 floor(($alphaSql) * 1000000 + 0.5)::BIGINT AS token_budget
-               FROM ex CROSS JOIN z JOIN nd ON nd.source = ex.source
-               ORDER BY ex.source"""
-      },
+            col("alpha"),
+            floor(col("alpha") * 1e6 + 0.5).cast("long").as("token_budget"))
+          .orderBy(col("source")),
+      Some(s"""WITH $mixtureSqlCtes
+               SELECT source, n_docs, n_tokens, avg_nll, alpha,
+                 floor(alpha * 1000000 + 0.5)::BIGINT AS token_budget
+               FROM mix ORDER BY source"""),
     ),
 
     // ------------------------------------------------------------------
@@ -315,6 +331,63 @@ object Learning {
                SELECT doc_id, lang, avg_nll, bucket,
                  (bucket <> 'tail') AS keep
                FROM b ORDER BY doc_id"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Mixture budgets APPLIED: the q134 DoReMi weights turned into an
+    // actual per-domain document selection — each domain gets a token
+    // budget α_d · (half the corpus tokens), its documents are laid
+    // out in the house RNG-free md5 permutation (the q65/q117
+    // deterministic-shuffle key, so the prefix is an unbiased domain
+    // sample), and the greedy prefix up to the budget is kept. The
+    // train-mixture materialization step between "weights chosen" and
+    // "shards written".
+    //
+    // Scale shape: budgets derive from the |domains|-row mixture frame
+    // (broadcast); the per-domain running token total is
+    // PrefixSum.keyedCumSum — local windows per (domain, md5-prefix
+    // bucket) + a tiny offset table, never a whole-domain window
+    // (the q66 contract); the verdict is a narrow map against the
+    // broadcast budget row.
+    QueryDef(
+      "q141_mixture_apply",
+      (s, dir) => {
+        val mix = domainMixture(s, dir)
+        val tot = mix.agg(sum(col("n_tokens")).cast("double").as("t"))
+        val budgets = mix.crossJoin(broadcast(tot))
+          .select(col("source"),
+            floor(col("alpha") * col("t") * 0.5 + 0.5).cast("long").as("budget"))
+        val d = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("u"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("ub", expr("cast(conv(substring(u, 1, 3), 16, 10) as int)"))
+        val cum = graft.operators.PrefixSum.keyedCumSum(
+          d, key = Seq("source"), bucket = "ub",
+          ord = Seq(col("u"), col("doc_id")),
+          value = col("n_tokens"), cumName = "cum_tokens")
+        cum.join(broadcast(budgets), Seq("source"))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("cum_tokens"), col("budget"),
+            (col("cum_tokens") <= col("budget")).as("kept"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""WITH $mixtureSqlCtes,
+               tt AS (SELECT sum(n_tokens)::DOUBLE AS t FROM mix),
+               bud AS (SELECT source,
+                         floor(alpha * t * (0.5::DOUBLE) + 0.5)::BIGINT AS budget
+                       FROM mix, tt),
+               d AS (SELECT source, doc_id,
+                       md5('mix|' || doc_id::VARCHAR) AS u,
+                       len(string_split(text, ' '))::BIGINT AS n_tokens
+                     FROM documents),
+               c AS (SELECT source, doc_id, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+                     FROM d)
+               SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens, bud.budget,
+                 (c.cum_tokens <= bud.budget) AS kept
+               FROM c JOIN bud USING (source) ORDER BY c.source, c.doc_id"""),
     ),
   )
 }

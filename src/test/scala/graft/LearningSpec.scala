@@ -196,6 +196,30 @@ class LearningSpec extends SparkSuite {
     assert(got == expectedR1, "round-1 assignments diverge from the reference recomputation")
   }
 
+  test("q141: per-domain selection is greedy-maximal under its budget") {
+    val out = SparkEntry.queries("q141_mixture_apply")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    var budgetSum = 0L
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val budget = rows.head.getAs[Long]("budget")
+      budgetSum += budget
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      val dropped = rows.filterNot(_.getAs[Boolean]("kept"))
+      val keptTok = kept.map(_.getAs[Long]("n_tokens")).sum
+      assert(keptTok <= budget, s"$src kept $keptTok > budget $budget")
+      // maximality: every dropped doc's running total already
+      // overflows, so no prefix extension fits
+      dropped.foreach(r => assert(r.getAs[Long]("cum_tokens") > budget,
+        s"$src doc ${r.getAs[Long]("doc_id")} dropped below budget"))
+      // the kept set IS the cum<=budget prefix
+      assert(kept.map(_.getAs[Long]("cum_tokens")).forall(_ <= budget))
+    }
+    val total = out.groupBy(_.getAs[String]("source"))
+      .map(_._2.map(_.getAs[Long]("n_tokens")).sum).sum
+    assert(math.abs(budgetSum - total / 2.0) < out.length,
+      s"budgets $budgetSum drifted from half the corpus ${total / 2}")
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).
