@@ -79,8 +79,11 @@ object Bench {
     // budget in the driver environment. Second continuation: 480 →
     // 540 for the eight q125–q132 additions (pass-1 cold cost ~25 s —
     // BPE staged training, CMS/PCA codegen warmup — pass-2 warm cost
-    // ~7 s).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toInt
+    // ~7 s). Third continuation: 540 → 600 for the nine q133–q141
+    // learned-curation additions (pass-1 cold ~12 s incl. the staged
+    // bigram-LM score and the GD/propagation multi-job queries;
+    // pass-2 warm ~7 s).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Optional subset (the Verify convention): extra args = bench only
     // these queries; unknown names fail loudly.

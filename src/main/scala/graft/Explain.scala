@@ -99,7 +99,10 @@ object Explain {
     "q139_perplexity_buckets", "q140_label_propagation",
     // mixture budgets applied as a greedy prefix selection (PrefixSum
     // cum-sum, broadcast budget row).
-    "q141_mixture_apply")
+    "q141_mixture_apply",
+    // embedding drift monitor: one exploded integer-moment aggregate,
+    // 2d bounded rows, narrow stats map.
+    "q142_embedding_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1196,5 +1196,77 @@ object Vectors {
                 1 AS eig_ok
               FROM nn"""),
     ),
+
+    // EMBEDDING DRIFT monitor — the data-quality check a production
+    // pipeline runs between corpus snapshots (did the embedding
+    // distribution move? a model/version change, a scraper bug, a
+    // domain shift): per-dimension two-sample z-test of the mean,
+    // here between the deterministic vec_id-parity cohorts (the
+    // drift monitor's NULL distribution — on an unchanged corpus no
+    // dimension should flag, which is itself the check).
+    //
+    // Exactness: the q123/q132 integer-moment stance — values
+    // e3-quantize to BIGINTs, per-(cohort, dim) count/sum/sum-of-
+    // squares are EXACT integer aggregates (map-side partials, 2d
+    // bounded rows out), and every statistic derives from those
+    // integers by the same IEEE expression on both engines. The
+    // z-score is scale-invariant, so it runs in raw e3 units; means
+    // are rescaled for display only.
+    QueryDef(
+      "q142_embedding_drift",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(
+          (col("vec_id") % 2).cast("int").as("grp"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
+            .as("e"))
+        val stats = e.select(col("grp"), posexplode(col("e")).as(Seq("i", "v")))
+          .groupBy(col("i"))
+          .agg(
+            sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("grp") === 0, col("v")).otherwise(0L)).as("s_a"),
+            sum(when(col("grp") === 0, col("v") * col("v")).otherwise(0L)).as("ss_a"),
+            sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("grp") === 1, col("v")).otherwise(0L)).as("s_b"),
+            sum(when(col("grp") === 1, col("v") * col("v")).otherwise(0L)).as("ss_b"))
+        val ma = col("s_a").cast("double") / col("n_a")
+        val mb = col("s_b").cast("double") / col("n_b")
+        val va = col("ss_a").cast("double") / col("n_a") - ma * ma
+        val vb = col("ss_b").cast("double") / col("n_b") - mb * mb
+        val z = abs(ma - mb) / sqrt(va / col("n_a") + vb / col("n_b"))
+        stats.select((col("i") + 1).cast("long").as("dim"), col("n_a"), col("n_b"),
+            Num.fround(ma / 1000.0, 6).as("mean_a"),
+            Num.fround(mb / 1000.0, 6).as("mean_b"),
+            Num.fround(z, 4).as("z"),
+            (z > 3.0).as("drifted"))
+          .orderBy(col("dim"))
+      },
+      Some {
+        val ma = "s_a::DOUBLE / n_a"
+        val mb = "s_b::DOUBLE / n_b"
+        val va = s"ss_a::DOUBLE / n_a - ($ma) * ($ma)"
+        val vb = s"ss_b::DOUBLE / n_b - ($mb) * ($mb)"
+        val z = s"abs(($ma) - ($mb)) / sqrt(($va) / n_a + ($vb) / n_b)"
+        s"""WITH e AS (
+              SELECT (vec_id % 2)::INT AS grp,
+                [floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT
+                 for i in generate_series(1, 64)] AS e
+              FROM embeddings),
+            x AS (SELECT grp, i, e[i] AS v FROM e, generate_series(1, 64) AS g(i)),
+            s AS (SELECT i,
+                    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                    sum(CASE WHEN grp = 0 THEN v ELSE 0 END)::BIGINT AS s_a,
+                    sum(CASE WHEN grp = 0 THEN v * v ELSE 0 END)::BIGINT AS ss_a,
+                    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                    sum(CASE WHEN grp = 1 THEN v ELSE 0 END)::BIGINT AS s_b,
+                    sum(CASE WHEN grp = 1 THEN v * v ELSE 0 END)::BIGINT AS ss_b
+                  FROM x GROUP BY i)
+            SELECT i::BIGINT AS dim, n_a, n_b,
+              ${Num.froundSql(s"($ma) / (1000.0::DOUBLE)", 6)} AS mean_a,
+              ${Num.froundSql(s"($mb) / (1000.0::DOUBLE)", 6)} AS mean_b,
+              ${Num.froundSql(z, 4)} AS z,
+              (($z) > 3.0) AS drifted
+            FROM s ORDER BY dim"""
+      },
+    ),
   )
 }

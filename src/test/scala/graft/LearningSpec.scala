@@ -220,6 +220,28 @@ class LearningSpec extends SparkSuite {
       s"budgets $budgetSum drifted from half the corpus ${total / 2}")
   }
 
+  test("q142: drift stats reconcile with a driver-side recomputation; null split is quiet") {
+    val rows = SparkEntry.queries("q142_embedding_drift")(spark, sfDir).collect()
+    assert(rows.length == 64)
+    // driver-side recomputation of dim 1 from raw embeddings
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000 + 0.5).toLong)))
+    val (a, b) = e.partition(_._1 % 2 == 0)
+    def mean(vs: Seq[Long]) = vs.sum.toDouble / vs.length
+    val d1 = rows.find(_.getAs[Long]("dim") == 1L).get
+    val ma = mean(a.map(_._2.head).toSeq)
+    val mb = mean(b.map(_._2.head).toSeq)
+    assert(math.abs(d1.getAs[Double]("mean_a") - ma / 1000.0) < 1e-5)
+    assert(math.abs(d1.getAs[Double]("mean_b") - mb / 1000.0) < 1e-5)
+    assert(rows.forall(r => r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length))
+    // parity split of an unchanged corpus = the null distribution:
+    // z > 3 should flag (essentially) nothing
+    val flagged = rows.count(_.getAs[Boolean]("drifted"))
+    assert(flagged <= 2, s"$flagged of 64 dims flagged on the null split")
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).
