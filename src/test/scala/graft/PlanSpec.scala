@@ -280,7 +280,7 @@ class PlanSpec extends SparkSuite {
   test("q63/q66/q81/q107/q108: no single-key window over unaggregated input (distributed prefix-sum shape)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
     for (q <- Seq("q63_training_selection", "q66_token_budget_pack", "q81_sequence_packing",
-        "q107_corpus_length_profile", "q108_quantile_trim")) {
+        "q107_corpus_length_profile", "q108_quantile_trim", "q141_mixture_apply")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       // A Window whose partition spec is a single key pins each key's
       // whole extent to one task — allowed only above an Aggregate
@@ -309,6 +309,34 @@ class PlanSpec extends SparkSuite {
     assert("BroadcastHashJoin \\[cell#".r.findFirstIn(plan).isDefined,
       s"candidates must come from a broadcast hash join on cell:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for serving:\n$plan")
+  }
+
+  test("q133 classifier serving: scoring is a pure map — no join in the apply plan") {
+    // the GD steps run as separate jobs during query construction;
+    // the RETURNED plan is the serving pass: cached features → narrow
+    // sigmoid projection with literal weights → output sort.
+    val plan = finalPlan(SparkEntry.queries("q133_quality_classifier")(spark, sfDir))
+    assert(!plan.contains("Join"), s"classifier apply must be join-free:\n$plan")
+    assert(!plan.contains("Window"), s"classifier apply must be window-free:\n$plan")
+  }
+
+  test("q135 bigram LM: narrow bigram extraction — no window, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q135_bigram_lm")(spark, sfDir))
+    assert(!plan.contains("Window"), s"bigram extraction must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("q139 perplexity buckets: thresholds broadcast back — no shuffled join") {
+    val plan = finalPlan(SparkEntry.queries("q139_perplexity_buckets")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the cut:\n$plan")
+  }
+
+  test("q142 drift: one exploded-moment aggregate, no join, bounded output") {
+    val plan = finalPlan(SparkEntry.queries("q142_embedding_drift")(spark, sfDir))
+    assert(!plan.contains("Join"), s"drift monitor must be join-free:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"expected a single aggregate exchange:\n$plan")
   }
 
   test("q94 salted join: the exchange keys on (okey, __salt) — hot keys spread factor ways") {
