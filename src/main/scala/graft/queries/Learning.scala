@@ -74,9 +74,16 @@ object Learning {
     * alpha) — shared by q134 (the listing with budgets) and q141 (the
     * budget APPLIED as a document selection). avg_nll and alpha are
     * 6dp-frounded, so downstream arithmetic starts from the same grid
-    * values on both engines. The |domains|-row result is persisted —
-    * every consumer branch re-reads it. */
+    * values on both engines. STAGED through parquet once per input
+    * dir per JVM — the mixture table is the artifact a pipeline
+    * persists between "weights chosen" and every consumer (q134's
+    * listing, q141's selection); the corpus-scan training pass runs
+    * once, consumers pay a |domains|-row read. */
   private def domainMixture(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Staged.parquet(s, s"domain_mixture|$dir")(domainMixtureBuild(s, dir))
+
+  private def domainMixtureBuild(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))

@@ -233,6 +233,46 @@ class StreamingSpec extends SparkSuite {
       s"stream-only: ${streaming.diff(batch)}; batch-only: ${batch.diff(streaming)}")
   }
 
+  test("stream-stream interval join (watermarked attribution) == batch join of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoin
+    import graft.streaming.StreamJoin.{ClickEv, ViewEv}
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts_us"))
+      .as[ViewEv].collect().sortBy(_.ts_us)
+    val clicks = evs.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      .as[ClickEv].collect().sortBy(_.ts_us)
+    // split both streams at the same wall-clock instant so neither
+    // side's watermark races past unplayed data on the other
+    val cut = (views.map(_.ts_us) ++ clicks.map(_.ts_us)).sorted.apply(
+      (views.length + clicks.length) / 2)
+    val vs = MemoryStream[ViewEv]
+    val cs = MemoryStream[ClickEv]
+    val q = StreamJoin.attributed(vs.toDF(), cs.toDF())
+      .writeStream.format("memory").queryName("attr_mem").outputMode("append").start()
+    vs.addData(views.filter(_.ts_us <= cut).toSeq)
+    cs.addData(clicks.filter(_.ts_us <= cut).toSeq)
+    q.processAllAvailable()
+    vs.addData(views.filter(_.ts_us > cut).toSeq)
+    cs.addData(clicks.filter(_.ts_us > cut).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_mem")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = StreamJoin.attributed(
+        spark.createDataset(views.toSeq).toDF(),
+        spark.createDataset(clicks.toSeq).toDF())
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "attribution fixture is vacuous — no view-click pair in horizon")
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(5)}; batch-only: ${batch.diff(streamed).take(5)}")
+  }
+
   test("streaming sequence packing (O(1)-per-lang state) == batch q81, partial tails included") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.SequencePacking
