@@ -102,7 +102,10 @@ object Explain {
     "q141_mixture_apply",
     // embedding drift monitor: one exploded integer-moment aggregate,
     // 2d bounded rows, narrow stats map.
-    "q142_embedding_drift")
+    "q142_embedding_drift",
+    // directed containment join: A-side-only prefix cut, head
+    // candidates broadcast, tail prefix ⋈ postings exchange.
+    "q143_containment_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

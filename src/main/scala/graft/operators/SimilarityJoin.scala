@@ -75,4 +75,81 @@ object SimilarityJoin {
       .filter(lit(both) * col("inter") >= lit(tNum) * (col("sa") + col("sb")))
       .select(col("da"), col("db"), col("inter"), col("uni"))
   }
+
+  /** Exact DIRECTED containment self-join: all ordered pairs (a, b),
+    * a ≠ b, with |A ∩ B| / |A| ≥ tNum/tDen — the asymmetric
+    * complement of [[exactJaccardPairs]] (quote/subset detection: a
+    * small document mostly contained in a large one scores high
+    * containment but low Jaccard).
+    *
+    * Prefix-filter adaptation: the required overlap o = ⌈τ·|A|⌉
+    * depends ONLY on the contained side, so the prefix cut applies to
+    * A alone (its |A| − o + 1 rarest elements) while B is probed over
+    * its FULL element postings — the containing side has no prefix
+    * lemma. Correct by the same pigeonhole: a valid pair's FIRST
+    * shared element (df-ascending order in A) has every earlier A
+    * element outside B, so inter ≤ 1 + (|A| − rk) ≥ o puts it inside
+    * both the prefix cut and the positional filter. Size prune:
+    * tDen·|B| ≥ tNum·|A| (⟺ |B| ≥ ⌈τ·|A|⌉ for integers). All
+    * decisions exact integer arithmetic; verification is one
+    * codegen'd array_intersect.
+    *
+    * Zipf shape: the candidate join is A-prefix ⋈ B-postings on the
+    * element. Hot-element postings never hash-shuffle — the A-prefix
+    * rows carrying a head element BROADCAST to them (the prefix side
+    * is derived-small by the cut) — and tail keys have per-key df
+    * bounded by the head threshold. Exactness vs the brute-force
+    * definition is pinned by SimilarityJoinSpec; the q143 oracle is
+    * an INDEPENDENT algorithm (inverted-index pair counting, no
+    * prefix lemma), so the differential itself proves losslessness
+    * (the q126 pattern).
+    *
+    * @param sets (id: long-ish, ta: array of DISTINCT elements)
+    * @return (da, db, inter, sa, sb): da the contained side, both
+    *         directions emitted when both qualify
+    */
+  def exactContainmentPairs(
+      sets: DataFrame, idCol: String, setCol: String,
+      tNum: Int, tDen: Int, headK: Int = 64): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad tau $tNum/$tDen")
+    val arrays = sets.select(col(idCol).as("__id"), col(setCol).as("__ta")).persist()
+    val toks = arrays.select(col("__id"), explode(col("__ta")).as("__w"))
+    val dfT = toks.groupBy(col("__w")).agg(count(lit(1)).as("__df")).persist()
+    val head = dfT.orderBy(col("__df").desc, col("__w")).limit(headK)
+    val tail = dfT.join(broadcast(head.select(col("__w"))), Seq("__w"), "left_anti")
+    val withDf = toks.join(broadcast(head), Seq("__w")).unionByName(
+      toks.join(broadcast(head.select(col("__w"))), Seq("__w"), "left_anti")
+        .join(tail, Seq("__w")))
+    val wDoc = Window.partitionBy(col("__id"))
+    val sized = withDf
+      .withColumn("__rk", row_number().over(wDoc.orderBy(col("__df"), col("__w"))))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
+      .persist()
+    val oA = expr(s"($tNum * __sz + ${tDen - 1}) div $tDen")
+    val pre = sized
+      .filter(col("__rk") <= col("__sz") - oA + 1)
+      .select(col("__w"), col("__id").as("__ida"),
+        col("__sz").as("__sa"), col("__rk").as("__rka"))
+    val post = sized.select(col("__w"), col("__id").as("__idb"), col("__sz").as("__sb"))
+    val headSet = head.select(col("__w"))
+    val preHead = pre.join(broadcast(headSet), Seq("__w"))
+    val preTail = pre.join(broadcast(headSet), Seq("__w"), "left_anti")
+    val postHead = post.join(broadcast(headSet), Seq("__w"))
+    val postTail = post.join(broadcast(headSet), Seq("__w"), "left_anti")
+    val cand = postHead.join(broadcast(preHead), Seq("__w"))
+      .unionByName(preTail.join(postTail, Seq("__w")))
+      .filter(col("__ida") =!= col("__idb"))
+      .filter(lit(tDen) * col("__sb") >= lit(tNum) * col("__sa"))
+      .filter(lit(tDen) * (lit(1L) + col("__sa") - col("__rka")) >= lit(tNum) * col("__sa"))
+      .select(col("__ida").as("da"), col("__idb").as("db"),
+        col("__sa").as("sa"), col("__sb").as("sb"))
+      .distinct()
+    cand
+      .join(arrays.select(col("__id").as("da"), col("__ta").as("__arr_a")), Seq("da"))
+      .join(arrays.select(col("__id").as("db"), col("__ta").as("__arr_b")), Seq("db"))
+      .withColumn("inter",
+        size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("sa"))
+      .select(col("da"), col("db"), col("inter"), col("sa"), col("sb"))
+  }
 }

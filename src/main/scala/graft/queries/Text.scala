@@ -1614,6 +1614,58 @@ object Text {
               ORDER BY jaccard DESC, da, db"""),
     ),
 
+    // Exact DIRECTED containment join — the asymmetric complement of
+    // q122's Jaccard join: all ordered pairs with |A∩B|/|A| ≥ 4/5
+    // (quote/subset detection — a short document mostly contained in
+    // a longer one scores high containment but low Jaccard, so the
+    // symmetric join misses it; dedup pipelines use this to drop
+    // quoted/excerpted copies). Same 60-bit hashed 3-shingle universe
+    // as q122; the algorithm is operators/SimilarityJoin
+    // .exactContainmentPairs (A-side-only prefix cut — o = ⌈τ·|A|⌉
+    // depends on the contained side alone — probing B's full
+    // postings, head/tail Zipf split on the candidate join).
+    //
+    // The oracle DOES NOT MIRROR the prefix filter: it recomputes the
+    // truth by inverted-index pair COUNTING (group-count of shared
+    // elements per ordered pair — an independent algorithm with no
+    // prefix lemma), so the hash match itself proves the pruning
+    // lossless (the q126 pattern); SimilarityJoinSpec adds the
+    // brute-force differential on engineered + randomized corpora.
+    QueryDef(
+      "q143_containment_join",
+      (s, dir) =>
+        graft.operators.Staged.parquet(s, s"q143contain|$dir") {
+          val arrays = Tables.documents(s, dir)
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
+            .select(col("doc_id"), array_distinct(expr(
+              "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+              .as("ta"))
+          graft.operators.SimilarityJoin
+            .exactContainmentPairs(arrays, "doc_id", "ta", tNum = 4, tDen = 5)
+            .select(col("da"), col("db"), col("inter"), col("sa"), col("sb"),
+              Num.fround(col("inter").cast("double") / col("sa"), 4).as("containment"))
+        }.orderBy(col("da"), col("db")),
+      Some(s"""WITH arr AS (
+                SELECT doc_id,
+                  list_distinct(list_transform(
+                    ${TextFns.shingleSql("string_split(text, ' ')", 3)},
+                    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS ta
+                FROM documents),
+              el AS (SELECT doc_id, unnest(ta) AS w FROM arr),
+              sz AS (SELECT doc_id, count(*) AS sz FROM el GROUP BY doc_id),
+              pairs AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter
+                FROM el a JOIN el b ON a.w = b.w AND a.doc_id <> b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+              SELECT p.da, p.db, p.inter, sa.sz::BIGINT AS sa, sb.sz::BIGINT AS sb,
+                ${Num.froundSql("p.inter::DOUBLE / sa.sz", 4)} AS containment
+              FROM pairs p JOIN sz sa ON sa.doc_id = p.da
+                JOIN sz sb ON sb.doc_id = p.db
+              WHERE 5 * p.inter >= 4 * sa.sz
+              ORDER BY p.da, p.db"""),
+    ),
+
     // Recall tripwire for the staged MinHash pair graph — the q112/
     // q118 pattern applied to the TEXT dedup backbone: the banded-LSH
     // pair graph (threshold 0.5; feeds q33/q68/q70/q90/q109/q111) is

@@ -44,12 +44,17 @@ class PlanHygieneSpec extends SparkSuite {
     //    self-joins and the label-propagation edge ⋈ labels rounds —
     //    the same corpus ⋈ corpus shape as q86 (both sides scale
     //    with the corpus; broadcast would be the bug).
+    //  - q143: the containment join's tail candidate join (prefix ⋈
+    //    full postings) and payload verification joins — the q122
+    //    exact-similarity-join exchanges in directed form.
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
-      "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation"),
+      "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
+      "q143_containment_join"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
-      "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation"))
+      "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
+      "q143_containment_join"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",

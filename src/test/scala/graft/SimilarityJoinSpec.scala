@@ -82,6 +82,57 @@ class SimilarityJoinSpec extends SparkSuite {
     check(fixture, 1, 1)
   }
 
+  /** All ORDERED pairs with tDen·inter ≥ tNum·|A|, by definition. */
+  private def bruteContain(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val a = sets.select(col("id").as("da"), col("ta").as("arr_a"))
+    val b = sets.select(col("id").as("db"), col("ta").as("arr_b"))
+    a.crossJoin(b).filter(col("da") =!= col("db"))
+      .withColumn("inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("sa", size(col("arr_a")).cast("long"))
+      .withColumn("sb", size(col("arr_b")).cast("long"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("sa"))
+      .select(col("da"), col("db"), col("inter"), col("sa"), col("sb"))
+  }
+
+  private def checkContain(sets: DataFrame, tNum: Int, tDen: Int, headK: Int = 64): Unit = {
+    val got = SimilarityJoin.exactContainmentPairs(sets, "id", "ta", tNum, tDen, headK)
+    val want = bruteContain(sets, tNum, tDen)
+    val missing = want.except(got).collect()
+    val extra = got.except(want).collect()
+    assert(missing.isEmpty && extra.isEmpty,
+      s"contain tau=$tNum/$tDen headK=$headK: missing=${missing.take(5).mkString(";")} " +
+        s"extra=${extra.take(5).mkString(";")}")
+    assert(want.count() > 0, s"containment fixture degenerate at $tNum/$tDen")
+  }
+
+  test("containment join equals brute force on the engineered fixture (incl. subset pairs)") {
+    import spark.implicits._
+    // add strict subset pairs — the asymmetric case Jaccard misses:
+    // a 5-element excerpt of a 25-element set has C = 1, J = 0.2
+    val subsets: Seq[(Long, Seq[Long])] = Seq(
+      (600L, (0 until 25).map(i => (60000 + i * 3).toLong)),
+      (601L, (0 until 5).map(i => (60000 + i * 3).toLong)),
+      (602L, (0 until 4).map(i => (60000 + i * 3).toLong) :+ 777777L))
+    val sets = fixture.union(subsets.toDF("id", "ta"))
+    checkContain(sets, 4, 5)
+    checkContain(sets, 1, 2)
+    checkContain(sets, 1, 1)
+    checkContain(sets, 4, 5, headK = 2)
+  }
+
+  test("containment finds the directed subset pair that the Jaccard join excludes") {
+    import spark.implicits._
+    val sets = Seq(
+      (1L, (0 until 25).map(i => i.toLong)),
+      (2L, (0 until 5).map(i => i.toLong))).toDF("id", "ta")
+    val contain = SimilarityJoin.exactContainmentPairs(sets, "id", "ta", 4, 5)
+      .select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(contain.toSet == Set((2L, 1L)), s"got ${contain.toSeq}")
+    val jac = SimilarityJoin.exactJaccardPairs(sets, "id", "ta", 3, 5).count()
+    assert(jac == 0, "Jaccard should exclude the asymmetric pair")
+  }
+
   test("randomized corpora: equality vs brute force holds across seeds and taus") {
     import spark.implicits._
     for (seed <- Seq(7, 42, 1234)) {
@@ -103,8 +154,10 @@ class SimilarityJoinSpec extends SparkSuite {
         (100L + id, (ta.drop(k) ++ (0 until k).map(_ => 5000L + rnd.nextInt(50))).distinct)
       }
       val sets = (originals ++ mutants).toDF("id", "ta")
-      for ((tn, td) <- Seq((1, 2), (3, 5), (4, 5)))
+      for ((tn, td) <- Seq((1, 2), (3, 5), (4, 5))) {
         check(sets, tn, td, headK = 8)
+        checkContain(sets, tn, td, headK = 8)
+      }
     }
   }
 }
