@@ -105,7 +105,10 @@ object Explain {
     "q142_embedding_drift",
     // directed containment join: A-side-only prefix cut, head
     // candidates broadcast, tail prefix ⋈ postings exchange.
-    "q143_containment_join")
+    "q143_containment_join",
+    // skew audit (one fact aggregate + derived-table quantiles) and
+    // nDCG eval (two TakeOrdered cuts, no corpus shuffle).
+    "q144_skew_audit", "q145_ndcg_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

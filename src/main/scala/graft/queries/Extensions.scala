@@ -175,6 +175,67 @@ object Extensions {
               GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
     ),
 
+    // JOIN-SKEW AUDIT — the diagnostic that DECIDES when q94's
+    // salting is needed: per-key row counts of a join key, the
+    // count-distribution quantiles (via ExactMedian's bounded rank
+    // selection — the counts table is derived-size), each hot key's
+    // corpus share, and the recommended salt factor
+    // ceil(cnt / target-rows-per-task) a pipeline would feed straight
+    // into SaltedJoin(factor). The audited key synthesizes a hot key
+    // the q94 way (the testdata's natural keys are uniform): ~70% of
+    // rows collapse onto key 0, so the recommendation is non-trivial
+    // (share ≈ 0.7, salt ≈ 0.7 · tasks).
+    //
+    // Scale shape: ONE fact-table aggregate (map-side partials) to
+    // the per-key counts; everything after runs on the derived counts
+    // table (quantile passes, top-5 TakeOrdered, broadcast scalars).
+    // All decisions exact integers; share is the one rounded double.
+    QueryDef(
+      "q144_skew_audit",
+      (s, dir) => {
+        val c = Tables.lineitem(s, dir)
+          .select(when(col("l_orderkey") % 10 < 7, 0L)
+            .otherwise(col("l_orderkey")).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+          .withColumn("g", lit("all"))
+          .persist()
+        // quantilesDisc runs its selection in double; the selected
+        // values are exact integer counts, so the cast back is lossless
+        // and matches the oracle's BIGINT column type.
+        val qd = graft.operators.ExactMedian
+          .quantilesDisc(c, "g", "cnt", Seq("p50" -> 0.5, "p99" -> 0.99))
+          .select(col("p50").cast("long").as("p50"), col("p99").cast("long").as("p99"))
+        val tot = c.agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("n_keys"), max(col("cnt")).as("max_c"))
+        c.orderBy(col("cnt").desc, col("key")).limit(5)
+          .crossJoin(broadcast(qd))
+          .crossJoin(broadcast(tot))
+          .withColumn("tgt", expr("(total + 31) div 32"))
+          .select(col("key"), col("cnt"),
+            Num.fround(col("cnt").cast("double") / col("total"), 6).as("share"),
+            col("n_keys"), col("total"), col("p50"), col("p99"), col("max_c"),
+            expr("(cnt + tgt - 1) div tgt").as("salt_rec"))
+          .orderBy(col("cnt").desc, col("key"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                             ELSE l_orderkey END AS key,
+                   count(*)::BIGINT AS cnt
+                 FROM lineitem GROUP BY 1),
+               tot AS (
+                 SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys,
+                   max(cnt)::BIGINT AS max_c,
+                   quantile_disc(cnt, 0.5)::BIGINT AS p50,
+                   quantile_disc(cnt, 0.99)::BIGINT AS p99
+                 FROM c),
+               t AS (SELECT *, (total + 31) // 32 AS tgt FROM tot)
+               SELECT key, cnt,
+                 ${Num.froundSql("cnt::DOUBLE / total", 6)} AS share,
+                 n_keys, total, p50, p99, max_c,
+                 ((cnt + tgt - 1) // tgt)::BIGINT AS salt_rec
+               FROM c, t ORDER BY cnt DESC, key LIMIT 5"""),
+    ),
+
     // Binary-payload plumbing at the expression layer: byte length,
     // byte-slice fingerprints, strided frame sampling — the codegen'd
     // complement of operators.Multimodal's mapPartitions stage.

@@ -34,6 +34,12 @@ object Retrieval {
   private val B = 0.75
   private val TopK = 10
 
+  /** Graded relevance used by q145 (and its spec's re-derivation):
+    * the number of distinct query terms the document contains. */
+  private[graft] def relForTest(text: Column): Column =
+    Terms.map(w => when(size(filter(split(text, " "), t => t === w)) > 0, 1)
+      .otherwise(0)).reduce(_ + _)
+
   /** Per-document term frequencies for a CONSTANT term set, as a pure
     * narrow map over the token array (q114's shape: one `filter` count
     * per term — no explode, no (doc, term) shuffle). */
@@ -225,6 +231,106 @@ object Retrieval {
       "q126_maxscore_topk",
       (s, dir) => maxscoreTopK(Tables.documents(s, dir), Terms, TopK),
       Some(bm25Sql(Terms, TopK)),
+    ),
+
+    // nDCG@10 ranking-quality evaluation — the metric a retrieval
+    // deployment tracks per release (did the ranker change hurt?):
+    // the q114-family BM25 top-10 scored against a deterministic
+    // graded relevance (rel = number of distinct query terms the
+    // document contains, 0..3 — the judgment a term-match qrel set
+    // gives), with the ideal ranking recomputed from the whole
+    // corpus. Emits the ranked list (position, doc, rel, discounted
+    // gain) plus the DCG/IDCG/nDCG summary on every row.
+    //
+    // Scale shape: ONE corpus scan (narrow tf maps) feeding two
+    // TakeOrderedAndProject cuts (actual top-10 by rounded score,
+    // ideal top-10 by rel) — the corpus never hash-shuffles; the
+    // position windows see only the constant-K cut rows (the q120
+    // contract). Gains 2^rel − 1 are exact integers; discounts
+    // ln(pos+1)/ln 2 are per-position constants identical in both
+    // engines; rank ties break on doc_id over the 4dp-ROUNDED score
+    // (the q69/q114 rule).
+    QueryDef(
+      "q145_ndcg_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (k1, b) = (K1, B)
+        val perDocF = perDoc(Tables.documents(s, dir), Terms)
+        val statCols = avg(col("dl").cast("double")).as("avgdl") +:
+          Terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L))
+            .cast("double").as(s"df_$w"))
+        val stats = perDocF.agg(count(lit(1)).cast("double").as("n"), statCols: _*)
+        val score = Terms.map { w =>
+          val idf = log((col("n") - col(s"df_$w") + 0.5) / (col(s"df_$w") + 0.5) + 1.0)
+          idf * col(s"tf_$w") * (k1 + 1.0) /
+            (col(s"tf_$w") + (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1)
+        }.reduce(_ + _)
+        val rel = Terms.map(w => when(col(s"tf_$w") > 0, 1).otherwise(0)).reduce(_ + _)
+        val scored = perDocF.crossJoin(broadcast(stats))
+          .select(col("doc_id"), Num.fround(score, 4).as("score"),
+            rel.cast("long").as("rel"))
+          .persist()
+        val ranked = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+          .withColumn("pos",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        val ideal = scored.orderBy(col("rel").desc, col("doc_id")).limit(10)
+          .withColumn("pos",
+            row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+        def gain(df: org.apache.spark.sql.DataFrame) = df.withColumn("g",
+          (pow(lit(2.0), col("rel").cast("double")) - 1.0)
+            / (log(col("pos").cast("double") + 1.0) / math.log(2.0)))
+        val dcg = gain(ranked).agg(sum(col("g")).as("dcg"))
+        val idcg = gain(ideal).agg(sum(col("g")).as("idcg"))
+        gain(ranked)
+          .crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+          .select(col("pos"), col("doc_id"), col("score"), col("rel"),
+            Num.fround(col("g"), 4).as("gain"),
+            Num.fround(col("dcg"), 4).as("dcg"),
+            Num.fround(col("idcg"), 4).as("idcg"),
+            Num.fround(col("dcg") / col("idcg"), 4).as("ndcg"))
+          .orderBy(col("pos"))
+      },
+      Some {
+        val tfCols = Terms.map(w =>
+          s"len(list_filter(string_split(text, ' '), t -> t = '$w'))::DOUBLE AS tf_$w")
+          .mkString(",\n                   ")
+        val dfCols = Terms.map(w =>
+          s"sum(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$w")
+          .mkString(",\n                   ")
+        val scoreSql = Terms.map(w =>
+          s"""ln((n - df_$w + 0.5) / (df_$w + 0.5) + 1) * tf_$w * ${K1 + 1.0}
+              / (tf_$w + (dl / avgdl * $B + ${1.0 - B}) * $K1)""").mkString(" + ")
+        val relSql = Terms.map(w => s"(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val gainSql = "(pow(2.0, rel::DOUBLE) - 1.0) / (ln(pos::DOUBLE + 1.0) / ln(2.0))"
+        s"""WITH per_doc AS (
+               SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
+                 $tfCols
+               FROM documents),
+             stats AS (
+               SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+                 $dfCols
+               FROM per_doc),
+             scored AS (
+               SELECT doc_id, ${Num.froundSql(scoreSql, 4)} AS score,
+                 ($relSql)::BIGINT AS rel
+               FROM per_doc, stats),
+             ranked AS (
+               SELECT doc_id, score, rel,
+                 row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS pos
+               FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+             ideal AS (
+               SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)::BIGINT AS pos
+               FROM scored ORDER BY rel DESC, doc_id LIMIT 10),
+             d AS (SELECT sum($gainSql) AS dcg FROM ranked),
+             i AS (SELECT sum($gainSql) AS idcg FROM ideal)
+             SELECT pos, doc_id, score, rel,
+               ${Num.froundSql(gainSql, 4)} AS gain,
+               ${Num.froundSql("dcg", 4)} AS dcg,
+               ${Num.froundSql("idcg", 4)} AS idcg,
+               ${Num.froundSql("dcg / idcg", 4)} AS ndcg
+             FROM ranked, d, i ORDER BY pos"""
+      },
     ),
   )
 }

@@ -87,6 +87,25 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got == expected && got.size == 3, s"got $got")
   }
 
+  test("q144 skew audit: hot key carries ~70% share and gets a multi-way salt recommendation") {
+    val rows = SparkEntry.queries("q144_skew_audit")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 5)
+    val hot = rows.head
+    assert(hot.getAs[Long]("key") == 0L, "hot key must rank first")
+    val share = hot.getAs[Double]("share")
+    assert(share > 0.6 && share < 0.8, s"hot share $share not ~0.7")
+    // salt ≈ ceil(share · 32 tasks): the factor a pipeline feeds SaltedJoin
+    val salt = hot.getAs[Long]("salt_rec")
+    assert(salt >= 20 && salt <= 24, s"hot salt_rec $salt not ~0.7*32")
+    rows.tail.foreach { r =>
+      assert(r.getAs[Long]("salt_rec") == 1L,
+        s"uniform key ${r.getAs[Long]("key")} should not need salting")
+    }
+    assert(hot.getAs[Long]("p50") <= hot.getAs[Long]("p99")
+      && hot.getAs[Long]("p99") <= hot.getAs[Long]("max_c"))
+    assert(hot.getAs[Long]("cnt") == hot.getAs[Long]("max_c"))
+  }
+
   test("salted skew join equals plain join and splits the hot key") {
     val left = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
       .toDF("key", "v")

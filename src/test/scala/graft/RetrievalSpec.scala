@@ -117,4 +117,29 @@ class RetrievalSpec extends SparkSuite {
     assert(plan.contains("Filter"), s"expected a pruning filter in:\n$plan")
     assert(df.count() == 10)
   }
+
+  test("q145 nDCG: metric laws — dcg <= idcg, ndcg in (0,1], ideal is the rel-sorted cut") {
+    val rows = SparkEntry.queries("q145_ndcg_eval")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to 10L))
+    val dcg = rows.head.getAs[Double]("dcg")
+    val idcg = rows.head.getAs[Double]("idcg")
+    val ndcg = rows.head.getAs[Double]("ndcg")
+    assert(idcg >= dcg - 1e-9, s"idcg $idcg < dcg $dcg")
+    assert(ndcg > 0 && ndcg <= 1.0 + 1e-9, s"ndcg $ndcg out of range")
+    assert(math.abs(ndcg - dcg / idcg) < 2e-4)
+    // recompute DCG from the per-position rows
+    val manual = rows.map { r =>
+      val rel = r.getAs[Long]("rel").toDouble
+      (math.pow(2.0, rel) - 1.0) / (math.log(r.getAs[Long]("pos") + 1.0) / math.log(2.0))
+    }.sum
+    assert(math.abs(manual - dcg) < 1e-2, s"per-row gains $manual don't sum to dcg $dcg")
+    // an ideal re-derivation from the corpus: top-10 rels sorted desc
+    val rels = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.queries.Retrieval.relForTest(col("text")).as("rel")).collect()
+      .map(_.getAs[Int]("rel").toLong).sorted(Ordering[Long].reverse).take(10)
+    val idealManual = rels.zipWithIndex.map { case (rel, i) =>
+      (math.pow(2.0, rel.toDouble) - 1.0) / (math.log(i + 2.0) / math.log(2.0))
+    }.sum
+    assert(math.abs(idealManual - idcg) < 1e-2, s"ideal recompute $idealManual != idcg $idcg")
+  }
 }
