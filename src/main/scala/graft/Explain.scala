@@ -108,7 +108,10 @@ object Explain {
     "q143_containment_join",
     // skew audit (one fact aggregate + derived-table quantiles) and
     // nDCG eval (two TakeOrdered cuts, no corpus shuffle).
-    "q144_skew_audit", "q145_ndcg_eval")
+    "q144_skew_audit", "q145_ndcg_eval",
+    // diversity audit (derived count table + broadcasts) and
+    // k-anonymity gate (bounded-cardinality aggregate + summary).
+    "q146_corpus_diversity", "q147_k_anonymity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1131,6 +1131,53 @@ object Curation {
                 ${Num.froundSql("n_subwords::DOUBLE / n_words", 4)} AS fertility
               FROM agg ORDER BY lang"""),
     ),
+
+    // K-ANONYMITY audit over quasi-identifiers — the privacy
+    // complement of q62's PII redaction: a released corpus where a
+    // (lang, source, size-bucket) combination identifies fewer than
+    // K documents lets those documents be re-identified by metadata
+    // alone (Sweeney's k-anonymity); release gates suppress or
+    // generalize the risky groups. Emits every risky group with its
+    // size plus the corpus-level exposure summary (group counts and
+    // documents at risk) on each row.
+    //
+    // Scale shape: ONE corpus aggregate to the quasi-identifier
+    // group counts (map-side partials; group cardinality is bounded
+    // by the identifier domain, not the corpus), then a 1-row
+    // summary aggregate over the derived group table broadcast back.
+    // Exact integers only.
+    QueryDef(
+      "q147_k_anonymity",
+      (s, dir) => {
+        val K = 5
+        val g = Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("size_bucket"))
+          .groupBy(col("lang"), col("source"), col("size_bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .persist()
+        val summary = g.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_docs") < K, 1L).otherwise(0L)).as("n_risky"),
+          sum(when(col("n_docs") < K, col("n_docs")).otherwise(0L)).as("docs_at_risk"))
+        g.filter(col("n_docs") < K)
+          .crossJoin(broadcast(summary))
+          .select(col("lang"), col("source"), col("size_bucket"), col("n_docs"),
+            col("n_groups"), col("n_risky"), col("docs_at_risk"))
+          .orderBy(col("lang"), col("source"), col("size_bucket"))
+      },
+      Some("""WITH g AS (
+                SELECT lang, source, n_chars // 100 AS size_bucket,
+                  count(*)::BIGINT AS n_docs
+                FROM documents GROUP BY 1, 2, 3),
+              s AS (SELECT count(*)::BIGINT AS n_groups,
+                      sum(CASE WHEN n_docs < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky,
+                      sum(CASE WHEN n_docs < 5 THEN n_docs ELSE 0 END)::BIGINT AS docs_at_risk
+                    FROM g)
+              SELECT lang, source, size_bucket, n_docs,
+                n_groups, n_risky, docs_at_risk
+              FROM g, s WHERE n_docs < 5
+              ORDER BY lang, source, size_bucket"""),
+    ),
   )
 
 }

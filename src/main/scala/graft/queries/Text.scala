@@ -1748,5 +1748,57 @@ object Text {
                    THEN 1 ELSE 0 END AS recall_ok
                FROM h, tt, tg"""),
     ),
+
+    // CORPUS DIVERSITY audit per source — the curation dashboard
+    // numbers that flag a collapsed/templated source before it
+    // poisons a mixture (Lee et al. observed dedup lifts downstream
+    // accuracy partly BECAUSE repetition collapses diversity):
+    // token volume, vocabulary size, corpus-level type-token ratio,
+    // and the unigram Shannon entropy of each source's token
+    // distribution (low entropy = boilerplate/template dominance).
+    //
+    // Scale shape: one corpus collapse to (source, token, count) —
+    // every later stage runs on the derived count table: per-source
+    // totals are a second aggregate over it, the entropy sum joins
+    // totals back as a |sources|-row broadcast. Counts exact
+    // integers; entropy is the one ln-derived column (fround 4, the
+    // q87 rule).
+    QueryDef(
+      "q146_corpus_diversity",
+      (s, dir) => {
+        val wc = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+          .persist()
+        val tot = wc.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+        val p = col("c").cast("double") / col("n_tokens")
+        wc.join(broadcast(tot), Seq("source"))
+          .groupBy(col("source"))
+          .agg(max(col("n_tokens")).as("n_tokens"), max(col("vocab")).as("vocab"),
+            Num.fround(sum(-p * log(p)), 4).as("entropy"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            Num.fround(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"),
+            col("entropy"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH wc AS (
+                 SELECT source, w, count(*)::BIGINT AS c FROM (
+                   SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+                 GROUP BY source, w),
+               tot AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+                         count(*)::BIGINT AS vocab
+                       FROM wc GROUP BY source),
+               e AS (SELECT wc.source,
+                       ${Num.froundSql("sum(-(c::DOUBLE / n_tokens) * ln(c::DOUBLE / n_tokens))", 4)} AS entropy
+                     FROM wc JOIN tot ON tot.source = wc.source
+                     GROUP BY wc.source)
+               SELECT tot.source, n_tokens, vocab,
+                 ${Num.froundSql("vocab::DOUBLE / n_tokens", 6)} AS ttr,
+                 entropy
+               FROM tot JOIN e ON e.source = tot.source
+               ORDER BY tot.source"""),
+    ),
   )
 }

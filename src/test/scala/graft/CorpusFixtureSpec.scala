@@ -65,4 +65,40 @@ class CorpusFixtureSpec extends SparkSuite {
     val scores = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(scores(1L) > scores(2L), s"idf ordering violated: $scores")
   }
+
+  test("q146 diversity law: a templated source scores lower entropy than a diverse one") {
+    // src_flat repeats one word; src_rich uses all-distinct words of
+    // the same volume. Entropy must separate them (0 vs ln 12), and
+    // ttr/vocab must reconcile exactly.
+    val flat = (0 until 3).map(i => (i.toLong, "spam spam spam spam", "src_flat"))
+    val rich = (3 until 6).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d", "src_rich"))
+    val dir = docsDir(flat ++ rich)
+    val rows = SparkEntry.queries("q146_corpus_diversity")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val f = rows("src_flat"); val r = rows("src_rich")
+    assert(f.getAs[Double]("entropy") == 0.0, s"one-word source entropy ${f.getAs[Double]("entropy")}")
+    assert(math.abs(r.getAs[Double]("entropy") - math.log(12.0)) < 1e-3)
+    assert(f.getAs[Long]("vocab") == 1L && r.getAs[Long]("vocab") == 12L)
+    assert(f.getAs[Long]("n_tokens") == 12L && r.getAs[Long]("n_tokens") == 12L)
+    assert(r.getAs[Double]("ttr") > f.getAs[Double]("ttr"))
+  }
+
+  test("q147 k-anonymity law: risky groups are exactly the size<5 groups, summary reconciles") {
+    val rows = SparkEntry.queries("q147_k_anonymity")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "no risky group at sf0.001 — fixture vacuous")
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") < 5))
+    val summaryRisk = rows.head.getAs[Long]("n_risky")
+    assert(rows.length.toLong == summaryRisk,
+      s"${rows.length} emitted rows != summary n_risky $summaryRisk")
+    val atRisk = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(atRisk == rows.head.getAs[Long]("docs_at_risk"))
+    // independent recomputation of one group's count
+    val g = rows.head
+    val direct = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === g.getAs[String]("lang")
+        && col("source") === g.getAs[String]("source")
+        && expr("n_chars div 100") === g.getAs[Long]("size_bucket")).count()
+    assert(direct == g.getAs[Long]("n_docs"))
+  }
 }
