@@ -199,12 +199,25 @@ object Extensions {
           .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
           .withColumn("g", lit("all"))
           .persist()
-        // quantilesDisc runs its selection in double; the selected
-        // values are exact integer counts, so the cast back is lossless
-        // and matches the oracle's BIGINT column type.
-        val qd = graft.operators.ExactMedian
-          .quantilesDisc(c, "g", "cnt", Seq("p50" -> 0.5, "p99" -> 0.99))
-          .select(col("p50").cast("long").as("p50"), col("p99").cast("long").as("p99"))
+        // Count-of-counts quantiles: the count DISTRIBUTION has few
+        // distinct values (multiplicities) even when the key space is
+        // huge, so the exact discrete quantile is a cumulative walk
+        // over the ≤|distinct multiplicities|-row aggregate — NOT an
+        // ExactMedian range-bucket selection, whose buckets this
+        // distribution's 5-orders-of-magnitude value skew collapses
+        // into one (the documented sliver case: 3.8 → 0.9 s at
+        // sf0.1). Same rank convention: smallest value whose
+        // cumulative count reaches ceil(n·p).
+        import org.apache.spark.sql.expressions.Window
+        val cc = c.groupBy(col("cnt")).agg(count(lit(1)).as("k"))
+        val wCum = Window.orderBy(col("cnt"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = cc.withColumn("cum", sum(col("k")).over(wCum))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("nk"))))
+        def qAt(p: Double) =
+          min(when(col("cum") >= greatest(lit(1L),
+            ceil(col("nk") * lit(p)).cast("long")), col("cnt")))
+        val qd = cum.agg(qAt(0.5).as("p50"), qAt(0.99).as("p99"))
         val tot = c.agg(sum(col("cnt")).as("total"),
           count(lit(1)).as("n_keys"), max(col("cnt")).as("max_c"))
         c.orderBy(col("cnt").desc, col("key")).limit(5)

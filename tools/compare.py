@@ -38,6 +38,31 @@ def norm_cell(v):
     return v
 
 
+def _kind(dtype) -> str:
+    k = getattr(dtype, "kind", "?")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
+def _dtype_clash(duck: pd.DataFrame, spark: pd.DataFrame) -> str:
+    """Columns where one engine yields ints and the other floats —
+    equal-valued but hash-divergent under a typed compare."""
+    clashes = []
+    for c in duck.columns:
+        kd, ks = _kind(duck[c].dtype), _kind(spark[c].dtype)
+        # pandas promotes nullable ints to float64; only flag the
+        # all-values-integral float vs int case when there are no NaNs
+        # (a NaN column legitimately differs in dtype, not meaning)
+        if {kd, ks} == {"int", "float"}:
+            fcol = duck[c] if kd == "float" else spark[c]
+            if not fcol.isna().any():
+                clashes.append(f"{c}: duck={duck[c].dtype} spark={spark[c].dtype}")
+    return "; ".join(clashes)
+
+
 def frame_rows(df: pd.DataFrame):
     df = df[sorted(df.columns)]
     return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
@@ -70,6 +95,12 @@ def main():
         if sorted(duck.columns) != sorted(spark.columns):
             ok = False
             reasons.append(f"cols duck={sorted(duck.columns)} spark={sorted(spark.columns)}")
+        elif _dtype_clash(duck, spark):
+            # int-vs-float column kind mismatch: values may still
+            # compare equal here (598 == 598.0) but the driver-side
+            # hash of typed values would diverge — fail loudly.
+            ok = False
+            reasons.append("dtype clash: " + _dtype_clash(duck, spark))
         elif len(duck) != len(spark):
             ok = False
             reasons.append(f"rows duck={len(duck)} spark={len(spark)}")
