@@ -51,4 +51,31 @@ object StreamJoin {
         unix_micros(col("v_ts")).as("view_ts_us"),
         unix_micros(col("c_ts")).as("click_ts_us"))
   }
+
+  /** LEFT-OUTER form: every view emits — matched rows as they pair,
+    * UNMATCHED views (no same-user click in the horizon) with null
+    * click columns once the watermark proves no future click can
+    * still match (v_ts + horizon falls behind the joint watermark).
+    * The funnel-analysis shape: conversion AND abandonment from one
+    * operator. Null-side emission is watermark-driven, so a batch
+    * replay must advance event time past the horizon before the
+    * abandoned views appear — the spec drives that with a sentinel
+    * batch. */
+  def attributedOuter(views: DataFrame, clicks: DataFrame,
+      horizonMin: Int = 10, watermark: String = "30 minutes"): DataFrame = {
+    val v = views
+      .select(col("view_id"), col("user_id").as("v_user"),
+        timestamp_micros(col("ts_us")).as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val c = clicks
+      .select(col("click_id"), col("user_id").as("c_user"),
+        timestamp_micros(col("ts_us")).as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    v.join(c,
+        expr(s"c_user = v_user AND v_ts <= c_ts AND c_ts <= v_ts + interval $horizonMin minutes"),
+        "leftOuter")
+      .select(col("view_id"), col("v_user").as("user_id"),
+        unix_micros(col("v_ts")).as("view_ts_us"),
+        col("click_id"), unix_micros(col("c_ts")).as("click_ts_us"))
+  }
 }

@@ -273,6 +273,55 @@ class StreamingSpec extends SparkSuite {
       s"stream-only: ${streamed.diff(batch).take(5)}; batch-only: ${batch.diff(streamed).take(5)}")
   }
 
+  test("left-outer stream-stream join: abandonment rows emit after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoin
+    import graft.streaming.StreamJoin.{ClickEv, ViewEv}
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts_us"))
+      .as[ViewEv].collect().sortBy(_.ts_us)
+    val clicks = evs.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      .as[ClickEv].collect().sortBy(_.ts_us)
+    val maxTs = (views.map(_.ts_us) ++ clicks.map(_.ts_us)).max
+    // sentinels far past max + horizon + watermark advance both
+    // sides' watermarks so every real view's horizon has expired
+    val sentinelTs = maxTs + 10L * 3600 * 1000000
+    val vs = MemoryStream[ViewEv]
+    val cs = MemoryStream[ClickEv]
+    val q = StreamJoin.attributedOuter(vs.toDF(), cs.toDF())
+      .writeStream.format("memory").queryName("attr_outer_mem")
+      .outputMode("append").start()
+    vs.addData(views.toSeq)
+    cs.addData(clicks.toSeq)
+    q.processAllAvailable()
+    vs.addData(Seq(ViewEv(-1L, -1L, sentinelTs)))
+    cs.addData(Seq(ClickEv(-2L, -1L, sentinelTs)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_outer_mem")
+      .filter(col("view_id") =!= -1L) // drop the sentinel's own row(s)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    // batch oracle: inner matches + left-anti abandonment
+    val vDf = spark.createDataset(views.toSeq).toDF()
+    val cDf = spark.createDataset(clicks.toSeq).toDF()
+    val inner = StreamJoin.attributed(vDf, cDf)
+      .select(col("view_id"), col("user_id"), col("view_ts_us"),
+        col("click_id"), col("click_ts_us"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    val abandoned = StreamJoin.attributedOuter(vDf, cDf)
+      .filter(col("click_id").isNull)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(abandoned.nonEmpty, "fixture vacuous: every view converted")
+    val expected = inner ++ abandoned
+    assert(streamed == expected,
+      s"stream-only: ${streamed.diff(expected).take(5)}; batch-only: ${expected.diff(streamed).take(5)}")
+  }
+
   test("streaming sequence packing (O(1)-per-lang state) == batch q81, partial tails included") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.SequencePacking
