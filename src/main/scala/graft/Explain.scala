@@ -111,7 +111,10 @@ object Explain {
     "q144_skew_audit", "q145_ndcg_eval",
     // diversity audit (derived count table + broadcasts) and
     // k-anonymity gate (bounded-cardinality aggregate + summary).
-    "q146_corpus_diversity", "q147_k_anonymity")
+    "q146_corpus_diversity", "q147_k_anonymity",
+    // triangle census (degree-ordered wedge join) and SES forecast
+    // (one aggregate + broadcast scalar, window-free).
+    "q148_triangle_count", "q149_exp_smoothing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -686,5 +686,90 @@ object Clustering {
                  (coalesce(l2.lbl, -1) = lab.label) AS hit
                FROM l2 JOIN lab USING (vec_id) ORDER BY l2.vec_id"""),
     ),
+
+    // TRIANGLE COUNTING over the kNN graph (undirected form of
+    // q136's edges) — the third classic distributed graph kernel
+    // next to connected components and PageRank; triangles/
+    // clustering coefficient measure neighborhood density (how
+    // clique-like the semantic space is — a dedup signal: heavy
+    // triangle mass = redundant regions).
+    //
+    // Scale shape: the DEGREE-ORDERED orientation (each edge points
+    // low-(degree, id) → high) bounds every node's out-degree by
+    // O(sqrt(|E|)), so the wedge self-join — the quadratic step —
+    // fans out per node by out-degree², never raw degree² (the
+    // standard node-iterator++ bound; a celebrity node with 10⁶
+    // followers still has small OUT-degree). Wedges then semi-join
+    // the oriented edge set to close. The oracle does NOT mirror the
+    // orientation: it counts a<b<c sorted-id triangles by plain
+    // 3-way join — an independent algorithm, so the hash match
+    // proves the orientation loses nothing (the q126/q143 stance).
+    QueryDef(
+      "q148_triangle_count",
+      (s, dir) => {
+        val e = knnRanked(s, dir)
+          .select(least(col("va"), col("vb")).as("da"),
+            greatest(col("va"), col("vb")).as("db"))
+          .distinct().persist()
+        val deg = e.select(col("da").as("v")).unionByName(e.select(col("db").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg")).persist()
+        // orient: (deg, id)-ascending — attach both endpoint degrees,
+        // flip when the target sorts lower
+        val withDeg = e
+          .join(deg.select(col("v").as("da"), col("deg").as("dega")), Seq("da"))
+          .join(deg.select(col("v").as("db"), col("deg").as("degb")), Seq("db"))
+        val oriented = withDeg.select(
+            when(struct(col("dega"), col("da")) < struct(col("degb"), col("db")),
+              struct(col("da").as("src"), col("db").as("dst")))
+              .otherwise(struct(col("db").as("src"), col("da").as("dst"))).as("o"))
+          .select(col("o.src").as("src"), col("o.dst").as("dst"))
+          .persist()
+        val wedges = oriented.as("e1").join(oriented.as("e2"), Seq("src"))
+          .filter(col("e1.dst") < col("e2.dst"))
+          .select(col("src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+        // close the wedge: (v, w) is id-ordered (v < w), exactly how
+        // the undirected edge set stores it — a direct equi-join
+        val tri = wedges.join(e.select(col("da").as("v"), col("db").as("w")), Seq("v", "w"))
+          .persist()
+        val summary = tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+          .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+            sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))))
+        val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+        perNode.join(deg, Seq("v"))
+          .crossJoin(broadcast(summary))
+          .select(col("v").as("vec_id"), col("deg"), col("n_tri"),
+            col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+            Num.fround(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+              .as("global_clustering"))
+          .orderBy(col("n_tri").desc, col("vec_id")).limit(20)
+      },
+      Some(s"""WITH $knnSqlCtes,
+               ed AS MATERIALIZED (
+                 SELECT DISTINCT least(va, vb) AS da, greatest(va, vb) AS db
+                 FROM knn),
+               deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+                         SELECT da AS v FROM ed UNION ALL SELECT db AS v FROM ed)
+                       GROUP BY v),
+               tri AS MATERIALIZED (
+                 SELECT e1.da AS a, e1.db AS b, e2.db AS c
+                 FROM ed e1 JOIN ed e2 ON e2.da = e1.db
+                   JOIN ed e3 ON e3.da = e1.da AND e3.db = e2.db),
+               sm AS (SELECT (SELECT count(*)::BIGINT FROM tri) AS n_triangles,
+                        (SELECT count(*)::BIGINT FROM ed) AS n_edges,
+                        (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+                        (SELECT sum(deg * (deg - 1) // 2)::BIGINT FROM deg) AS n_wedges),
+               pn AS (SELECT v, count(*)::BIGINT AS n_tri FROM (
+                        SELECT a AS v FROM tri UNION ALL
+                        SELECT b AS v FROM tri UNION ALL
+                        SELECT c AS v FROM tri)
+                      GROUP BY v)
+               SELECT pn.v AS vec_id, deg.deg, pn.n_tri,
+                 sm.n_nodes, sm.n_edges, sm.n_triangles, sm.n_wedges,
+                 ${Num.froundSql("(3.0::DOUBLE) * sm.n_triangles / sm.n_wedges", 6)} AS global_clustering
+               FROM pn JOIN deg ON deg.v = pn.v, sm
+               ORDER BY pn.n_tri DESC, vec_id LIMIT 20"""),
+    ),
   )
 }

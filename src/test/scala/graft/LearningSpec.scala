@@ -242,6 +242,53 @@ class LearningSpec extends SparkSuite {
     assert(flagged <= 2, s"$flagged of 64 dims flagged on the null split")
   }
 
+  test("q148: triangle census matches a driver-side brute force over the kNN edges") {
+    val edges = SparkEntry.queries("q136_knn_graph")(spark, sfDir).collect()
+      .map(r => {
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("neighbor")
+        (math.min(a, b), math.max(a, b))
+      }).distinct
+    val eset = edges.toSet
+    val byNode = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var triangles = 0L
+    for ((a, b) <- edges; c <- byNode(a) if c > b && eset.contains((b, c))) triangles += 1
+    val rows = SparkEntry.queries("q148_triangle_count")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no triangles at sf0.001 — graph fixture vacuous")
+    val got = rows.head.getAs[Long]("n_triangles")
+    assert(got == triangles, s"engine $got triangles != brute force $triangles")
+    assert(rows.head.getAs[Long]("n_edges") == edges.length)
+    val cc = rows.head.getAs[Double]("global_clustering")
+    assert(cc > 0 && cc <= 1.0 + 1e-9, s"clustering coefficient $cc out of range")
+    // per-node counts sum to 3 × triangles over ALL nodes; the top-20
+    // cut shown must each participate in >= 1 triangle
+    rows.foreach(r => assert(r.getAs[Long]("n_tri") >= 1))
+  }
+
+  test("q149: SES forecast is a convex-bounded recency blend; one user re-derived") {
+    val rows = SparkEntry.queries("q149_exp_smoothing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val counts = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div $hourNs").as("h"))
+      .groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("h"), r.getAs[Long]("n")))
+    val tmax = counts.map(_._2).max
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val mine = counts.filter(_._1 == u)
+      val maxN = mine.map(_._3).max.toDouble
+      val f = r.getAs[Double]("forecast")
+      // a long-dormant user's weights all underflow the 6dp rounding:
+      // forecast 0.0 is the correct "expect nothing" answer
+      assert(f >= 0 && f <= maxN + 1e-9, s"user $u forecast $f outside [0, max=$maxN]")
+      val manual = mine.map { case (_, h, n) =>
+        0.5 * math.pow(0.5, (tmax - h).toDouble) * n }.sum
+      assert(math.abs(f - manual) < 1e-5, s"user $u forecast $f != recompute $manual")
+      assert(r.getAs[Long]("n_hours_active") == mine.length)
+    }
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).

@@ -50,11 +50,11 @@ class PlanHygieneSpec extends SparkSuite {
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
-      "q143_containment_join"),
+      "q143_containment_join", "q148_triangle_count"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
-      "q143_containment_join"))
+      "q143_containment_join", "q148_triangle_count"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
