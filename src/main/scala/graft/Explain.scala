@@ -114,7 +114,10 @@ object Explain {
     "q146_corpus_diversity", "q147_k_anonymity",
     // triangle census (degree-ordered wedge join) and SES forecast
     // (one aggregate + broadcast scalar, window-free).
-    "q148_triangle_count", "q149_exp_smoothing")
+    "q148_triangle_count", "q149_exp_smoothing",
+    // PQ encode: trained codebooks as plan literals, narrow argmin
+    // map, output sort as the only exchange.
+    "q150_pq_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1268,5 +1268,122 @@ object Vectors {
             FROM s ORDER BY dim"""
       },
     ),
+
+    // PRODUCT QUANTIZATION encode (Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search") — the third
+    // compression rung after int8 scalar quantization (q71) and JL
+    // projection (q129), and the codebook form every billion-vector
+    // ANN deployment ships: 64 dims split into 8 subspaces of 8,
+    // each with an 8-centroid codebook, so a vector stores as 8
+    // 3-bit codes (24 bits vs 2048) and asymmetric distance runs
+    // from 8 lookup tables.
+    //
+    // Scale contract (the q97/q104 stance per subspace): codebooks
+    // train on the constant-size modulus sample (m = n/(K·32) —
+    // sample ≈ 256 vectors at any corpus), one Lloyd refinement at
+    // 6dp; driver/plan state is S·K·D = 512 doubles, corpus-
+    // independent. The encode pass is a pure narrow map (argmin over
+    // 8 plan-literal centroids per subspace — no join, no shuffle);
+    // the output order sort is the only exchange.
+    //
+    // Cross-engine: subvector slices of the exact double-cast array,
+    // fixed-fold distances, per-subspace argmin ties to the lower
+    // code, codes = seed rank by sampled vec_id on both engines;
+    // recon_err = fixed-order sum of the 8 subspace distances,
+    // fround 4.
+    QueryDef(
+      "q150_pq_encode",
+      (s, dir) => {
+        graft.functions.SqDistF.register(s)
+        val S = 8; val D = 8; val K = 8
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+          .persist()
+        val m = math.max(1L, base.count() / (K * 32))
+        val sample = base.filter(col("vec_id") % m === 0).persist()
+        val books: IndexedSeq[Seq[(Long, Seq[Double])]] = (0 until S).map { sp =>
+          val sub = sample.select(col("vec_id"),
+            expr(s"slice(e, ${sp * D + 1}, $D)").as("e"))
+          val seeds = sub.filter(col("vec_id") < K * m).collect()
+            .sortBy(_.getAs[Long]("vec_id")).zipWithIndex
+            .map { case (r, i) => i.toLong -> r.getSeq[Double](1) }.toSeq
+          val assigned = sub.withColumn("best",
+              array_min(array(seeds.map { case (cid, c) =>
+                struct(graft.functions.SqDistF.distCol(col("e"), typedLit(c)).as("dist"),
+                  lit(cid).as("cid")) }: _*)))
+            .select(col("best.cid").as("cid"), col("e"))
+          val p = 1000000d
+          assigned.select(col("cid"), posexplode(col("e")).as(Seq("i", "x")))
+            .groupBy(col("cid"), col("i")).agg(avg(col("x")).as("mu"))
+            .collect()
+            .groupBy(_.getAs[Long]("cid"))
+            .map { case (cid, rows) =>
+              cid -> rows.sortBy(_.getAs[Int]("i"))
+                .map(r => math.floor(r.getAs[Double]("mu") * p + 0.5) / p).toSeq
+            }.toSeq.sortBy(_._1)
+        }
+        val sliced = base.select(col("vec_id") +:
+          (0 until S).map(sp => expr(s"slice(e, ${sp * D + 1}, $D)").as(s"e$sp")): _*)
+        val withCodes = (0 until S).foldLeft(sliced) { (df, sp) =>
+          df.withColumn(s"b$sp", array_min(array(books(sp).map { case (cid, c) =>
+            struct(graft.functions.SqDistF.distCol(col(s"e$sp"), typedLit(c)).as("dist"),
+              lit(cid).as("cid")) }: _*)))
+        }
+        withCodes.select(col("vec_id"),
+            array((0 until S).map(sp => col(s"b$sp.cid")): _*).as("codes"),
+            Num.fround((0 until S).map(sp => col(s"b$sp.dist")).reduce(_ + _), 4)
+              .as("recon_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val S = 8; val D = 8; val K = 8
+        def dist(lo: Int, a: String, c: String) =
+          s"list_sum([($a[${lo} + i - 1] - $c[i]) * ($a[${lo} + i - 1] - $c[i]) for i in generate_series(1, $D)])"
+        def distSub(a: String, c: String) =
+          s"list_sum([($a[i] - $c[i]) * ($a[i] - $c[i]) for i in generate_series(1, $D)])"
+        val perSub = (0 until S).map { sp =>
+          val lo = sp * D + 1
+          s"""s$sp AS (SELECT vec_id, e[$lo:${lo + D - 1}] AS sub FROM smp),
+              c0$sp AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cid, s.sub AS c
+                        FROM s$sp s, prm WHERE s.vec_id < $K * prm.m),
+              d1$sp AS (SELECT s.vec_id, c0.cid, ${distSub("s.sub", "c0.c")} AS dist
+                        FROM s$sp s, c0$sp c0),
+              a1$sp AS (SELECT vec_id, cid FROM (
+                          SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                          FROM d1$sp) WHERE rn = 1),
+              up$sp AS (SELECT a.cid, t.i, ${Num.froundSql("avg(s.sub[t.i])", 6)} AS x
+                        FROM a1$sp a JOIN s$sp s USING (vec_id),
+                          LATERAL (SELECT unnest(generate_series(1, $D)) AS i) t
+                        GROUP BY a.cid, t.i),
+              c1$sp AS MATERIALIZED (SELECT cid, list(x ORDER BY i) AS c
+                                     FROM up$sp GROUP BY cid),
+              enc$sp AS MATERIALIZED (
+                SELECT vec_id, cid, dist FROM (
+                  SELECT e.vec_id, c1.cid,
+                    ${dist(lo, "e.e", "c1.c")} AS dist,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${dist(lo, "e.e", "c1.c")}, c1.cid) AS rn
+                  FROM e, c1$sp c1) WHERE rn = 1)"""
+        }.mkString(",\n              ")
+        val joins = (0 until S).map(sp =>
+          s"JOIN enc$sp ON enc$sp.vec_id = e.vec_id").mkString("\n               ")
+        val codes = (0 until S).map(sp => s"enc$sp.cid").mkString("[", ", ", "]")
+        val errSum = (0 until S).map(sp => s"enc$sp.dist").mkString(" + ")
+        s"""WITH e AS MATERIALIZED (
+                SELECT vec_id,
+                  [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS e
+                FROM embeddings),
+              prm AS (SELECT greatest(1, count(*) // ${K * 32}) AS m FROM e),
+              smp AS (SELECT e.* FROM e, prm WHERE e.vec_id % prm.m = 0),
+              $perSub
+              SELECT e.vec_id, $codes AS codes,
+                ${Num.froundSql(errSum, 4)} AS recon_err
+              FROM e
+               $joins
+              ORDER BY e.vec_id"""
+      },
+    ),
   )
 }

@@ -289,6 +289,30 @@ class LearningSpec extends SparkSuite {
     }
   }
 
+  test("q150: PQ codes are in range and reconstruction beats the zero-vector baseline") {
+    val rows = SparkEntry.queries("q150_pq_encode")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](r.fieldIndex("codes"))
+      assert(codes.length == 8)
+      assert(codes.forall(c => c >= 0 && c < 8), s"code out of range: $codes")
+      assert(r.getAs[Double]("recon_err") >= 0)
+    }
+    // mean PQ residual must beat encoding everything as the zero
+    // vector (whose residual is ||x||²) — the trained-codebook
+    // sanity floor
+    val meanErr = rows.map(_.getAs[Double]("recon_err")).sum / rows.length
+    val meanNorm = Tables.embeddings(spark, sfDir)
+      .select(graft.functions.VectorFns.normSqF("embedding").as("n"))
+      .collect().map(_.getDouble(0)).sum / rows.length
+    // on this near-isotropic synthetic corpus 8 centroids per 8-dim
+    // subspace retain ~30% of the energy (measured 0.71 residual at
+    // unit norm); the hard law is strict improvement over the
+    // zero-vector code, with margin
+    assert(meanErr < 0.9 * meanNorm,
+      s"PQ residual $meanErr not meaningfully below zero-code baseline $meanNorm")
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).
