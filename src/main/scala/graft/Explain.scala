@@ -117,7 +117,7 @@ object Explain {
     "q148_triangle_count", "q149_exp_smoothing",
     // PQ encode: trained codebooks as plan literals, narrow argmin
     // map, output sort as the only exchange.
-    "q150_pq_encode")
+    "q150_pq_encode", "q151_pq_adc_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -23,6 +23,9 @@ import graft.functions.{Num, VectorFns}
 object Vectors {
 
   private val N_PROBES = 8
+  private val PqS = 8
+  private val PqD = 8
+  private val PqK = 8
 
   private def corpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.functions.DotProductF.register(s)
@@ -1269,6 +1272,106 @@ object Vectors {
       },
     ),
 
+    PqEncodeDef,
+    PqAdcDef,
+  )
+
+  /** PQ training: per-subspace codebooks on the constant modulus
+    * sample (one 6dp Lloyd refinement — the q97 contract applied per
+    * subspace), plus the persisted double-cast corpus. Driver state:
+    * S·K·D = 512 doubles, corpus-independent. */
+  private def pqTrained(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, IndexedSeq[Seq[(Long, Seq[Double])]]) = {
+    graft.functions.SqDistF.register(s)
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .persist()
+    val m = math.max(1L, base.count() / (PqK * 32))
+    val sample = base.filter(col("vec_id") % m === 0).persist()
+    val books = (0 until PqS).map { sp =>
+      val sub = sample.select(col("vec_id"),
+        expr(s"slice(e, ${sp * PqD + 1}, $PqD)").as("e"))
+      val seeds = sub.filter(col("vec_id") < PqK * m).collect()
+        .sortBy(_.getAs[Long]("vec_id")).zipWithIndex
+        .map { case (r, i) => i.toLong -> r.getSeq[Double](1) }.toSeq
+      val assigned = sub.withColumn("best",
+          array_min(array(seeds.map { case (cid, c) =>
+            struct(graft.functions.SqDistF.distCol(col("e"), typedLit(c)).as("dist"),
+              lit(cid).as("cid")) }: _*)))
+        .select(col("best.cid").as("cid"), col("e"))
+      val p = 1000000d
+      assigned.select(col("cid"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(avg(col("x")).as("mu"))
+        .collect()
+        .groupBy(_.getAs[Long]("cid"))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getAs[Int]("i"))
+            .map(r => math.floor(r.getAs[Double]("mu") * p + 0.5) / p).toSeq
+        }.toSeq.sortBy(_._1)
+    }
+    (base, books)
+  }
+
+  /** Corpus with per-subspace slices `e0..e7` and argmin structs
+    * `b0..b7` (dist, cid) against the trained codebooks — the encode
+    * pass both q150 (codes + error) and q151 (ADC search) read.
+    * Returns (books, frame). */
+  private def pqEncoded(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (IndexedSeq[Seq[(Long, Seq[Double])]], org.apache.spark.sql.DataFrame) = {
+    val (base, books) = pqTrained(s, dir)
+    val sliced = base.select(col("vec_id") +:
+      (0 until PqS).map(sp => expr(s"slice(e, ${sp * PqD + 1}, $PqD)").as(s"e$sp")): _*)
+    val withCodes = (0 until PqS).foldLeft(sliced) { (df, sp) =>
+      df.withColumn(s"b$sp", array_min(array(books(sp).map { case (cid, c) =>
+        struct(graft.functions.SqDistF.distCol(col(s"e$sp"), typedLit(c)).as("dist"),
+          lit(cid).as("cid")) }: _*)))
+    }
+    (books, withCodes)
+  }
+
+  /** Shared DuckDB CTE list for the PQ chain (no leading WITH):
+    * defines `e(vec_id, e)`, `prm`, `smp`, per-subspace `c1{sp}`
+    * codebooks and `enc{sp}(vec_id, cid, dist)` encode tables. */
+  private def pqSqlCtes: String = {
+    def distSub(a: String, c: String) =
+      s"list_sum([($a[i] - $c[i]) * ($a[i] - $c[i]) for i in generate_series(1, $PqD)])"
+    def distAt(lo: Int, a: String, c: String) =
+      s"list_sum([($a[$lo + i - 1] - $c[i]) * ($a[$lo + i - 1] - $c[i]) for i in generate_series(1, $PqD)])"
+    val perSub = (0 until PqS).map { sp =>
+      val lo = sp * PqD + 1
+      s"""s$sp AS (SELECT vec_id, e[$lo:${lo + PqD - 1}] AS sub FROM smp),
+          c0$sp AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cid, s.sub AS c
+                    FROM s$sp s, prm WHERE s.vec_id < $PqK * prm.m),
+          d1$sp AS (SELECT s.vec_id, c0.cid, ${distSub("s.sub", "c0.c")} AS dist
+                    FROM s$sp s, c0$sp c0),
+          a1$sp AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                      FROM d1$sp) WHERE rn = 1),
+          up$sp AS (SELECT a.cid, t.i, ${Num.froundSql("avg(s.sub[t.i])", 6)} AS x
+                    FROM a1$sp a JOIN s$sp s USING (vec_id),
+                      LATERAL (SELECT unnest(generate_series(1, $PqD)) AS i) t
+                    GROUP BY a.cid, t.i),
+          c1$sp AS MATERIALIZED (SELECT cid, list(x ORDER BY i) AS c
+                                 FROM up$sp GROUP BY cid),
+          enc$sp AS MATERIALIZED (
+            SELECT vec_id, cid, dist FROM (
+              SELECT e.vec_id, c1.cid,
+                ${distAt(lo, "e.e", "c1.c")} AS dist,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${distAt(lo, "e.e", "c1.c")}, c1.cid) AS rn
+              FROM e, c1$sp c1) WHERE rn = 1)"""
+    }.mkString(",\n              ")
+    s"""e AS MATERIALIZED (
+            SELECT vec_id,
+              [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS e
+            FROM embeddings),
+          prm AS (SELECT greatest(1, count(*) // ${PqK * 32}) AS m FROM e),
+          smp AS (SELECT e.* FROM e, prm WHERE e.vec_id % prm.m = 0),
+          $perSub"""
+  }
+
     // PRODUCT QUANTIZATION encode (Jégou et al., "Product
     // Quantization for Nearest Neighbor Search") — the third
     // compression rung after int8 scalar quantization (q71) and JL
@@ -1291,48 +1394,14 @@ object Vectors {
     // code, codes = seed rank by sampled vec_id on both engines;
     // recon_err = fixed-order sum of the 8 subspace distances,
     // fround 4.
+  private lazy val PqEncodeDef: QueryDef =
     QueryDef(
       "q150_pq_encode",
       (s, dir) => {
-        graft.functions.SqDistF.register(s)
-        val S = 8; val D = 8; val K = 8
-        val base = Tables.embeddings(s, dir)
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-          .persist()
-        val m = math.max(1L, base.count() / (K * 32))
-        val sample = base.filter(col("vec_id") % m === 0).persist()
-        val books: IndexedSeq[Seq[(Long, Seq[Double])]] = (0 until S).map { sp =>
-          val sub = sample.select(col("vec_id"),
-            expr(s"slice(e, ${sp * D + 1}, $D)").as("e"))
-          val seeds = sub.filter(col("vec_id") < K * m).collect()
-            .sortBy(_.getAs[Long]("vec_id")).zipWithIndex
-            .map { case (r, i) => i.toLong -> r.getSeq[Double](1) }.toSeq
-          val assigned = sub.withColumn("best",
-              array_min(array(seeds.map { case (cid, c) =>
-                struct(graft.functions.SqDistF.distCol(col("e"), typedLit(c)).as("dist"),
-                  lit(cid).as("cid")) }: _*)))
-            .select(col("best.cid").as("cid"), col("e"))
-          val p = 1000000d
-          assigned.select(col("cid"), posexplode(col("e")).as(Seq("i", "x")))
-            .groupBy(col("cid"), col("i")).agg(avg(col("x")).as("mu"))
-            .collect()
-            .groupBy(_.getAs[Long]("cid"))
-            .map { case (cid, rows) =>
-              cid -> rows.sortBy(_.getAs[Int]("i"))
-                .map(r => math.floor(r.getAs[Double]("mu") * p + 0.5) / p).toSeq
-            }.toSeq.sortBy(_._1)
-        }
-        val sliced = base.select(col("vec_id") +:
-          (0 until S).map(sp => expr(s"slice(e, ${sp * D + 1}, $D)").as(s"e$sp")): _*)
-        val withCodes = (0 until S).foldLeft(sliced) { (df, sp) =>
-          df.withColumn(s"b$sp", array_min(array(books(sp).map { case (cid, c) =>
-            struct(graft.functions.SqDistF.distCol(col(s"e$sp"), typedLit(c)).as("dist"),
-              lit(cid).as("cid")) }: _*)))
-        }
+        val (_, withCodes) = pqEncoded(s, dir)
         withCodes.select(col("vec_id"),
-            array((0 until S).map(sp => col(s"b$sp.cid")): _*).as("codes"),
-            Num.fround((0 until S).map(sp => col(s"b$sp.dist")).reduce(_ + _), 4)
+            array((0 until PqS).map(sp => col(s"b$sp.cid")): _*).as("codes"),
+            Num.fround((0 until PqS).map(sp => col(s"b$sp.dist")).reduce(_ + _), 4)
               .as("recon_err"))
           .orderBy(col("vec_id"))
       },
@@ -1384,6 +1453,136 @@ object Vectors {
                $joins
               ORDER BY e.vec_id"""
       },
-    ),
-  )
+    )
+
+  // PQ ASYMMETRIC-DISTANCE search (the ADC half of Jégou et al.):
+  // each probe ranks the corpus by Σ_s d(q_s, centroid[code_s(x)]) —
+  // the probe-side distances to all S·K centroids are 64 plan-literal
+  // kernels (the "lookup tables"; at serving scale they are computed
+  // once per query and broadcast), the corpus side touches ONLY its
+  // 8 codes — never the raw vectors. Recall@10 vs the exact
+  // full-vector top-10 rides in the output (the q112 tripwire
+  // pattern): a broken codebook or code/table misalignment collapses
+  // recall to the random baseline and fails the gate instead of
+  // silently passing.
+  //
+  // Rank on the UNROUNDED ADC sum (fixed-order fold per subspace,
+  // fixed d0+…+d7 association — bit-identical cross-engine), ties by
+  // vec_id; the emitted distance is frounded.
+  private lazy val PqAdcDef: QueryDef =
+    QueryDef(
+      "q151_pq_adc_search",
+      (s, dir) => {
+        val K = 10
+        val (books, withCodes) = pqEncoded(s, dir)
+        val enc = withCodes.select(col("vec_id") +:
+          (0 until PqS).map(sp => col(s"b$sp.cid").as(s"code$sp")): _*).persist()
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val probes = base.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id") +:
+            (0 until PqS).map(sp =>
+              expr(s"slice(e, ${sp * PqD + 1}, $PqD)").as(s"p_e$sp")): _*)
+        // ADC: per subspace, index the 8 probe-to-centroid distances
+        // by the corpus row's code (codebooks may lose empty cells —
+        // element_at hits only surviving codes, which both engines
+        // derive identically)
+        val adc = (0 until PqS).map { sp =>
+          val dists = array(books(sp).map { case (_, c) =>
+            graft.functions.SqDistF.distCol(col(s"p_e$sp"), typedLit(c)) }: _*)
+          element_at(dists, col(s"code$sp").cast("int") + 1)
+        }.reduce(_ + _)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
+        val ranked = enc.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), adc.as("adc"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= K)
+          .persist()
+        // exact full-vector ground truth (squared L2, same probes)
+        val exact = base.join(broadcast(
+              base.filter(col("vec_id") < N_PROBES)
+                .select(col("vec_id").as("probe_id"), col("e").as("p_e"))),
+            col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            graft.functions.SqDistF.distCol(col("e"), col("p_e")).as("d"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("probe_id")).orderBy(col("d"), col("vec_id"))))
+          .filter(col("rank") <= K)
+          .select(col("probe_id"), col("vec_id"))
+        val hits = ranked.join(broadcast(exact), Seq("probe_id", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_corpus"))
+        val recall = col("total_hits").cast("double") / lit(K.toDouble * N_PROBES)
+        // gate on LIFT over the random-shortlist baseline K/(n-1) —
+        // scale-robust where an absolute floor is not (recall
+        // necessarily falls as the corpus grows at fixed code
+        // budget; measured lift ~10x at every SF, gate at 4x). The
+        // oracle emits a literal 1: a codebook/code misalignment
+        // collapses lift to ~1 and fails CORRECTNESS.
+        val lift = recall / (lit(K.toDouble) / (col("n_corpus") - 1).cast("double"))
+        ranked
+          .join(broadcast(exact.withColumn("hit", lit(1))), Seq("probe_id", "vec_id"), "left")
+          .crossJoin(broadcast(hits))
+          .crossJoin(broadcast(n))
+          .select(col("probe_id"), col("rank"), col("vec_id"),
+            Num.fround(col("adc"), 4).as("adc"),
+            coalesce(col("hit"), lit(0)).as("hit"),
+            col("total_hits"),
+            Num.fround(recall, 4).as("mean_recall_at_10"),
+            (lift >= lit(4.0)).cast("int").as("lift_ok"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some {
+        val K = 10
+        val dt = (0 until PqS).map { sp =>
+          val lo = sp * PqD + 1
+          s"""dt$sp AS (SELECT p.probe_id, c1.cid,
+                 list_sum([(p.e[$lo + i - 1] - c1.c[i]) * (p.e[$lo + i - 1] - c1.c[i])
+                           for i in generate_series(1, $PqD)]) AS d
+               FROM p, c1$sp c1)"""
+        }.mkString(",\n               ")
+        val codeJoins = (0 until PqS).map(sp =>
+          s"JOIN dt$sp ON dt$sp.probe_id = p.probe_id AND dt$sp.cid = cd.codes[${sp + 1}]")
+          .mkString("\n                   ")
+        val encJoins = (0 until PqS).map(sp =>
+          s"JOIN enc$sp ON enc$sp.vec_id = e.vec_id").mkString("\n                   ")
+        val codesArr = (0 until PqS).map(sp => s"enc$sp.cid").mkString("[", ", ", "]")
+        val adcSum = (0 until PqS).map(sp => s"dt$sp.d").mkString(" + ")
+        s"""WITH $pqSqlCtes,
+               cd AS MATERIALIZED (
+                 SELECT e.vec_id, $codesArr AS codes FROM e
+                   $encJoins),
+               p AS (SELECT vec_id AS probe_id, e FROM e WHERE vec_id < $N_PROBES),
+               $dt,
+               adc AS (
+                 SELECT p.probe_id, cd.vec_id, $adcSum AS adc
+                 FROM cd CROSS JOIN p
+                   $codeJoins
+                 WHERE cd.vec_id <> p.probe_id),
+               rk AS (SELECT probe_id, vec_id, adc,
+                        row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id)::BIGINT AS rank
+                      FROM adc QUALIFY rank <= $K),
+               exd AS (
+                 SELECT p.probe_id, e.vec_id,
+                   list_sum([(e.e[i] - p.e[i]) * (e.e[i] - p.e[i])
+                             for i in generate_series(1, 64)]) AS d
+                 FROM e, p WHERE e.vec_id <> p.probe_id),
+               ex AS (SELECT probe_id, vec_id FROM (
+                        SELECT probe_id, vec_id,
+                          row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id) AS rn
+                        FROM exd) WHERE rn <= $K),
+               th AS (SELECT count(*)::BIGINT AS total_hits
+                      FROM rk JOIN ex USING (probe_id, vec_id))
+               SELECT rk.probe_id, rk.rank, rk.vec_id,
+                 ${Num.froundSql("rk.adc", 4)} AS adc,
+                 CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                 th.total_hits,
+                 ${Num.froundSql(s"th.total_hits::DOUBLE / ${K * N_PROBES}", 4)} AS mean_recall_at_10,
+                 1 AS lift_ok
+               FROM rk LEFT JOIN ex ON ex.probe_id = rk.probe_id AND ex.vec_id = rk.vec_id CROSS JOIN th
+               ORDER BY rk.probe_id, rk.rank"""
+      },
+    )
 }

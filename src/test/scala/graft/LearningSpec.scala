@@ -313,6 +313,22 @@ class LearningSpec extends SparkSuite {
       s"PQ residual $meanErr not meaningfully below zero-code baseline $meanNorm")
   }
 
+  test("q151: ADC ranking laws — consecutive ranks, hit bookkeeping, informative lift") {
+    val rows = SparkEntry.queries("q151_pq_adc_search")(spark, sfDir).collect()
+    assert(rows.length == 80) // 8 probes × top-10
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L), s"probe $p ranks")
+      val adcs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("adc"))
+      assert(adcs.zip(adcs.drop(1)).forall { case (a, b) => a <= b + 1e-9 }, s"probe $p adc order")
+    }
+    val hitSum = rows.map(_.getAs[Int]("hit").toLong).sum
+    assert(hitSum == rows.head.getAs[Long]("total_hits"),
+      s"per-row hits $hitSum != summary ${rows.head.getAs[Long]("total_hits")}")
+    assert(rows.head.getAs[Int]("lift_ok") == 1, "ADC lift gate red")
+    val recall = rows.head.getAs[Double]("mean_recall_at_10")
+    assert(math.abs(recall - hitSum / 80.0) < 2e-4)
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).
