@@ -297,7 +297,13 @@ object Clustering {
     * sim UNROUNDED (rank order is taken on the ulp-identical
     * fixed-fold cosine; consumers round for display). See q136's
     * scaladoc for the boundedness contract. */
-  private def knnRanked(s: SparkSession, dir: String): DataFrame = {
+  private def knnRanked(s: SparkSession, dir: String): DataFrame =
+    // the kNN graph is the persisted artifact its three consumers
+    // (q136 listing, q140 propagation, q148 triangles) read — staged
+    // through parquet once per (dir, JVM), the q85/q122 convention
+    graft.operators.Staged.parquet(s, s"knn_graph|$dir")(knnBuild(s, dir))
+
+  private def knnBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = hierFinal(s, dir)
       .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),

@@ -1317,15 +1317,32 @@ object Vectors {
     * `b0..b7` (dist, cid) against the trained codebooks — the encode
     * pass both q150 (codes + error) and q151 (ADC search) read.
     * Returns (books, frame). */
+  /** Trained codebooks cached per (JVM, input dir): the training jobs
+    * (seed collect + one Lloyd refinement per subspace — constant
+    * state) run once and every consumer reuses the same 512 doubles,
+    * exactly like the staged-parquet discipline for table artifacts. */
+  private val pqBookCache =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Seq[(Long, Seq[Double])]]]
+
   private def pqEncoded(s: org.apache.spark.sql.SparkSession, dir: String)
       : (IndexedSeq[Seq[(Long, Seq[Double])]], org.apache.spark.sql.DataFrame) = {
-    val (base, books) = pqTrained(s, dir)
-    val sliced = base.select(col("vec_id") +:
-      (0 until PqS).map(sp => expr(s"slice(e, ${sp * PqD + 1}, $PqD)").as(s"e$sp")): _*)
-    val withCodes = (0 until PqS).foldLeft(sliced) { (df, sp) =>
-      df.withColumn(s"b$sp", array_min(array(books(sp).map { case (cid, c) =>
-        struct(graft.functions.SqDistF.distCol(col(s"e$sp"), typedLit(c)).as("dist"),
-          lit(cid).as("cid")) }: _*)))
+    val books = pqBookCache.getOrElseUpdate(dir, pqTrained(s, dir)._2)
+    // The encoded corpus (argmin struct per subspace) is the PQ
+    // artifact a deployment persists next to the codebooks — staged
+    // through parquet once per (dir, JVM), shared by q150 (codes +
+    // error listing) and q151 (ADC search reads codes only).
+    val withCodes = graft.operators.Staged.parquet(s, s"pq_enc|$dir") {
+      graft.functions.SqDistF.register(s)
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      val sliced = base.select(col("vec_id") +:
+        (0 until PqS).map(sp => expr(s"slice(e, ${sp * PqD + 1}, $PqD)").as(s"e$sp")): _*)
+      (0 until PqS).foldLeft(sliced) { (df, sp) =>
+        df.withColumn(s"b$sp", array_min(array(books(sp).map { case (cid, c) =>
+          struct(graft.functions.SqDistF.distCol(col(s"e$sp"), typedLit(c)).as("dist"),
+            lit(cid).as("cid")) }: _*)))
+      }.select(col("vec_id") +: (0 until PqS).map(sp => col(s"b$sp")): _*)
     }
     (books, withCodes)
   }
