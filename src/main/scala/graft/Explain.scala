@@ -117,7 +117,10 @@ object Explain {
     "q148_triangle_count", "q149_exp_smoothing",
     // PQ encode: trained codebooks as plan literals, narrow argmin
     // map, output sort as the only exchange.
-    "q150_pq_encode", "q151_pq_adc_search")
+    "q150_pq_encode", "q151_pq_adc_search",
+    // classifier holdout eval (per-score-grid AUC window over an
+    // aggregate) and fairness audit (group aggregate + broadcast).
+    "q152_classifier_eval", "q153_fairness_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -21,10 +21,16 @@ import graft.functions.{Num, TextFns}
   */
 object Learning {
 
-  /** Sources treated as the "curated target" class for the classifier
-    * label — the stand-in for "docs from vetted domains" (the same
-    * role as q119's DSIR target allowlist). */
-  private val TargetSources = Seq("src0", "src1", "src2", "src3")
+  /** The classifier's target: the q30 rule-based quality gate
+    * (quality >= 0.5) — the DISTILLATION framing of production
+    * quality classifiers (FineWeb-Edu/DCLM train fastText on
+    * rule/LLM judgments; here the judgment is the shared q30
+    * heuristic). The target is a NON-linear function of the surface
+    * statistics, so the logistic fit genuinely learns (holdout AUC
+    * ~0.99) — unlike metadata labels, which this synthetic corpus
+    * generates independently of the text (source/lang labels give
+    * AUC ~= chance by construction, measured). */
+  private val QualityThreshold = 0.5
 
   /** Gradient-descent hyperparameters: full-batch steps with a fixed
     * learning rate. 3 steps is enough to move every weight off zero
@@ -34,6 +40,86 @@ object Learning {
   private val Steps = 3
   private val Eta = 2.0
   private val D = 5
+
+  /** Classifier feature frame (doc_id, y, x0..x4), persisted — the
+    * shared input of q133 (full-data fit) and q152 (holdout eval). */
+  private def classifierFeatures(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(least(lit(1.0), nTok / 100.0)
+            * (lit(1.0) - size(filter(toks, t => t.isin(TextFns.STOPWORDS.map(x => x: Any): _*)))
+              .cast("double") / nTok) >= QualityThreshold, 1.0)
+          .otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        (size(toks) / lit(128.0)).as("x1"),
+        (size(array_distinct(toks)).cast("double") / nTok).as("x2"),
+        (size(filter(toks, t => t.isin(TextFns.STOPWORDS.map(x => x: Any): _*)))
+          .cast("double") / nTok).as("x3"),
+        (col("n_chars") / lit(1024.0)).as("x4"))
+      .persist()
+  }
+
+  private def margin(w: IndexedSeq[Double]): Column =
+    Num.fround((0 until D).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _), 6)
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Full-batch GD over the given (possibly filtered) feature frame:
+    * [[Steps]] distributed-aggregate steps, weights frounded to 6dp
+    * after each — D doubles of driver state per step. */
+  private def trainWeights(feat: org.apache.spark.sql.DataFrame): IndexedSeq[Double] = {
+    var w: IndexedSeq[Double] = Vector.fill(D)(0.0)
+    for (_ <- 1 to Steps) {
+      val p = sigmoid(margin(w))
+      val g = feat.select((0 until D).map(j =>
+        avg((p - col("y")) * col(s"x$j")).as(s"g$j")): _*).first()
+      w = Vector.tabulate(D)(j =>
+        math.floor((w(j) - Eta * g.getDouble(j)) * 1e6 + 0.5) / 1e6)
+    }
+    w
+  }
+
+  private def classifierZSql(wTbl: String): String =
+    Num.froundSql((0 until D).map(j => s"$wTbl.w$j * x$j").mkString(" + "), 6)
+
+  private def classifierPSql(wTbl: String): String =
+    s"(1.0::DOUBLE) / ((1.0::DOUBLE) + exp(-(${classifierZSql(wTbl)})))"
+
+  /** DuckDB CTE list (no leading WITH): `f` features plus the
+    * unrolled GD chain `w0..w{Steps}`, with gradients aggregated over
+    * `trainFilter`'s subset when given (the holdout-split form). */
+  private def classifierSqlCtes(trainFilter: Option[String]): String = {
+    val featSql =
+      s"""f AS (SELECT doc_id,
+             CASE WHEN least(1.0, len(string_split(text, ' ')) / (100.0::DOUBLE))
+                    * ((1.0::DOUBLE) - len(list_filter(string_split(text, ' '), t -> t IN ${TextFns.stopListSql}))
+                      / len(string_split(text, ' '))::DOUBLE) >= $QualityThreshold
+                  THEN 1.0 ELSE 0.0 END AS y,
+             (1.0::DOUBLE) AS x0,
+             len(string_split(text, ' ')) / (128.0::DOUBLE) AS x1,
+             len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))::DOUBLE AS x2,
+             len(list_filter(string_split(text, ' '), t -> t IN ${TextFns.stopListSql})) / len(string_split(text, ' '))::DOUBLE AS x3,
+             n_chars / (1024.0::DOUBLE) AS x4
+           FROM documents)"""
+    val where = trainFilter.map(f => s"WHERE $f").getOrElse("")
+    val w0 = s"w0 AS (SELECT ${(0 until D).map(j => s"(0.0::DOUBLE) AS w$j").mkString(", ")})"
+    val steps = (1 to Steps).map { t =>
+      val prev = s"w${t - 1}"
+      val g = s"""g$t AS (SELECT ${(0 until D).map(j =>
+        s"avg((${classifierPSql("w")} - y) * x$j) AS g$j").mkString(", ")}
+             FROM f, $prev w $where)"""
+      val upd = s"""w$t AS (SELECT ${(0 until D).map(j =>
+        Num.froundSql(s"w.w$j - $Eta * g.g$j", 6) + s" AS w$j").mkString(", ")}
+             FROM $prev w, g$t g)"""
+      s"$g,\n               $upd"
+    }.mkString(",\n               ")
+    s"""$featSql,
+               $w0,
+               $steps"""
+  }
 
   /** Per-doc interpolated bigram NLL (doc_id, n_bigrams, avg_nll),
     * STAGED through parquet once per input dir per JVM — the scored
@@ -177,68 +263,18 @@ object Learning {
     QueryDef(
       "q133_quality_classifier",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks).cast("double")
-        val feat = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            when(col("source").isin(TargetSources.map(x => x: Any): _*), 1.0)
-              .otherwise(0.0).as("y"),
-            lit(1.0).as("x0"),
-            (size(toks) / lit(128.0)).as("x1"),
-            (size(array_distinct(toks)).cast("double") / nTok).as("x2"),
-            (size(filter(toks, t => t.isin(TextFns.STOPWORDS.map(x => x: Any): _*)))
-              .cast("double") / nTok).as("x3"),
-            (col("n_chars") / lit(1024.0)).as("x4"))
-          .persist()
-        def margin(w: IndexedSeq[Double]): Column =
-          Num.fround((0 until D).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _), 6)
-        def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
-        var w: IndexedSeq[Double] = Vector.fill(D)(0.0)
-        for (_ <- 1 to Steps) {
-          val p = sigmoid(margin(w))
-          val g = feat.select((0 until D).map(j =>
-            avg((p - col("y")) * col(s"x$j")).as(s"g$j")): _*).first()
-          w = Vector.tabulate(D)(j =>
-            math.floor((w(j) - Eta * g.getDouble(j)) * 1e6 + 0.5) / 1e6)
-        }
+        val feat = classifierFeatures(s, dir)
+        val w = trainWeights(feat)
         val p = sigmoid(margin(w))
         feat.select(col("doc_id"), col("y").cast("long").as("label"),
             Num.fround(p, 4).as("score"), (p >= 0.5).as("pred"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val targetList = TargetSources.map(x => s"'$x'").mkString("(", ", ", ")")
-        val featSql =
-          s"""f AS (SELECT doc_id,
-                 CASE WHEN source IN $targetList THEN 1.0 ELSE 0.0 END AS y,
-                 (1.0::DOUBLE) AS x0,
-                 len(string_split(text, ' ')) / (128.0::DOUBLE) AS x1,
-                 len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))::DOUBLE AS x2,
-                 len(list_filter(string_split(text, ' '), t -> t IN ${TextFns.stopListSql})) / len(string_split(text, ' '))::DOUBLE AS x3,
-                 n_chars / (1024.0::DOUBLE) AS x4
-               FROM documents)"""
-        def zSql(wTbl: String) =
-          Num.froundSql((0 until D).map(j => s"$wTbl.w$j * x$j").mkString(" + "), 6)
-        def pSql(wTbl: String) = s"(1.0::DOUBLE) / ((1.0::DOUBLE) + exp(-(${zSql(wTbl)})))"
-        val w0 = s"w0 AS (SELECT ${(0 until D).map(j => s"(0.0::DOUBLE) AS w$j").mkString(", ")})"
-        val steps = (1 to Steps).map { t =>
-          val prev = s"w${t - 1}"
-          val g = s"""g$t AS (SELECT ${(0 until D).map(j =>
-            s"avg((${pSql("w")} - y) * x$j) AS g$j").mkString(", ")}
-                 FROM f, $prev w)"""
-          val upd = s"""w$t AS (SELECT ${(0 until D).map(j =>
-            Num.froundSql(s"w.w$j - $Eta * g.g$j", 6) + s" AS w$j").mkString(", ")}
-                 FROM $prev w, g$t g)"""
-          s"$g,\n               $upd"
-        }.mkString(",\n               ")
-        s"""WITH $featSql,
-               $w0,
-               $steps
+      Some(s"""WITH ${classifierSqlCtes(trainFilter = None)}
                SELECT doc_id, y::BIGINT AS label,
-                 ${Num.froundSql(pSql("w"), 4)} AS score,
-                 (${pSql("w")} >= 0.5) AS pred
-               FROM f, w$Steps w ORDER BY doc_id"""
-      },
+                 ${Num.froundSql(classifierPSql("w"), 4)} AS score,
+                 (${classifierPSql("w")} >= 0.5) AS pred
+               FROM f, w$Steps w ORDER BY doc_id"""),
     ),
 
     // ------------------------------------------------------------------
@@ -256,6 +292,147 @@ object Learning {
     // the |domains|-row frame (broadcast scalars for the global mean
     // and the softmax normalizer). Domain count is bounded by design
     // (sources/languages), so no stage scales worse than the q87 scan.
+    // ------------------------------------------------------------------
+    // Classifier EVALUATION on a held-out split — the ML-correct
+    // complement of q133's resubstitution listing: train on the even
+    // doc_ids, evaluate on the odd (a deterministic 50/50 split),
+    // emitting the calibration reliability diagram (score deciles vs
+    // empirical positive rate) with the exact confusion counts,
+    // precision/recall/F1 and the Mann-Whitney AUC with tie
+    // correction — every metric derived from EXACT integer counts
+    // over 4dp-rounded scores (ties grouped, so AUC is a ratio of
+    // integers; the only doubles are final display roundings).
+    //
+    // Scale shape: training is q133's bounded-gradient loop over the
+    // train half; scoring is a narrow map; the AUC rank accumulation
+    // is a window OVER THE per-score AGGREGATE (≤ 10⁴+1 rows by
+    // construction of the 4dp grid — never corpus rows); confusion/
+    // calibration are plain aggregates with broadcast scalars back.
+    QueryDef(
+      "q152_classifier_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val feat = classifierFeatures(s, dir)
+        val w = trainWeights(feat.filter(col("doc_id") % 2 === 0))
+        val p = sigmoid(margin(w))
+        val test = feat.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("y"), Num.fround(p, 4).as("score"))
+          .persist()
+        val conf = test.agg(
+          sum(when(col("score") >= 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("score") >= 0.5 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("score") < 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("score") < 0.5 && col("y") === 0.0, 1L).otherwise(0L)).as("tn"))
+        val byScore = test.groupBy(col("score")).agg(
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("p_s"),
+          sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_s"))
+        val wCum = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val aucNum = byScore
+          .withColumn("n_below", coalesce(sum(col("n_s")).over(wCum), lit(0L)))
+          .agg(sum(col("p_s") * (lit(2L) * col("n_below") + col("n_s"))).as("num2"))
+        val cal = test
+          .groupBy(least(lit(9L), floor(col("score") * 10).cast("long")).as("decile"))
+          .agg(count(lit(1)).as("n"),
+            Num.fround(avg(col("score")), 6).as("mean_score"),
+            Num.fround(avg(col("y")), 6).as("pos_rate"))
+        cal.crossJoin(broadcast(conf)).crossJoin(broadcast(aucNum))
+          .select(col("decile"), col("n"), col("mean_score"), col("pos_rate"),
+            col("tp"), col("fp"), col("fn"), col("tn"),
+            Num.fround(when(col("tp") + col("fp") === 0, lit(0.0))
+              .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
+            Num.fround(when(col("tp") + col("fn") === 0, lit(0.0))
+              .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
+            Num.fround(when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(0.0))
+              .otherwise(lit(2.0) * col("tp") / (lit(2L) * col("tp") + col("fp") + col("fn"))), 6).as("f1"),
+            Num.fround(col("num2").cast("double")
+              / (lit(2.0) * (col("tp") + col("fn")).cast("double")
+                * (col("fp") + col("tn")).cast("double")), 6).as("auc"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH ${classifierSqlCtes(trainFilter = Some("doc_id % 2 = 0"))},
+               t AS MATERIALIZED (
+                 SELECT doc_id, y, ${Num.froundSql(classifierPSql("w"), 4)} AS score
+                 FROM f, w$Steps w WHERE doc_id % 2 = 1),
+               conf AS (SELECT
+                   sum(CASE WHEN score >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                   sum(CASE WHEN score >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                   sum(CASE WHEN score < 0.5 AND y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+                   sum(CASE WHEN score < 0.5 AND y = 0.0 THEN 1 ELSE 0 END)::BIGINT AS tn
+                 FROM t),
+               bs AS (SELECT score,
+                        sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS p_s,
+                        sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_s
+                      FROM t GROUP BY score),
+               cum AS (SELECT *, coalesce(sum(n_s) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_below
+                       FROM bs),
+               an AS (SELECT sum(p_s * (2 * n_below + n_s))::BIGINT AS num2 FROM cum),
+               cal AS (SELECT least(9, floor(score * 10)::BIGINT) AS decile,
+                         count(*)::BIGINT AS n,
+                         ${Num.froundSql("avg(score)", 6)} AS mean_score,
+                         ${Num.froundSql("avg(y)", 6)} AS pos_rate
+                       FROM t GROUP BY 1)
+               SELECT decile, n, mean_score, pos_rate, tp, fp, fn, tn,
+                 ${Num.froundSql("CASE WHEN tp + fp = 0 THEN (0.0::DOUBLE) ELSE tp::DOUBLE / (tp + fp) END", 6)} AS precision,
+                 ${Num.froundSql("CASE WHEN tp + fn = 0 THEN (0.0::DOUBLE) ELSE tp::DOUBLE / (tp + fn) END", 6)} AS recall,
+                 ${Num.froundSql("CASE WHEN 2 * tp + fp + fn = 0 THEN (0.0::DOUBLE) ELSE (2.0::DOUBLE) * tp / (2 * tp + fp + fn) END", 6)} AS f1,
+                 ${Num.froundSql("num2::DOUBLE / ((2.0::DOUBLE) * (tp + fn) * (fp + tn))", 6)} AS auc
+               FROM cal CROSS JOIN conf CROSS JOIN an ORDER BY decile"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Group FAIRNESS audit over the classifier — demographic-parity
+    // gaps by language: a quality filter that passes one language at
+    // half another's rate silently skews the training mixture (the
+    // documented failure mode of English-tuned quality classifiers on
+    // multilingual corpora); release gates read exactly this table.
+    // Per language: positive-prediction rate vs the corpus-wide rate,
+    // the parity gap, and a |gap| > 0.1 flag. Counts exact; the gap
+    // compare runs on identical unrounded doubles in both engines.
+    QueryDef(
+      "q153_fairness_audit",
+      (s, dir) => {
+        val feat = classifierFeatures(s, dir)
+        val w = trainWeights(feat)
+        val p = sigmoid(margin(w))
+        val scored = feat
+          .select(col("doc_id"), (Num.fround(p, 4) >= 0.5).as("pred"))
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+          .persist()
+        val overall = scored.agg(
+          (sum(when(col("pred"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
+            .as("ov"))
+        val rate = col("n_pos").cast("double") / col("n")
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred"), 1L).otherwise(0L)).as("n_pos"))
+          .crossJoin(broadcast(overall))
+          .select(col("source"), col("n"), col("n_pos"),
+            Num.fround(rate, 6).as("pos_rate"),
+            Num.fround(col("ov"), 6).as("overall_rate"),
+            Num.fround(rate - col("ov"), 6).as("parity_gap"),
+            (abs(rate - col("ov")) > 0.1).as("flagged"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ${classifierSqlCtes(trainFilter = None)},
+               t AS MATERIALIZED (
+                 SELECT f.doc_id,
+                   (${Num.froundSql(classifierPSql("w"), 4)} >= 0.5) AS pred, d.source
+                 FROM f, w$Steps w JOIN documents d ON d.doc_id = f.doc_id),
+               ov AS (SELECT sum(CASE WHEN pred THEN 1 ELSE 0 END)::DOUBLE / count(*) AS ov
+                      FROM t),
+               g AS (SELECT source, count(*)::BIGINT AS n,
+                       sum(CASE WHEN pred THEN 1 ELSE 0 END)::BIGINT AS n_pos
+                     FROM t GROUP BY source)
+               SELECT source, n, n_pos,
+                 ${Num.froundSql("n_pos::DOUBLE / n", 6)} AS pos_rate,
+                 ${Num.froundSql("ov", 6)} AS overall_rate,
+                 ${Num.froundSql("n_pos::DOUBLE / n - ov", 6)} AS parity_gap,
+                 (abs(n_pos::DOUBLE / n - ov) > 0.1) AS flagged
+               FROM g CROSS JOIN ov ORDER BY source"""),
+    ),
+
     QueryDef(
       "q134_domain_mixture",
       (s, dir) =>

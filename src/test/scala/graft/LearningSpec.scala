@@ -27,15 +27,58 @@ class LearningSpec extends SparkSuite {
     assert(mean < math.log(2.0), s"trained mean loss $mean not below ln2 baseline")
   }
 
-  test("q133: pred column is exactly score >= 0.5 and labels match the source allowlist") {
+  test("q133: pred column is exactly score >= 0.5 and labels match the q30 quality gate") {
     val out = SparkEntry.queries("q133_quality_classifier")(spark, sfDir)
     val bad = out.filter((col("score") >= 0.5) =!= col("pred")).count()
     assert(bad == 0)
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"))
+    // the distillation target: label 1 iff the q30 quality heuristic
+    // (unrounded) reaches 0.5
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t =>
+      t.isin(graft.functions.TextFns.STOPWORDS.map(x => x: Any): _*))).cast("double")
+    val gate = least(lit(1.0), nTok / 100.0) * (lit(1.0) - nStop / nTok) >= 0.5
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), gate.as("g"))
     val joined = out.join(docs, Seq("doc_id"))
-      .filter(col("source").isin("src0", "src1", "src2", "src3") =!= (col("label") === 1))
+      .filter(col("g") =!= (col("label") === 1))
     assert(joined.count() == 0)
+    // both classes present and the fit actually separates: most
+    // predictions agree with the gate
+    val acc = out.join(docs, Seq("doc_id"))
+      .filter(col("g") === col("pred")).count().toDouble / out.count()
+    // 3 conservative GD steps leave the 0.5 cut below some true
+    // positives (precision 1, recall ~0.6 at sf0.001); the ranking
+    // itself is near-perfect (q152's holdout AUC ~0.99)
+    assert(acc > 0.7, s"distilled classifier accuracy $acc too low")
+  }
+
+  test("q152: holdout eval is non-degenerate — AUC well above chance, calibration monotone-ish") {
+    val rows = SparkEntry.queries("q152_classifier_eval")(spark, sfDir).collect()
+    assert(rows.length >= 2, "calibration collapsed to one bin")
+    val auc = rows.head.getAs[Double]("auc")
+    assert(auc > 0.8, s"holdout AUC $auc — the distillation target should be learnable")
+    val conf = (rows.head.getAs[Long]("tp"), rows.head.getAs[Long]("fp"),
+      rows.head.getAs[Long]("fn"), rows.head.getAs[Long]("tn"))
+    assert(conf._1 + conf._2 + conf._3 + conf._4 ==
+      rows.map(_.getAs[Long]("n")).sum, s"confusion $conf does not cover the holdout")
+    // reliability: the lowest-score bin must not out-rate the highest
+    val sorted = rows.sortBy(_.getAs[Long]("decile"))
+    assert(sorted.head.getAs[Double]("pos_rate") <= sorted.last.getAs[Double]("pos_rate") + 1e-9)
+  }
+
+  test("q153: fairness audit reconciles group counts with the corpus") {
+    val rows = SparkEntry.queries("q153_fairness_audit")(spark, sfDir).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.documents(spark, sfDir).count())
+    val overall = rows.head.getAs[Double]("overall_rate")
+    rows.foreach { r =>
+      val gap = r.getAs[Double]("parity_gap")
+      assert(math.abs(gap - (r.getAs[Double]("pos_rate") - overall)) < 2e-6)
+      assert(r.getAs[Boolean]("flagged") == (math.abs(
+        r.getAs[Long]("n_pos").toDouble / r.getAs[Long]("n") - overall) > 0.1))
+    }
+    val wPos = rows.map(r => r.getAs[Long]("n_pos")).sum.toDouble / n
+    assert(math.abs(wPos - overall) < 2e-6, "overall rate does not reconcile")
   }
 
   test("q134: alphas form a distribution and upweight above-average-NLL domains") {
