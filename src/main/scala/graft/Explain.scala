@@ -120,7 +120,10 @@ object Explain {
     "q150_pq_encode", "q151_pq_adc_search",
     // classifier holdout eval (per-score-grid AUC window over an
     // aggregate) and fairness audit (group aggregate + broadcast).
-    "q152_classifier_eval", "q153_fairness_audit")
+    "q152_classifier_eval", "q153_fairness_audit",
+    // the complete IVFPQ serving plan: cell-restricted candidates,
+    // code-only ADC, bounded broadcast re-rank.
+    "q154_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1274,6 +1274,7 @@ object Vectors {
 
     PqEncodeDef,
     PqAdcDef,
+    PqIvfDef,
   )
 
   /** PQ training: per-subspace codebooks on the constant modulus
@@ -1600,6 +1601,135 @@ object Vectors {
                  1 AS lift_ok
                FROM rk LEFT JOIN ex ON ex.probe_id = rk.probe_id AND ex.vec_id = rk.vec_id CROSS JOIN th
                ORDER BY rk.probe_id, rk.rank"""
+      },
+    )
+
+  // IVF+PQ — the complete FAISS-production index (Jégou et al. §V):
+  // the coarse quantizer restricts each probe to nprobe=2 cells
+  // (q53/q103's cell equi-join — the corpus never shuffles for
+  // serving), the PQ codes rank candidates WITHIN the cells by
+  // asymmetric distance (the corpus side touches only its 8 codes —
+  // q151's lookup-table kernels), and the float payload re-ranks the
+  // bounded top-10 shortlist exactly (q103's broadcast re-rank
+  // discipline). Memory story at scale: the scanned index row is
+  // cell + 24-bit code; raw vectors are touched only for ≤10 rows
+  // per probe.
+  private lazy val PqIvfDef: QueryDef =
+    QueryDef(
+      "q154_ann_ivfpq",
+      (s, dir) => {
+        graft.functions.DotProductF.register(s)
+        val NPROBE = 2
+        val cents = ivfCents(s, dir)
+        val (books, withCodes) = pqEncoded(s, dir)
+        val codes = withCodes.select(col("vec_id") +:
+          (0 until PqS).map(sp => col(s"b$sp.cid").as(s"code$sp")): _*)
+        val idx = ivfAssign(corpus(s, dir), ivfCents(s, dir), Seq("embedding", "nsq"))
+          .join(codes, Seq("vec_id"))
+          .persist()
+        val pbase = Tables.embeddings(s, dir)
+          .filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("p_e"),
+            col("embedding"), VectorFns.normSqF("embedding").as("nsq"))
+        val probeCells = pbase.crossJoin(broadcast(cents))
+          .withColumn("cent_sim", ivfCentSim)
+          .groupBy(col("vec_id"))
+          .agg(
+            expr(s"slice(array_sort(collect_list(struct(-cent_sim AS negsim, cid))), 1, $NPROBE)")
+              .as("cells"),
+            first(col("p_e")).as("p_e"),
+            first(col("embedding")).as("p_emb"),
+            first(col("nsq")).as("p_nsq"))
+          .select(col("vec_id").as("probe_id") +:
+            (0 until PqS).map(sp =>
+              expr(s"slice(p_e, ${sp * PqD + 1}, $PqD)").as(s"p_e$sp")) ++: Seq(
+            col("p_emb"), col("p_nsq"),
+            explode(expr("transform(cells, x -> x.cid)")).as("cell")): _*)
+        val adc = (0 until PqS).map { sp =>
+          val dists = array(books(sp).map { case (_, c) =>
+            graft.functions.SqDistF.distCol(col(s"p_e$sp"), typedLit(c)) }: _*)
+          element_at(dists, col(s"code$sp").cast("int") + 1)
+        }.reduce(_ + _)
+        val cands = idx
+          .select(col("vec_id") +: col("cell") +:
+            (0 until PqS).map(sp => col(s"code$sp")): _*)
+          .join(broadcast(probeCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("cell"),
+            col("p_emb"), col("p_nsq"), adc.as("adc"))
+        val w10 = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
+        val w3 = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        broadcast(cands.withColumn("crank", row_number().over(w10)).filter(col("crank") <= 10))
+          .join(idx.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+          .withColumn("sim", Num.fround(
+            VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
+          .withColumn("rank", row_number().over(w3).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
+            Num.fround(col("adc"), 4).as("adc"), col("sim"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some {
+        val dt = (0 until PqS).map { sp =>
+          val lo = sp * PqD + 1
+          s"""dt$sp AS (SELECT p.probe_id, c1.cid,
+                 list_sum([(p.p_e[$lo + i - 1] - c1.c[i]) * (p.p_e[$lo + i - 1] - c1.c[i])
+                           for i in generate_series(1, $PqD)]) AS d
+               FROM pp p, c1$sp c1)"""
+        }.mkString(",\n               ")
+        val codeJoins = (0 until PqS).map(sp =>
+          s"JOIN dt$sp ON dt$sp.probe_id = pc.probe_id AND dt$sp.cid = cd.codes[${sp + 1}]")
+          .mkString("\n                   ")
+        val encJoins = (0 until PqS).map(sp =>
+          s"JOIN enc$sp ON enc$sp.vec_id = e.vec_id").mkString("\n                   ")
+        val codesArr = (0 until PqS).map(sp => s"enc$sp.cid").mkString("[", ", ", "]")
+        val adcSum = (0 until PqS).map(sp => s"dt$sp.d").mkString(" + ")
+        val centSim = Num.froundSql(
+          s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)
+        s"""WITH $pqSqlCtes,
+               cd AS MATERIALIZED (
+                 SELECT e.vec_id, $codesArr AS codes FROM e
+                   $encJoins),
+               nz AS (SELECT vec_id, e AS emb,
+                        ${VectorFns.normSqSql("e")} AS nsq FROM e),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM nz
+                         WHERE vec_id % greatest(97, (SELECT count(*) FROM nz) // $IVF_K) = 0),
+               assigned AS MATERIALIZED (
+                 SELECT vec_id, cid AS cell FROM (
+                   SELECT nz.vec_id, cents.cid,
+                     $centSim AS cent_sim
+                   FROM nz CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               pp AS MATERIALIZED (
+                 SELECT vec_id AS probe_id, emb AS p_e, nsq AS p_nsq FROM nz
+                 WHERE vec_id < $N_PROBES),
+               pc AS (
+                 SELECT probe_id, cid AS cell FROM (
+                   SELECT pp.probe_id, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "p_e")} / (sqrt(c_nsq) * sqrt(p_nsq))", 6)} AS cent_sim
+                   FROM pp CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cent_sim DESC, cid) <= 2),
+               $dt,
+               cand AS (
+                 SELECT pc.probe_id, a.vec_id, a.cell, $adcSum AS adc
+                 FROM assigned a
+                   JOIN pc ON a.cell = pc.cell
+                   JOIN cd ON cd.vec_id = a.vec_id
+                   $codeJoins
+                 WHERE a.vec_id <> pc.probe_id
+                 QUALIFY row_number() OVER (PARTITION BY pc.probe_id ORDER BY adc, a.vec_id) <= 10),
+               rr AS (
+                 SELECT cand.probe_id, cand.vec_id, cand.cell, cand.adc,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p.p_e", "nz.emb")} / (sqrt(p.p_nsq) * sqrt(nz.nsq))", 4)} AS sim
+                 FROM cand JOIN nz ON nz.vec_id = cand.vec_id
+                   JOIN pp p ON p.probe_id = cand.probe_id)
+               SELECT probe_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                 vec_id, cell, ${Num.froundSql("adc", 4)} AS adc, sim
+               FROM rr
+               QUALIFY rank <= 3
+               ORDER BY probe_id, rank"""
       },
     )
 }

@@ -372,6 +372,20 @@ class LearningSpec extends SparkSuite {
     assert(math.abs(recall - hitSum / 80.0) < 2e-4)
   }
 
+  test("q154: IVFPQ serving — rank laws and the shortlist's exact re-rank order") {
+    val rows = SparkEntry.queries("q154_ann_ivfpq")(spark, sfDir).collect()
+    assert(rows.length == 24) // 8 probes × top-3
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 3L), s"probe $p ranks")
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b - 1e-9 },
+        s"probe $p rerank not sim-ordered")
+      assert(rs.forall(_.getAs[Double]("adc") >= 0))
+      assert(rs.map(_.getAs[Long]("vec_id")).distinct.length == 3, s"probe $p dup result")
+      assert(!rs.exists(_.getAs[Long]("vec_id") == p), s"probe $p returned itself")
+    }
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).
