@@ -123,7 +123,10 @@ object Explain {
     "q152_classifier_eval", "q153_fairness_audit",
     // the complete IVFPQ serving plan: cell-restricted candidates,
     // code-only ADC, bounded broadcast re-rank.
-    "q154_ann_ivfpq")
+    "q154_ann_ivfpq",
+    // length bucketing: CASE-map buckets, PrefixSum positions, two
+    // bounded aggregate chains with broadcast scalars.
+    "q155_length_bucketing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

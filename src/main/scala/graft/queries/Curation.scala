@@ -1178,6 +1178,94 @@ object Curation {
               FROM g, s WHERE n_docs < 5
               ORDER BY lang, source, size_bucket"""),
     ),
+
+    // SEQUENCE-LENGTH BUCKETING — the padding-efficiency audit of
+    // transformer batch assembly: documents batched in power-of-two
+    // length buckets (each batch padded to its own max) vs the naive
+    // shuffled batching, with the exact padding-token waste of both.
+    // Padding is pure wasted compute at training time; this is the
+    // number that justifies bucketed batch samplers.
+    //
+    // Scale shape: the bucket id is a narrow CASE map; within-bucket
+    // positions come from PrefixSum.keyedRank (local windows per
+    // (bucket, md5-prefix range) + tiny offset table — never a
+    // whole-bucket window, the q117 contract), batch stats are one
+    // aggregate per (bucket, batch), and the baseline reuses the
+    // same machinery under a constant key. All counts exact
+    // integers; the two ratios are display roundings.
+    QueryDef(
+      "q155_length_bucketing",
+      (s, dir) => {
+        val B = 8
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"),
+            md5(concat(lit("lb|"), col("doc_id").cast("string"))).as("u"))
+          .withColumn("bucket",
+            when(col("len") <= 8, 8L).when(col("len") <= 16, 16L)
+              .when(col("len") <= 32, 32L).when(col("len") <= 64, 64L)
+              .otherwise(128L))
+          .withColumn("ub", expr("cast(conv(substring(u, 1, 3), 16, 10) as int)"))
+          .persist()
+        val ranked = graft.operators.PrefixSum.keyedRank(
+          d, key = Seq("bucket"), bucket = "ub",
+          ord = Seq(col("u"), col("doc_id")), rankName = "rk", totalName = "nb",
+          persistProjection = false)
+        val batches = ranked.withColumn("batch", expr(s"(rk - 1) div $B"))
+          .groupBy(col("bucket"), col("batch"))
+          .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"), sum(col("len")).as("sm"))
+          .withColumn("waste", col("mx") * col("bn") - col("sm"))
+          .persist()
+        val perBucket = batches.groupBy(col("bucket"))
+          .agg(sum(col("bn")).as("n_docs"), count(lit(1)).as("n_batches"),
+            sum(col("sm")).as("n_tokens"), sum(col("waste")).as("padding_waste"))
+        val tb = batches.agg(sum(col("waste")).as("bucketed_waste"))
+        val granked = graft.operators.PrefixSum.keyedRank(
+          d.withColumn("g", lit(0L)), key = Seq("g"), bucket = "ub",
+          ord = Seq(col("u"), col("doc_id")), rankName = "rk", totalName = "nt",
+          persistProjection = false)
+        val bl = granked.withColumn("batch", expr(s"(rk - 1) div $B"))
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"), sum(col("len")).as("sm"))
+          .agg(sum(col("mx") * col("bn") - col("sm")).as("baseline_waste"))
+        val savings = when(col("baseline_waste") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("bucketed_waste").cast("double") / col("baseline_waste"))
+        perBucket.crossJoin(broadcast(tb)).crossJoin(broadcast(bl))
+          .select(col("bucket"), col("n_docs"), col("n_batches"), col("n_tokens"),
+            col("padding_waste"),
+            Num.fround(col("padding_waste").cast("double")
+              / (col("n_tokens") + col("padding_waste")), 6).as("waste_frac"),
+            col("bucketed_waste"), col("baseline_waste"),
+            Num.fround(savings, 6).as("savings"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH d AS (
+                 SELECT doc_id, len(string_split(text, ' '))::BIGINT AS len,
+                   md5('lb|' || doc_id::VARCHAR) AS u FROM documents),
+               b AS (SELECT *, (CASE WHEN len <= 8 THEN 8 WHEN len <= 16 THEN 16
+                                WHEN len <= 32 THEN 32 WHEN len <= 64 THEN 64
+                                ELSE 128 END)::BIGINT AS bucket FROM d),
+               r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY u, doc_id) AS rk
+                     FROM b),
+               bt AS (SELECT bucket, (rk - 1) // 8 AS batch, count(*)::BIGINT AS bn,
+                        max(len)::BIGINT AS mx, sum(len)::BIGINT AS sm
+                      FROM r GROUP BY 1, 2),
+               pb AS (SELECT bucket, sum(bn)::BIGINT AS n_docs, count(*)::BIGINT AS n_batches,
+                        sum(sm)::BIGINT AS n_tokens,
+                        sum(mx * bn - sm)::BIGINT AS padding_waste
+                      FROM bt GROUP BY bucket),
+               tb AS (SELECT sum(mx * bn - sm)::BIGINT AS bucketed_waste FROM bt),
+               gr AS (SELECT *, row_number() OVER (ORDER BY u, doc_id) AS rk FROM d),
+               gb AS (SELECT (rk - 1) // 8 AS batch, count(*)::BIGINT AS bn,
+                        max(len)::BIGINT AS mx, sum(len)::BIGINT AS sm
+                      FROM gr GROUP BY 1),
+               bl AS (SELECT sum(mx * bn - sm)::BIGINT AS baseline_waste FROM gb)
+               SELECT bucket, n_docs, n_batches, n_tokens, padding_waste,
+                 ${Num.froundSql("padding_waste::DOUBLE / (n_tokens + padding_waste)", 6)} AS waste_frac,
+                 bucketed_waste, baseline_waste,
+                 ${Num.froundSql(
+                   "CASE WHEN baseline_waste = 0 THEN (0.0::DOUBLE) ELSE (1.0::DOUBLE) - bucketed_waste::DOUBLE / baseline_waste END", 6)} AS savings
+               FROM pb CROSS JOIN tb CROSS JOIN bl ORDER BY bucket"""),
+    ),
   )
 
 }

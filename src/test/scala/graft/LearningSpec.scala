@@ -386,6 +386,27 @@ class LearningSpec extends SparkSuite {
     }
   }
 
+  test("q155: bucketing strictly beats shuffled batching; waste accounting reconciles") {
+    val rows = SparkEntry.queries("q155_length_bucketing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bucketed = rows.head.getAs[Long]("bucketed_waste")
+    val baseline = rows.head.getAs[Long]("baseline_waste")
+    assert(bucketed < baseline,
+      s"bucketed waste $bucketed not below shuffled baseline $baseline")
+    assert(rows.map(_.getAs[Long]("padding_waste")).sum == bucketed,
+      "per-bucket waste does not sum to the total")
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      // every batch pads to its own max: waste < batch-max * rows, and
+      // within a power-of-two bucket the per-row pad is < bucket/2
+      val perRowBound = r.getAs[Long]("bucket") / 2.0 + 1
+      assert(r.getAs[Long]("padding_waste") < perRowBound * r.getAs[Long]("n_docs"),
+        s"bucket ${r.getAs[Long]("bucket")} waste above the half-width bound")
+      assert(r.getAs[Double]("savings") == rows.head.getAs[Double]("savings"))
+    }
+  }
+
   test("q136: top-1 neighbor matches a brute-force within-cluster argmax") {
     // Independent re-derivation: for each vector, the rank-1 neighbor
     // must be the true within-cluster max-cosine mate (ties by id).
