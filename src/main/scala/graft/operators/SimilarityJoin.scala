@@ -95,10 +95,12 @@ object SimilarityJoin {
     * codegen'd array_intersect.
     *
     * Zipf shape: the candidate join is A-prefix ⋈ B-postings on the
-    * element. Hot-element postings never hash-shuffle — the A-prefix
-    * rows carrying a head element BROADCAST to them (the prefix side
-    * is derived-small by the cut) — and tail keys have per-key df
-    * bounded by the head threshold. Exactness vs the brute-force
+    * element. Hot-element postings never pile into one reducer: at
+    * high τ (≥ 3/4) the A-prefix rows carrying a head element are
+    * few enough to BROADCAST; at low τ the prefix covers most of
+    * each set, so the head keys go through a salted shuffle instead
+    * (the broadcast would be corpus-linear). Tail keys have per-key
+    * df bounded by the head threshold. Exactness vs the brute-force
     * definition is pinned by SimilarityJoinSpec; the q143 oracle is
     * an INDEPENDENT algorithm (inverted-index pair counting, no
     * prefix lemma), so the differential itself proves losslessness
@@ -136,7 +138,20 @@ object SimilarityJoin {
     val preTail = pre.join(broadcast(headSet), Seq("__w"), "left_anti")
     val postHead = post.join(broadcast(headSet), Seq("__w"))
     val postTail = post.join(broadcast(headSet), Seq("__w"), "left_anti")
-    val cand = postHead.join(broadcast(preHead), Seq("__w"))
+    // Head-element candidate join. Unlike the Jaccard join, the
+    // A-prefix here is |A| − ⌈τ|A|⌉ + 1 elements per set — at low τ
+    // roughly the whole set — so the prefix rows carrying head
+    // elements grow linearly with the corpus and broadcasting them
+    // would be unbounded at scale. Broadcast only when τ ≥ 3/4
+    // (head elements sort LAST in the df-ascending prefix order, so
+    // a short prefix rarely reaches them); below that, route the 64
+    // hot keys through a salted shuffle (result provably equal —
+    // SaltedJoin's contract, and SimilarityJoinSpec's brute-force
+    // differential covers both regimes).
+    val headCand =
+      if (tNum * 4 >= tDen * 3) postHead.join(broadcast(preHead), Seq("__w"))
+      else SaltedJoin.inner(postHead, preHead, Seq("__w"), col("__idb"), factor = 8)
+    val cand = headCand
       .unionByName(preTail.join(postTail, Seq("__w")))
       .filter(col("__ida") =!= col("__idb"))
       .filter(lit(tDen) * col("__sb") >= lit(tNum) * col("__sa"))

@@ -182,7 +182,12 @@ object Retrieval {
             md5(concat_ws(",",
               expr("transform(sort_array(collect_list(struct(block, b_digest))), x -> x.b_digest)")))
               .as("postings_digest"),
-            expr("min_by(slice(deltas, 1, 8), block)").as("head_deltas"))
+            // Serialized to a comma-joined STRING, not array<bigint>:
+            // the driver's pandas-based comparer sorts every output
+            // column and cannot factorize array cells (round-7 red
+            // row). Scalar string is hash-equivalent and harness-safe.
+            expr("array_join(transform(min_by(slice(deltas, 1, 8), block)," +
+              " x -> cast(x as string)), ',')").as("head_deltas"))
           .orderBy(col("df").desc, col("term"))
       },
       Some("""WITH occ AS (
@@ -208,7 +213,7 @@ object Retrieval {
                 max(b_max_tf)::BIGINT AS max_tf,
                 count(*)::BIGINT AS n_blocks,
                 md5(string_agg(b_digest, ',' ORDER BY block)) AS postings_digest,
-                min_by(deltas[1:8], block) AS head_deltas
+                array_to_string(min_by(deltas[1:8], block), ',') AS head_deltas
               FROM blk3 GROUP BY term
               ORDER BY df DESC, term"""),
     ),

@@ -1279,10 +1279,13 @@ object Vectors {
 
   /** PQ training: per-subspace codebooks on the constant modulus
     * sample (one 6dp Lloyd refinement — the q97 contract applied per
-    * subspace), plus the persisted double-cast corpus. Driver state:
-    * S·K·D = 512 doubles, corpus-independent. */
+    * subspace). Driver state: S·K·D = 512 doubles, corpus-
+    * independent. The training-time caches are unpersisted before
+    * returning — the staged encode pass rebuilds its own base, so
+    * keeping them pinned for the JVM lifetime would only leak
+    * executor memory. */
   private def pqTrained(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, IndexedSeq[Seq[(Long, Seq[Double])]]) = {
+      : IndexedSeq[Seq[(Long, Seq[Double])]] = {
     graft.functions.SqDistF.register(s)
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"),
@@ -1311,7 +1314,9 @@ object Vectors {
             .map(r => math.floor(r.getAs[Double]("mu") * p + 0.5) / p).toSeq
         }.toSeq.sortBy(_._1)
     }
-    (base, books)
+    sample.unpersist()
+    base.unpersist()
+    books
   }
 
   /** Corpus with per-subspace slices `e0..e7` and argmin structs
@@ -1327,7 +1332,7 @@ object Vectors {
 
   private def pqEncoded(s: org.apache.spark.sql.SparkSession, dir: String)
       : (IndexedSeq[Seq[(Long, Seq[Double])]], org.apache.spark.sql.DataFrame) = {
-    val books = pqBookCache.getOrElseUpdate(dir, pqTrained(s, dir)._2)
+    val books = pqBookCache.getOrElseUpdate(dir, pqTrained(s, dir))
     // The encoded corpus (argmin struct per subspace) is the PQ
     // artifact a deployment persists next to the codebooks — staged
     // through parquet once per (dir, JVM), shared by q150 (codes +
@@ -1417,8 +1422,13 @@ object Vectors {
       "q150_pq_encode",
       (s, dir) => {
         val (_, withCodes) = pqEncoded(s, dir)
+        // `codes` is a comma-joined STRING, not array<bigint>: the
+        // driver's pandas comparer sorts every column and cannot
+        // factorize array cells (round-7 red row). Same information,
+        // harness-safe scalar.
         withCodes.select(col("vec_id"),
-            array((0 until PqS).map(sp => col(s"b$sp.cid")): _*).as("codes"),
+            concat_ws(",", (0 until PqS).map(sp => col(s"b$sp.cid").cast("string")): _*)
+              .as("codes"),
             Num.fround((0 until PqS).map(sp => col(s"b$sp.dist")).reduce(_ + _), 4)
               .as("recon_err"))
           .orderBy(col("vec_id"))
@@ -1465,7 +1475,7 @@ object Vectors {
               prm AS (SELECT greatest(1, count(*) // ${K * 32}) AS m FROM e),
               smp AS (SELECT e.* FROM e, prm WHERE e.vec_id % prm.m = 0),
               $perSub
-              SELECT e.vec_id, $codes AS codes,
+              SELECT e.vec_id, array_to_string($codes, ',') AS codes,
                 ${Num.froundSql(errSum, 4)} AS recon_err
               FROM e
                $joins
@@ -1502,14 +1512,17 @@ object Vectors {
           .select(col("vec_id").as("probe_id") +:
             (0 until PqS).map(sp =>
               expr(s"slice(e, ${sp * PqD + 1}, $PqD)").as(s"p_e$sp")): _*)
-        // ADC: per subspace, index the 8 probe-to-centroid distances
-        // by the corpus row's code (codebooks may lose empty cells —
-        // element_at hits only surviving codes, which both engines
-        // derive identically)
+        // ADC: per subspace, look up the probe-to-centroid distance
+        // BY CID, not by array position — pqTrained drops empty Lloyd
+        // cells from books(sp), so positional indexing would silently
+        // shift to the wrong centroid when a cell empties. A literal-
+        // keyed map is position-independent and stays a plan constant.
         val adc = (0 until PqS).map { sp =>
-          val dists = array(books(sp).map { case (_, c) =>
-            graft.functions.SqDistF.distCol(col(s"p_e$sp"), typedLit(c)) }: _*)
-          element_at(dists, col(s"code$sp").cast("int") + 1)
+          val dmap = map(books(sp).flatMap { case (cid, c) =>
+            Seq(lit(cid),
+              graft.functions.SqDistF.distCol(col(s"p_e$sp"), typedLit(c)))
+          }: _*)
+          element_at(dmap, col(s"code$sp"))
         }.reduce(_ + _)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
         val ranked = enc.crossJoin(broadcast(probes))
@@ -1646,10 +1659,13 @@ object Vectors {
               expr(s"slice(p_e, ${sp * PqD + 1}, $PqD)").as(s"p_e$sp")) ++: Seq(
             col("p_emb"), col("p_nsq"),
             explode(expr("transform(cells, x -> x.cid)")).as("cell")): _*)
+        // cid-keyed lookup tables (not positional — see q151's note).
         val adc = (0 until PqS).map { sp =>
-          val dists = array(books(sp).map { case (_, c) =>
-            graft.functions.SqDistF.distCol(col(s"p_e$sp"), typedLit(c)) }: _*)
-          element_at(dists, col(s"code$sp").cast("int") + 1)
+          val dmap = map(books(sp).flatMap { case (cid, c) =>
+            Seq(lit(cid),
+              graft.functions.SqDistF.distCol(col(s"p_e$sp"), typedLit(c)))
+          }: _*)
+          element_at(dmap, col(s"code$sp"))
         }.reduce(_ + _)
         val cands = idx
           .select(col("vec_id") +: col("cell") +:

@@ -92,15 +92,16 @@ def main():
         spark = pd.concat([pq.read_table(f).to_pandas() for f in files]) if files else pd.DataFrame()
         ok = True
         reasons = []
+        clash = None
         if sorted(duck.columns) != sorted(spark.columns):
             ok = False
             reasons.append(f"cols duck={sorted(duck.columns)} spark={sorted(spark.columns)}")
-        elif _dtype_clash(duck, spark):
+        elif (clash := _dtype_clash(duck, spark)):
             # int-vs-float column kind mismatch: values may still
             # compare equal here (598 == 598.0) but the driver-side
             # hash of typed values would diverge — fail loudly.
             ok = False
-            reasons.append("dtype clash: " + _dtype_clash(duck, spark))
+            reasons.append("dtype clash: " + clash)
         elif len(duck) != len(spark):
             ok = False
             reasons.append(f"rows duck={len(duck)} spark={len(spark)}")
