@@ -86,10 +86,15 @@ object Retrieval {
 
   /** MaxScore-pruned exact BM25 top-k over any (doc_id, text) corpus.
     *
-    * Phase 1 fully scores only the rarest term's postings and takes
-    * the k-th ROUNDED score as a certified lower bound θ₀ on the
-    * final k-th score (a top-k over a subset can only under-estimate
-    * it). Terms then split at the analytic per-term bound
+    * Phase 1 scores only the rarest term's postings in its TOP-k
+    * 1024-doc-id BLOCKS ranked by per-block max-tf (the q125 index
+    * statistic), and takes the k-th ROUNDED score as a certified
+    * lower bound θ₀ on the final k-th score (a top-k over ANY subset
+    * of documents can only under-estimate it — block selection
+    * affects only how tight θ₀ is, never its validity). This bounds
+    * the θ₀ derivation even when the "rarest" query term is itself
+    * hot: at most k blocks × ≤1024 postings are ever scored for the
+    * threshold, instead of the term's whole posting list. Terms then split at the analytic per-term bound
     * idf·(k1+1) — the tf→∞ limit, attained by no finite tf — into an
     * essential prefix and a non-essential tail whose bounds sum below
     * θ₀ − 10⁻³: a document containing no essential term scores
@@ -104,8 +109,17 @@ object Retrieval {
     * last-ulp ln disagreement between the driver's math.log literals
     * and the engines' ln, so ties at the rounded-4dp boundary cannot
     * resurrect a pruned document. Driver state is bounded by
-    * construction: one stats row and k phase-1 rows. */
-  private[graft] def maxscoreTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    * construction: one stats row, k block ids, and k phase-1 rows. */
+  private[graft] def maxscoreTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    maxscorePruned(docs, terms, k)._1
+
+  /** [[maxscoreTopK]] plus the essential-term set it settled on —
+    * `terms.toSet` means the gate fell back to a full scan (no
+    * certificate); a strict subset means non-essential terms were
+    * pruned. Exposed for the spec that pins "pruning still engages
+    * when every query term is common". */
+  private[graft] def maxscorePruned(docs: DataFrame, terms: Seq[String], k: Int)
+      : (DataFrame, Set[String]) = {
     val pd = perDoc(docs, terms)
     val aggs = Seq(
       count(lit(1)).cast("double").as("n"),
@@ -120,25 +134,41 @@ object Retrieval {
       w -> (math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1.0) * (K1 + 1.0))).toMap
     val score = Num.fround(bm25(terms, n, avgdl, df), 4)
     val rare = terms.minBy(df)
-    // Phase 1: full scores over the rare term's postings only.
-    val phase1 = pd.filter(col(s"tf_$rare") > 0)
-      .select(col("doc_id"), score.as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k).collect()
+    // Phase 1, block-bounded (the q125 index-statistics shape): rank
+    // the rare term's 1024-doc blocks by max-tf and fully score only
+    // the top-k blocks' postings. If the rare term has ≥ k non-empty
+    // blocks this yields ≥ k candidates (each block contributes ≥ 1);
+    // with fewer blocks it degenerates to scoring the whole (small)
+    // posting list — same coverage as before, now with a hard bound
+    // of k·1024 scored rows however hot the term is.
+    val blockTop = pd.filter(col(s"tf_$rare") > 0)
+      .groupBy(expr("doc_id div 1024").as("block"))
+      .agg(max(col(s"tf_$rare")).as("bmax"))
+      .orderBy(col("bmax").desc, col("block"))
+      .limit(k).collect().map(_.getAs[Long]("block")).toSeq
+    val phase1 =
+      if (blockTop.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else pd.filter(col(s"tf_$rare") > 0 &&
+          expr("doc_id div 1024").isInCollection(blockTop))
+        .select(col("doc_id"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k).collect()
     val theta0 = if (phase1.length >= k) phase1.last.getDouble(1) else Double.NegativeInfinity
-    val gate = if (theta0 < 1e-3) lit(true) else {
+    val essential = if (theta0 < 1e-3) terms.toSet else {
       // Essential prefix by descending upper bound: extend until the
       // remaining tail's bounds sum below θ₀ − margin.
       val byUb = terms.sortBy(w => -ub(w))
-      val essential = byUb.indices
+      byUb.indices
         .find(p => byUb.drop(p + 1).map(ub).sum <= theta0 - 1e-3)
         .map(p => byUb.take(p + 1)).getOrElse(byUb).toSet + rare
-      essential.toSeq.sorted.map(w => col(s"tf_$w") > 0).reduce(_ || _)
     }
-    pd.filter(gate)
+    val gate = if (theta0 < 1e-3) lit(true)
+      else essential.toSeq.sorted.map(w => col(s"tf_$w") > 0).reduce(_ || _)
+    val result = pd.filter(gate)
       .select(col("doc_id"), col("dl").cast("long").as("dl"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+    (result, essential)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -107,6 +107,46 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("every query term common: essential prefix still engages (strict subset)") {
+    // All three terms appear in ~95% of documents, so no term is
+    // "rare" in the df sense — the regime where a naive phase 1
+    // would score nearly the whole corpus for θ₀. A dozen documents
+    // stack tf=10 of each term, pushing θ₀ (k=10) far above the tiny
+    // common-term upper bounds, so the essential set must shrink to
+    // a strict subset of the query — pruning engages without any
+    // genuinely rare term to anchor it.
+    val heavy = (0L until 12L).map(i =>
+      i -> (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c")).mkString(" "))
+    val common = (12L until 190L).map(i =>
+      i -> (Seq("a", "b", "c") ++ Seq.fill(27)(s"pad$i")).mkString(" "))
+    val filler = (190L until 200L).map(i => i -> s"nothing here pad$i")
+    val docs = corpus(heavy ++ common ++ filler)
+    val terms = Seq("a", "b", "c")
+    val (result, essential) = Retrieval.maxscorePruned(docs, terms, 10)
+    assert(essential.size < terms.size,
+      s"pruning did not engage: essential=$essential")
+    val got = result.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val want = brute(docs, terms, 10)
+    assert(got.map(_._1) == want.map(_._1),
+      s"doc order: got=${got.mkString(",")} want=${want.mkString(",")}")
+  }
+
+  test("hot rare term spanning many blocks: block-bounded theta0 stays exact") {
+    // The "rarest" term appears in EVERY document, spread over ~60
+    // distinct 1024-doc-id blocks — phase 1 must score only its
+    // top-k blocks (k x 1024 hard bound) yet the final top-k must
+    // still equal the full-scan answer, because theta0 from any
+    // document subset is a valid lower bound.
+    val rnd = new scala.util.Random(7)
+    val docs = corpus((0 until 120).map { i =>
+      val id = i.toLong * 500 // blocks 0..58
+      val tfHot = 1 + rnd.nextInt(6)
+      id -> (Seq.fill(tfHot)("hot") ++ Seq.fill(1 + rnd.nextInt(3))("warm") ++
+        Seq.fill(2 + rnd.nextInt(5))(s"pad$i")).mkString(" ")
+    })
+    check(docs, Seq("hot", "warm"), 10)
+  }
+
   test("q126 on the shipped corpus: pruning engages (essential gate, not full scan)") {
     // On sf0.001 the rare term has ~25 postings >= k=10 and theta0 is
     // far above the common terms' bound sum — the gate must reference
