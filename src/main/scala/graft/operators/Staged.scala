@@ -30,4 +30,40 @@ object Staged {
     })
     s.read.parquet(path)
   }
+
+  /** Like [[parquet]] but hive-layout-partitioned by `partCol` — one
+    * directory per value, so a downstream filter on the column prunes
+    * at FILE-LISTING time (`PartitionFilters` in the scan, before any
+    * footer is opened). This is the storage layout an ANN serving
+    * index uses at 100 TB: the probe's nprobe cells select a handful
+    * of directories out of the whole corpus.
+    *
+    * Caveat baked in here so callers can't get it wrong: a partition
+    * column round-trips through DIRECTORY-NAME INFERENCE (an integral
+    * `cell` comes back IntegerType, and lands at the END of the
+    * schema). The read path re-casts it to its original type and
+    * restores the original column order, so consumers and oracle
+    * schemas see the exact pre-staging shape; literal filters still
+    * prune because Catalyst unwraps the cast over the int partition
+    * attribute (UnwrapCastInBinaryComparison). */
+  def partitionedParquet(s: SparkSession, key: String, partCol: String)
+      (build: => DataFrame): DataFrame = {
+    val path = memo.computeIfAbsent(key, k => {
+      val p = root.resolve(
+        k.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + Integer.toHexString(k.hashCode)).toString
+      val df = build
+      schemaMemo.put(k, df.schema)
+      df.write.mode("overwrite").partitionBy(partCol).parquet(p)
+      p
+    })
+    val orig = schemaMemo.get(key)
+    val raw = s.read.parquet(path)
+    import org.apache.spark.sql.functions.col
+    raw.select(orig.fields.map(f =>
+      if (f.name == partCol) col(f.name).cast(f.dataType).as(f.name)
+      else col(f.name)).toIndexedSeq: _*)
+  }
+
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 }

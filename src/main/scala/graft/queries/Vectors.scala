@@ -599,7 +599,15 @@ object Vectors {
           .withColumn("nsq", VectorFns.normSqF("embedding"))
           .select(col("vec_id"), col("embedding"), col("nsq"), col("codes"))
           .persist()
-        val index = ivfAssign(qz, cents, Seq("codes", "embedding", "nsq")).persist()
+        // The serving index is STAGED STORAGE-PARTITIONED BY CELL —
+        // the layout a deployment writes once so that every probe's
+        // nprobe cells become a partition-pruned scan (directories
+        // selected at file-listing time), not a full-index read.
+        // IvfLayoutSpec plan-asserts the PartitionFilters.
+        val index = graft.operators.Staged.partitionedParquet(
+          s, s"ivfsq_idx|$dir", "cell") {
+          ivfAssign(qz, cents, Seq("codes", "embedding", "nsq"))
+        }
         val probeCells = qz.filter(col("vec_id") < N_PROBES)
           .crossJoin(broadcast(cents))
           .withColumn("cent_sim", ivfCentSim)
@@ -612,7 +620,15 @@ object Vectors {
             first(col("nsq")).as("p_nsq"))
           .select(col("vec_id").as("probe_id"), col("p_codes"), col("p_emb"), col("p_nsq"),
             explode(expr("transform(cells, x -> x.cid)")).as("cell"))
-        val cands = index.select(col("vec_id"), col("cell"), col("codes"))
+        // Tier-1 output is the probe→cell ranking — a bounded set
+        // (N_PROBES × nprobe ≤ 16 ids), collected and pushed onto the
+        // index scan as a LITERAL partition filter: the serving read
+        // never lists the other cells' directories. The cell equi-join
+        // below still does the exact probe↔cell matching.
+        val probeCellIds = probeCells.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val cellIndex = index.filter(col("cell").isInCollection(probeCellIds))
+        val cands = cellIndex.select(col("vec_id"), col("cell"), col("codes"))
           .join(broadcast(probeCells), Seq("cell"))
           .filter(col("vec_id") =!= col("probe_id"))
           .withColumn("adist", expr(
@@ -628,7 +644,7 @@ object Vectors {
         broadcast(cands
           .withColumn("crank", row_number().over(w10))
           .filter(col("crank") <= 10))
-          .join(index.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+          .join(cellIndex.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
           .withColumn("sim", Num.fround(
             VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
           .withColumn("rank", row_number().over(w3).cast("long"))
@@ -1637,9 +1653,13 @@ object Vectors {
         val (books, withCodes) = pqEncoded(s, dir)
         val codes = withCodes.select(col("vec_id") +:
           (0 until PqS).map(sp => col(s"b$sp.cid").as(s"code$sp")): _*)
-        val idx = ivfAssign(corpus(s, dir), ivfCents(s, dir), Seq("embedding", "nsq"))
-          .join(codes, Seq("vec_id"))
-          .persist()
+        // Staged storage-partitioned by cell (q103's layout): the
+        // serving scan below reads only the probed cells' directories.
+        val idx = graft.operators.Staged.partitionedParquet(
+          s, s"ivfpq_idx|$dir", "cell") {
+          ivfAssign(corpus(s, dir), ivfCents(s, dir), Seq("embedding", "nsq"))
+            .join(codes, Seq("vec_id"))
+        }
         val pbase = Tables.embeddings(s, dir)
           .filter(col("vec_id") < N_PROBES)
           .select(col("vec_id"),
@@ -1667,7 +1687,10 @@ object Vectors {
           }: _*)
           element_at(dmap, col(s"code$sp"))
         }.reduce(_ + _)
-        val cands = idx
+        val probeCellIds = probeCells.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val cellIdx = idx.filter(col("cell").isInCollection(probeCellIds))
+        val cands = cellIdx
           .select(col("vec_id") +: col("cell") +:
             (0 until PqS).map(sp => col(s"code$sp")): _*)
           .join(broadcast(probeCells), Seq("cell"))
@@ -1677,7 +1700,7 @@ object Vectors {
         val w10 = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
         val w3 = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         broadcast(cands.withColumn("crank", row_number().over(w10)).filter(col("crank") <= 10))
-          .join(idx.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+          .join(cellIdx.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
           .withColumn("sim", Num.fround(
             VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
           .withColumn("rank", row_number().over(w3).cast("long"))
