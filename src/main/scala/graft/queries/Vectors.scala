@@ -1060,6 +1060,128 @@ object Vectors {
       },
     ),
 
+    // N-ranker RRF — q120's union-groupBy fusion generalized to
+    // THREE rankers (lexical BM25, dense cosine, and a metadata
+    // prior over n_chars — the static quality signal a curation
+    // stack fuses alongside relevance), proving the no-join claim
+    // generalizes: adding a ranker adds one TakeOrderedAndProject
+    // cut and K more union rows, never a join. The groupBy's
+    // coalesce(…, 0) is the left-outer semantics — a document on any
+    // subset of the three lists fuses correctly with absent ranks
+    // contributing nothing (rank column 0, no 1/(60+r) term).
+    //
+    // Determinism: each cut orders by (4dp-rounded score | exact
+    // integer n_chars) with id tiebreak; fusion math is identical to
+    // q120's bit-exact form.
+    QueryDef(
+      "q156_hybrid_rrf3",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "dup")
+        val (k1, b) = (1.2, 0.75)
+        val K = 50
+        val perDoc = Tables.documents(s, dir)
+          .select(col("doc_id") +: size(split(col("text"), " ")).as("dl") +:
+            terms.map(w => expr(s"size(filter(split(text, ' '), t -> t = '$w'))")
+              .cast("double").as(s"tf_$w")): _*)
+        val statCols = avg(col("dl").cast("double")).as("avgdl") +:
+          terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L))
+            .cast("double").as(s"df_$w"))
+        val stats = perDoc.agg(count(lit(1)).cast("double").as("n"), statCols: _*)
+        val bm25 = terms.map { w =>
+          val idf = log((col("n") - col(s"df_$w") + 0.5) / (col(s"df_$w") + 0.5) + 1.0)
+          idf * col(s"tf_$w") * (k1 + 1.0) /
+            (col(s"tf_$w") + (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1)
+        }.reduce(_ + _)
+        val lexTop = perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id").as("id"), Num.fround(bm25, 4).as("s"))
+          .orderBy(col("s").desc, col("id")).limit(K)
+        val c = corpus(s, dir)
+        val probe = c.filter(col("vec_id") === 0)
+          .select(col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val sim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val denseTop = c.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .select(col("vec_id").as("id"), sim.cast("double").as("s"))
+          .orderBy(col("s").desc, col("id")).limit(K)
+        val priorTop = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("n_chars").cast("double").as("s"))
+          .orderBy(col("s").desc, col("id")).limit(K)
+        val wRank = Window.orderBy(col("s").desc, col("id"))
+        val sides = Seq("lex" -> lexTop, "dense" -> denseTop, "prior" -> priorTop)
+          .map { case (nm, top) =>
+            top.select(col("id"), row_number().over(wRank).as("rank"),
+              lit(nm).as("side"))
+          }
+        sides.reduce(_ unionByName _)
+          .groupBy(col("id"))
+          .agg(
+            coalesce(max(when(col("side") === "lex", col("rank"))), lit(0))
+              .cast("long").as("rank_lex"),
+            coalesce(max(when(col("side") === "dense", col("rank"))), lit(0))
+              .cast("long").as("rank_dense"),
+            coalesce(max(when(col("side") === "prior", col("rank"))), lit(0))
+              .cast("long").as("rank_prior"),
+            Num.fround(sum(lit(1.0) / (col("rank") + 60)), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("id"))
+          .limit(20)
+      },
+      Some {
+        val terms = Seq("spark", "join", "dup")
+        val tfCols = terms.map(w =>
+          s"len(list_filter(string_split(text, ' '), t -> t = '$w'))::DOUBLE AS tf_$w")
+          .mkString(", ")
+        val dfCols = terms.map(w =>
+          s"sum(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$w")
+          .mkString(", ")
+        val scoreSql = terms.map(w =>
+          s"""ln((n - df_$w + 0.5) / (df_$w + 0.5) + 1) * tf_$w * 2.2
+              / (tf_$w + (dl / avgdl * 0.75 + 0.25) * 1.2)""").mkString(" + ")
+        s"""WITH per_doc AS (
+                 SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl, $tfCols
+                 FROM documents),
+               stats AS (
+                 SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfCols FROM per_doc),
+               lex_top AS (
+                 SELECT doc_id AS id, ${Num.froundSql(scoreSql, 4)} AS s
+                 FROM per_doc, stats
+                 ORDER BY s DESC, id LIMIT 50),
+               lex AS (
+                 SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank,
+                   'lex' AS side
+                 FROM lex_top),
+               c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               p AS (SELECT emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id = 0),
+               dense_top AS (
+                 SELECT vec_id AS id,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS s
+                 FROM c, p WHERE vec_id <> 0
+                 ORDER BY s DESC, id LIMIT 50),
+               dense AS (
+                 SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank,
+                   'dense' AS side
+                 FROM dense_top),
+               prior_top AS (
+                 SELECT doc_id AS id, n_chars::DOUBLE AS s FROM documents
+                 ORDER BY s DESC, id LIMIT 50),
+               prior AS (
+                 SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank,
+                   'prior' AS side
+                 FROM prior_top),
+               u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense
+                     UNION ALL SELECT * FROM prior)
+               SELECT id,
+                 coalesce(max(CASE WHEN side = 'lex' THEN rank END), 0)::BIGINT AS rank_lex,
+                 coalesce(max(CASE WHEN side = 'dense' THEN rank END), 0)::BIGINT AS rank_dense,
+                 coalesce(max(CASE WHEN side = 'prior' THEN rank END), 0)::BIGINT AS rank_prior,
+                 ${Num.froundSql("sum(1.0 / (rank + 60))", 6)} AS rrf
+               FROM u GROUP BY id
+               ORDER BY rrf DESC, id LIMIT 20"""
+      },
+    ),
+
     // Johnson–Lindenstrauss random projection — the embedding
     // COMPRESSION axis the quantization family doesn't cover: q71/q72
     // shrink bits per dimension (64-dim stays 64-dim at int8), this
