@@ -10,10 +10,16 @@ import org.apache.spark.sql.SparkSession
   * fact-to-fact, suspicious for dim hops). Run after a wave of query
   * work; PlanSpec pins the per-query conclusions this sweep surfaces.
   *
-  * Known by-design flags (round 5 sweep: 107/110 clean): q44/q55
-  * carry the Expand INHERENT to ROLLUP/CUBE grouping sets, and q94's
-  * SortMergeJoin is the salted-skew-join demonstration PlanSpec
-  * requires to be a real shuffle join.
+  * The allowlist of by-design flags, WITH the per-query rationale,
+  * lives in ONE place: `PlanHygieneSpec.allowed` (the enforced
+  * version of this sweep — anything outside it fails the suite).
+  * This main stays as the human-readable printout; the tally SURVEY
+  * cites is derivable from the spec alone. Note this sweep reads the
+  * POST-AQE plan at sf0.001, where AQE converts most of the
+  * allowlisted corpus⋈corpus SMJs to broadcast — so its "clean"
+  * count can exceed the spec's initial-plan allowlist (round-7
+  * tally: 152/155 clean; flagged = q44/q55 grouping-set Expand +
+  * q94's deliberate salted SMJ).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
