@@ -336,7 +336,9 @@ class LearningSpec extends SparkSuite {
     val rows = SparkEntry.queries("q150_pq_encode")(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val codes = r.getSeq[Long](r.fieldIndex("codes"))
+      // codes serialize as a comma-joined string (driver-harness-safe
+      // scalar since round 8)
+      val codes = r.getAs[String]("codes").split(",").map(_.toLong).toSeq
       assert(codes.length == 8)
       assert(codes.forall(c => c >= 0 && c < 8), s"code out of range: $codes")
       assert(r.getAs[Double]("recon_err") >= 0)
