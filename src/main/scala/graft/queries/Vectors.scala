@@ -1413,7 +1413,145 @@ object Vectors {
     PqEncodeDef,
     PqAdcDef,
     PqIvfDef,
+    FilteredAnnDef,
   )
+
+  // FILTERED vector search — ANN under a metadata predicate (every
+  // production vector store's "filtered query": retrieve neighbors
+  // WITH label = X). The naive plans both fail at scale: post-filter
+  // (search then drop non-matching) collapses recall at selective
+  // filters; pre-filter (scan all label-mates) is a full partition
+  // scan. The serving shape here is the IVF middle road: the probe
+  // ranks the UNFILTERED coarse cells (geometry is label-agnostic),
+  // candidates come from nprobe=4 cells with the label predicate
+  // pushed into the same scan (at 100 TB: cell-partitioned storage —
+  // q103's layout — with the label as a row filter inside the pruned
+  // directories), and recall is measured against the FILTERED exact
+  // ground truth and emitted per row (the q112/q151 tripwire stance:
+  // a geometry/filter misalignment collapses hits and reddens the
+  // CORRECTNESS row, since the oracle derives the same integers
+  // independently).
+  //
+  // nprobe=4 (vs q101's 2) compensates for ~10% label selectivity:
+  // label-mates concentrate in no particular cell, so the filtered
+  // candidate pool shrinks ~10x and more cells are needed to keep
+  // the shortlist meaningful. Determinism: candidate rank on
+  // 4dp-rounded cosine with vec_id ties; exact side on 6dp-rounded
+  // cosine with vec_id ties (both mirrored in SQL).
+  private lazy val FilteredAnnDef: QueryDef =
+    QueryDef(
+      "q157_filtered_ann",
+      (s, dir) => {
+        val NPROBE = 4
+        val K = 3
+        val cents = ivfCents(s, dir)
+        val assigned = ivfAssign(corpus(s, dir), cents, Seq("label", "embedding", "nsq"))
+          .persist()
+        val pb = assigned.filter(col("vec_id") < N_PROBES)
+        val probeCells = pb.crossJoin(broadcast(cents))
+          .withColumn("cent_sim", ivfCentSim)
+          .groupBy(col("vec_id"))
+          .agg(
+            expr(s"slice(array_sort(collect_list(struct(-cent_sim AS negsim, cid))), 1, $NPROBE)")
+              .as("cells"),
+            first(col("label")).as("p_label"),
+            first(col("embedding")).as("p_emb"),
+            first(col("nsq")).as("p_nsq"))
+          .select(col("vec_id").as("probe_id"), col("p_label"), col("p_emb"),
+            col("p_nsq"), explode(expr("transform(cells, x -> x.cid)")).as("cell"))
+        val sim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        val ranked = assigned.join(broadcast(probeCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
+          .select(col("probe_id"), col("vec_id"), col("cell"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= K)
+          .persist()
+        // exact ground truth among label-mates (6dp cosine, vec_id tie)
+        val probes = pb.select(col("vec_id").as("probe_id"),
+          col("label").as("p_label"), col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq"))
+        val exSim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 6)
+        val exact = corpus(s, dir).join(broadcast(probes),
+            col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
+          .select(col("probe_id"), col("vec_id"), exSim.as("d"))
+          .withColumn("xr", row_number().over(
+            Window.partitionBy(col("probe_id")).orderBy(col("d").desc, col("vec_id"))))
+          .filter(col("xr") <= K)
+          .select(col("probe_id"), col("vec_id"))
+        val hits = ranked.join(broadcast(exact), Seq("probe_id", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        val exCount = exact.agg(count(lit(1)).as("n_exact"))
+        ranked
+          .join(broadcast(exact.withColumn("hit", lit(1))),
+            Seq("probe_id", "vec_id"), "left")
+          .crossJoin(broadcast(hits))
+          .crossJoin(broadcast(exCount))
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
+            col("sim"), coalesce(col("hit"), lit(0)).as("hit"),
+            col("total_hits"), col("n_exact"),
+            Num.fround(col("total_hits").cast("double") /
+              col("n_exact").cast("double"), 4).as("filtered_recall"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some {
+        val NPROBE = 4
+        val K = 3
+        val centSim6 = Num.froundSql(
+          s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)
+        s"""WITH c AS (
+                 SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
+                         WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // $IVF_K) = 0),
+               assigned AS MATERIALIZED (
+                 SELECT vec_id, label, emb, nsq, cid AS cell FROM (
+                   SELECT c.vec_id, c.label, c.emb, c.nsq, cents.cid,
+                     $centSim6 AS cent_sim
+                   FROM c CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               pb AS (SELECT vec_id AS probe_id, label AS p_label, emb AS p_emb,
+                        nsq AS p_nsq
+                      FROM assigned WHERE vec_id < $N_PROBES),
+               pc AS (
+                 SELECT probe_id, p_label, p_emb, p_nsq, cid AS cell FROM (
+                   SELECT pb.probe_id, pb.p_label, pb.p_emb, pb.p_nsq, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "p_emb")} / (sqrt(c_nsq) * sqrt(p_nsq))", 6)} AS cent_sim
+                   FROM pb CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cent_sim DESC, cid) <= $NPROBE),
+               rk AS MATERIALIZED (
+                 SELECT probe_id, vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank
+                 FROM (
+                   SELECT pc.probe_id, a.vec_id, a.cell,
+                     ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                   FROM assigned a JOIN pc ON a.cell = pc.cell
+                   WHERE a.vec_id <> pc.probe_id AND a.label = pc.p_label)
+                 QUALIFY rank <= $K),
+               ex AS MATERIALIZED (
+                 SELECT probe_id, vec_id FROM (
+                   SELECT pb.probe_id, c.vec_id,
+                     ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "c.emb")} / (sqrt(p_nsq) * sqrt(c.nsq))", 6)} AS d,
+                     row_number() OVER (PARTITION BY pb.probe_id
+                       ORDER BY ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "c.emb")} / (sqrt(p_nsq) * sqrt(c.nsq))", 6)} DESC, c.vec_id) AS xr
+                   FROM c JOIN pb ON c.label = pb.p_label AND c.vec_id <> pb.probe_id)
+                 WHERE xr <= $K),
+               th AS (SELECT count(*)::BIGINT AS total_hits
+                      FROM rk JOIN ex USING (probe_id, vec_id)),
+               xc AS (SELECT count(*)::BIGINT AS n_exact FROM ex)
+               SELECT rk.probe_id, rk.rank, rk.vec_id, rk.cell, rk.sim,
+                 CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                 th.total_hits, xc.n_exact,
+                 ${Num.froundSql("th.total_hits::DOUBLE / xc.n_exact::DOUBLE", 4)} AS filtered_recall
+               FROM rk
+                 LEFT JOIN ex ON ex.probe_id = rk.probe_id AND ex.vec_id = rk.vec_id
+                 CROSS JOIN th CROSS JOIN xc
+               ORDER BY rk.probe_id, rk.rank"""
+      },
+    )
 
   /** PQ training: per-subspace codebooks on the constant modulus
     * sample (one 6dp Lloyd refinement — the q97 contract applied per
