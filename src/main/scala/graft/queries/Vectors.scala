@@ -1414,7 +1414,104 @@ object Vectors {
     PqAdcDef,
     PqIvfDef,
     FilteredAnnDef,
+    MatryoshkaDef,
   )
+
+  // Matryoshka-style DIMENSION-ABLATION evaluation (Kusupati et al.,
+  // "Matryoshka Representation Learning", NeurIPS 2022): how much
+  // retrieval quality survives truncating embeddings to their first
+  // d dims — the measurement behind serving a 64-dim index from the
+  // prefix of a 64-dim embedding (shorter prefixes: cheaper dots,
+  // smaller index; the compression axis ORTHOGONAL to SQ/PQ/JL,
+  // which shrink bits or rotate, never nest). For d ∈ {8,16,32,64}
+  // the brute top-10 by prefix-d cosine is cut per probe and scored
+  // against the full-dimension top-10; output is the 4-row
+  // recall-vs-dims curve, exact integers + one rounded ratio.
+  //
+  // Scale shape: an EVAL query — ONE corpus scan computes all four
+  // prefix kernels per (probe, vec) row (prefix dots/norms share the
+  // scan, not four passes), the per-(probe, dim) windows are the
+  // teaching brute-force baseline (q37's shape; at 100 TB this runs
+  // over a fixed eval sample, while the serving path stays IVF).
+  // Determinism: 6dp-rounded cosine, vec_id ties, mirrored folds.
+  private lazy val MatryoshkaDef: QueryDef = {
+    val Dims = Seq(8, 16, 32, 64)
+    val K = 10
+    QueryDef(
+      "q158_matryoshka_recall",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val probes = base.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("e").as("p_e"))
+        val pairs = base.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+        val simStructs = array(Dims.map { d =>
+          val dot = expr(s"aggregate(zip_with(slice(e, 1, $d), slice(p_e, 1, $d)," +
+            " (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          val ne = expr(s"aggregate(slice(e, 1, $d), 0D, (acc, x) -> acc + x * x)")
+          val np = expr(s"aggregate(slice(p_e, 1, $d), 0D, (acc, x) -> acc + x * x)")
+          struct(lit(d.toLong).as("dim"),
+            Num.fround(dot / (sqrt(ne) * sqrt(np)), 6).as("sim"))
+        }: _*)
+        val melted = pairs
+          .select(col("probe_id"), col("vec_id"), explode(simStructs).as("ds"))
+          .select(col("probe_id"), col("vec_id"),
+            col("ds.dim").as("dim"), col("ds.sim").as("sim"))
+        val w = Window.partitionBy(col("probe_id"), col("dim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val cut = melted.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K).persist()
+        val full = cut.filter(col("dim") === 64)
+          .select(col("probe_id"), col("vec_id"))
+        // explicit dims spine: a prefix with ZERO full-dim hits must
+        // still emit its row (observed at sf0.1 for d=8) — a curve
+        // with silently missing points reads as coverage it isn't
+        val spine = s.range(1)
+          .select(explode(array(Dims.map(d => lit(d.toLong)): _*)).as("dim"))
+        val hits = cut.join(broadcast(full), Seq("probe_id", "vec_id"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("total_hits"))
+        spine.join(hits, Seq("dim"), "left")
+          .select(col("dim"),
+            coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+            Num.fround(coalesce(col("total_hits"), lit(0L)).cast("double") /
+              lit((K * N_PROBES).toDouble), 4).as("recall_vs_full"))
+          .orderBy(col("dim"))
+      },
+      Some {
+        val branches = Dims.map { d =>
+          val dot = s"list_sum([e.e[i] * p.p_e[i] for i in generate_series(1, $d)])"
+          val ne = s"list_sum([e.e[i] * e.e[i] for i in generate_series(1, $d)])"
+          val np = s"list_sum([p.p_e[i] * p.p_e[i] for i in generate_series(1, $d)])"
+          s"""SELECT p.probe_id, e.vec_id, $d AS dim,
+                ${Num.froundSql(s"($dot) / (sqrt($ne) * sqrt($np))", 6)} AS sim
+              FROM e, p WHERE e.vec_id <> p.probe_id"""
+        }.mkString("\n               UNION ALL\n               ")
+        s"""WITH e AS MATERIALIZED (
+                 SELECT vec_id,
+                   [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS e
+                 FROM embeddings),
+               p AS (SELECT vec_id AS probe_id, e AS p_e FROM e
+                     WHERE vec_id < $N_PROBES),
+               pr AS ($branches),
+               cut AS MATERIALIZED (
+                 SELECT probe_id, vec_id, dim FROM (
+                   SELECT *, row_number() OVER (PARTITION BY probe_id, dim
+                     ORDER BY sim DESC, vec_id) AS rank
+                   FROM pr) WHERE rank <= $K),
+               f AS (SELECT probe_id, vec_id FROM cut WHERE dim = 64),
+               h AS (SELECT dim, count(*)::BIGINT AS total_hits
+                     FROM cut JOIN f USING (probe_id, vec_id) GROUP BY dim),
+               spine AS (SELECT unnest([${Dims.mkString(", ")}]) AS dim)
+               SELECT spine.dim::BIGINT AS dim,
+                 coalesce(h.total_hits, 0)::BIGINT AS total_hits,
+                 ${Num.froundSql(s"coalesce(h.total_hits, 0)::DOUBLE / ${K * N_PROBES}.0", 4)} AS recall_vs_full
+               FROM spine LEFT JOIN h ON h.dim = spine.dim
+               ORDER BY spine.dim"""
+      },
+    )
+  }
 
   // FILTERED vector search — ANN under a metadata predicate (every
   // production vector store's "filtered query": retrieve neighbors
