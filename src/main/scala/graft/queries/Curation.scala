@@ -1266,6 +1266,153 @@ object Curation {
                    "CASE WHEN baseline_waste = 0 THEN (0.0::DOUBLE) ELSE (1.0::DOUBLE) - bucketed_waste::DOUBLE / baseline_waste END", 6)} AS savings
                FROM pb CROSS JOIN tb CROSS JOIN bl ORDER BY bucket"""),
     ),
+
+    // CURRICULUM schedule — the data-ORDER manifest an annealed
+    // training run ships (Bengio et al., "Curriculum Learning", ICML
+    // 2009, in its practical easy-to-hard mixing form): documents are
+    // quartiled by difficulty (token count — the standard no-model
+    // proxy), each quartile's mass is apportioned across 4 training
+    // phases by an annealing matrix (easy-heavy early, hard-heavy
+    // late; every row sums to 1 so each doc trains exactly once), and
+    // each phase's stream is a deterministic md5-shuffled interleave
+    // of its quartile allocations. Output: (phase, slot, doc_id,
+    // quartile, dl) — resumable from (phase, slot) like q117's
+    // shards, reproducible on any engine/partitioning (no RNG state).
+    //
+    // Scale shape: every corpus-size ranking goes through
+    // PrefixSum.keyedRank (difficulty rank bucketed by the length
+    // value itself — monotone by construction; md5 ranks bucketed by
+    // digest prefix — the q105/q117 contract): no whole-key window
+    // anywhere. The apportionment table is 16 rows (4 quartiles × 4
+    // phases, largest-remainder exact: allocations sum to n_q), its
+    // windows run over that aggregate, and it broadcasts back as
+    // range conditions on the within-quartile rank. All decisions are
+    // integer comparisons; the only doubles are n_q·w products —
+    // bit-identical IEEE in both engines.
+    QueryDef(
+      "q159_curriculum_schedule",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val P = 4
+        val Wm = Seq(
+          Seq(0.55, 0.25, 0.15, 0.05),
+          Seq(0.25, 0.35, 0.25, 0.15),
+          Seq(0.15, 0.25, 0.35, 0.25),
+          Seq(0.05, 0.15, 0.25, 0.55))
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+            md5(concat(lit("cur|"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("hb", expr("cast(conv(substring(h, 1, 2), 16, 10) as int)"))
+          .withColumn("g", lit(0L))
+          .persist()
+        // global difficulty rank, bucketed by the length value itself
+        val dranked = graft.operators.PrefixSum.keyedRank(
+          d, key = Seq("g"), bucket = "dl",
+          ord = Seq(col("dl"), col("doc_id")),
+          rankName = "drank", totalName = "n_total",
+          persistProjection = false)
+          .withColumn("quartile",
+            least(lit(3L), expr("(4 * (drank - 1)) div n_total")))
+        // within-quartile deterministic-shuffle rank
+        val mranked = graft.operators.PrefixSum.keyedRank(
+          dranked.select(col("doc_id"), col("dl"), col("h"), col("hb"), col("quartile")),
+          key = Seq("quartile"), bucket = "hb",
+          ord = Seq(col("h"), col("doc_id")),
+          rankName = "mrank", totalName = "n_q",
+          persistProjection = false)
+        // 16-row apportionment: largest-remainder split of each
+        // quartile across phases, cumulative thresholds per quartile
+        val qcounts = mranked.select(col("quartile"), col("n_q")).distinct()
+        val wq = Window.partitionBy(col("quartile"))
+        val wRem = Window.partitionBy(col("quartile"))
+          .orderBy(col("frac").desc, col("phase"))
+        val wCum = Window.partitionBy(col("quartile")).orderBy(col("phase"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val alloc = qcounts
+          .select(col("quartile"), col("n_q"),
+            explode(array((0 until P).map(p => lit(p.toLong)): _*)).as("phase"))
+          .withColumn("w", element_at(
+            element_at(typedLit(Wm), col("quartile").cast("int") + 1),
+            col("phase").cast("int") + 1))
+          .withColumn("exact", col("n_q").cast("double") * col("w"))
+          .withColumn("base", floor(col("exact")).cast("long"))
+          .withColumn("frac", col("exact") - floor(col("exact")))
+          .withColumn("r", (col("n_q") - sum(col("base")).over(wq)).cast("long"))
+          .withColumn("rn", row_number().over(wRem))
+          .withColumn("alloc",
+            col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L))
+          .withColumn("cum", sum(col("alloc")).over(wCum))
+          .select(col("quartile").as("aq"), col("phase"),
+            col("alloc"), col("cum"))
+        val phased = mranked.join(broadcast(alloc),
+            col("quartile") === col("aq") &&
+              col("mrank") <= col("cum") && col("mrank") > col("cum") - col("alloc"))
+          .select(col("doc_id"), col("dl"), col("h"), col("hb"),
+            col("quartile"), col("phase"))
+        // schedule position within the phase: md5 interleave of the
+        // phase's quartile allocations
+        graft.operators.PrefixSum.keyedRank(
+            phased, key = Seq("phase"), bucket = "hb",
+            ord = Seq(col("h"), col("doc_id")),
+            rankName = "slot", totalName = "n_phase",
+            persistProjection = false)
+          .select(col("phase"), col("slot"), col("doc_id"),
+            col("quartile"), col("dl"), col("n_phase"))
+          .orderBy(col("phase"), col("slot"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                  md5('cur|' || doc_id::VARCHAR) AS h
+                FROM documents),
+              dr AS (
+                SELECT *, row_number() OVER (ORDER BY dl, doc_id) AS drank,
+                  count(*) OVER ()::BIGINT AS n_total
+                FROM d),
+              qd AS (
+                SELECT *, least(3, (4 * (drank - 1)) // n_total)::BIGINT AS quartile
+                FROM dr),
+              mr AS (
+                SELECT *, row_number() OVER (PARTITION BY quartile ORDER BY h, doc_id) AS mrank,
+                  count(*) OVER (PARTITION BY quartile)::BIGINT AS n_q
+                FROM qd),
+              wmat AS (
+                SELECT * FROM (VALUES
+                  (0, 0, 0.55), (0, 1, 0.25), (0, 2, 0.15), (0, 3, 0.05),
+                  (1, 0, 0.25), (1, 1, 0.35), (1, 2, 0.25), (1, 3, 0.15),
+                  (2, 0, 0.15), (2, 1, 0.25), (2, 2, 0.35), (2, 3, 0.25),
+                  (3, 0, 0.05), (3, 1, 0.15), (3, 2, 0.25), (3, 3, 0.55))
+                  AS t(quartile, phase, w)),
+              qc AS (SELECT DISTINCT quartile, n_q FROM mr),
+              ab AS (
+                SELECT qc.quartile, qc.n_q, wmat.phase::BIGINT AS phase,
+                  qc.n_q::DOUBLE * wmat.w AS exact,
+                  floor(qc.n_q::DOUBLE * wmat.w)::BIGINT AS base,
+                  qc.n_q::DOUBLE * wmat.w - floor(qc.n_q::DOUBLE * wmat.w) AS frac
+                FROM qc JOIN wmat ON wmat.quartile = qc.quartile),
+              al AS (
+                SELECT *,
+                  (n_q - sum(base) OVER (PARTITION BY quartile))::BIGINT AS r,
+                  row_number() OVER (PARTITION BY quartile ORDER BY frac DESC, phase) AS rn
+                FROM ab),
+              a2 AS (
+                SELECT quartile, phase,
+                  (base + CASE WHEN rn <= r THEN 1 ELSE 0 END)::BIGINT AS alloc
+                FROM al),
+              a3 AS (
+                SELECT quartile, phase, alloc,
+                  sum(alloc) OVER (PARTITION BY quartile ORDER BY phase
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM a2),
+              ph AS (
+                SELECT mr.doc_id, mr.dl, mr.h, mr.quartile, a3.phase
+                FROM mr JOIN a3 ON a3.quartile = mr.quartile
+                  AND mr.mrank <= a3.cum AND mr.mrank > a3.cum - a3.alloc)
+              SELECT phase, row_number() OVER (PARTITION BY phase ORDER BY h, doc_id) AS slot,
+                doc_id, quartile, dl,
+                count(*) OVER (PARTITION BY phase)::BIGINT AS n_phase
+              FROM ph
+              ORDER BY phase, slot"""),
+    ),
   )
 
 }
