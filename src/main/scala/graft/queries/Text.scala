@@ -1800,5 +1800,65 @@ object Text {
                FROM tot JOIN e ON e.source = tot.source
                ORDER BY tot.source"""),
     ),
+
+    // LEAKAGE-SAFE evaluation folds — GroupKFold with the group =
+    // near-duplicate cluster: a random per-document split puts one
+    // near-dup twin in train and the other in test, and the
+    // evaluation silently grades memorization (the split-leakage
+    // failure every dedup paper warns about). Here the q70 cluster
+    // (connected components over the verified MinHash pair graph) is
+    // the atomic unit: the FOLD is a pure function of the cluster id
+    // (md5 bits mod K), so every member of a cluster lands in the
+    // same fold BY CONSTRUCTION — no cross-fold near-dup edge can
+    // exist. Singletons hash on their own doc_id (cluster_id =
+    // doc_id). Output: per-doc assignment + the fold's size for
+    // balance review.
+    //
+    // Scale: clusters come from the staged pair graph (the q70 path —
+    // min-label propagation over parquet-staged pairs, never an
+    // all-pairs comparison); the fold is a narrow md5 map; fold sizes
+    // are a K-row aggregate broadcast back. Determinism: md5 bits,
+    // no RNG — the q65/q117 contract.
+    QueryDef(
+      "q160_leakage_safe_folds",
+      (s, dir) => {
+        val K = 5
+        val edges = minhashPairs(s, dir, threshold = 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val labels = graft.operators.ConnectedComponents.cluster(edges)
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val assigned = docs.join(labels, docs("doc_id") === labels("node"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+          .withColumn("fold", expr(
+            s"cast(conv(substring(md5(concat('fold|', cast(cluster_id as string))), 1, 4), 16, 10) as bigint) % $K"))
+          .select(col("doc_id"), col("cluster_id"), col("fold"))
+        val sizes = assigned.groupBy(col("fold")).agg(count(lit(1)).as("fold_size"))
+        assigned.join(broadcast(sizes), Seq("fold"))
+          .select(col("doc_id"), col("cluster_id"), col("fold"), col("fold_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsSqlCtes(0.8)},
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+               reach AS (
+                 SELECT doc_id, doc_id AS label FROM nodes
+                 UNION
+                 SELECT e.dst AS doc_id, r.label
+                 FROM reach r JOIN edges e ON e.src = r.doc_id),
+               comp AS (
+                 SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+               a AS (
+                 SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   ('0x' || substr(md5('fold|' || coalesce(c.cluster_id, d.doc_id)::VARCHAR), 1, 4))::BIGINT % 5 AS fold
+                 FROM documents d LEFT JOIN comp c USING (doc_id)),
+               sz AS (SELECT fold, count(*)::BIGINT AS fold_size FROM a GROUP BY fold)
+               SELECT a.doc_id, a.cluster_id, a.fold, sz.fold_size
+               FROM a JOIN sz USING (fold)
+               ORDER BY a.doc_id"""),
+    ),
   )
 }

@@ -1472,7 +1472,7 @@ object Vectors {
         val hits = cut.join(broadcast(full), Seq("probe_id", "vec_id"))
           .groupBy(col("dim"))
           .agg(count(lit(1)).as("total_hits"))
-        spine.join(hits, Seq("dim"), "left")
+        spine.join(broadcast(hits), Seq("dim"), "left")
           .select(col("dim"),
             coalesce(col("total_hits"), lit(0L)).as("total_hits"),
             Num.fround(coalesce(col("total_hits"), lit(0L)).cast("double") /
