@@ -1415,7 +1415,171 @@ object Vectors {
     PqIvfDef,
     FilteredAnnDef,
     MatryoshkaDef,
+    RerankCascadeDef,
+    IncrementalIvfDef,
   )
+
+  // Retrieve-then-RERANK cascade — the two-stage serving path every
+  // RAG deployment runs (cheap recall stage → expensive precision
+  // stage), complementing q120's rank FUSION (which merges parallel
+  // rankers; a cascade FEEDS one into the next): BM25 generates a
+  // top-50 candidate shortlist, the dense cosine re-scores ONLY those
+  // 50, and the final top-10 carries both stages' ranks so the
+  // cascade's reordering is auditable (a lex_rank-1 doc landing
+  // dense-rank-8 is the cascade doing its job).
+  //
+  // Scale shape: stage 1 is a TakeOrderedAndProject over the corpus
+  // scan (no exchange); stage 2 touches exactly 50 rows — the
+  // shortlist BROADCASTS to the embeddings scan (a semi-join-shaped
+  // payload fetch), and the rerank window sees 50 rows at any corpus
+  // size. The expensive kernel runs on a constant-size set: the
+  // whole point of a cascade.
+  private lazy val RerankCascadeDef: QueryDef =
+    QueryDef(
+      "q161_rerank_cascade",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "dup")
+        val (k1, b) = (1.2, 0.75)
+        val K1st = 50
+        val K2nd = 10
+        val perDoc = Tables.documents(s, dir)
+          .select(col("doc_id") +: size(split(col("text"), " ")).as("dl") +:
+            terms.map(w => expr(s"size(filter(split(text, ' '), t -> t = '$w'))")
+              .cast("double").as(s"tf_$w")): _*)
+        val statCols = avg(col("dl").cast("double")).as("avgdl") +:
+          terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L))
+            .cast("double").as(s"df_$w"))
+        val stats = perDoc.agg(count(lit(1)).cast("double").as("n"), statCols: _*)
+        val bm25 = terms.map { w =>
+          val idf = log((col("n") - col(s"df_$w") + 0.5) / (col(s"df_$w") + 0.5) + 1.0)
+          idf * col(s"tf_$w") * (k1 + 1.0) /
+            (col(s"tf_$w") + (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1)
+        }.reduce(_ + _)
+        val lexTop = perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id").as("id"), Num.fround(bm25, 4).as("s_lex"))
+          .orderBy(col("s_lex").desc, col("id")).limit(K1st)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("s_lex").desc, col("id"))).cast("long"))
+        val c = corpus(s, dir)
+        val probe = c.filter(col("vec_id") === 0)
+          .select(col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val sDense = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val wFinal = Window.orderBy(col("s_dense").desc, col("id"))
+        c.join(broadcast(lexTop), c("vec_id") === lexTop("id"))
+          .crossJoin(broadcast(probe))
+          .select(col("id"), col("lex_rank"), col("s_lex"), sDense.as("s_dense"))
+          .withColumn("final_rank", row_number().over(wFinal).cast("long"))
+          .filter(col("final_rank") <= K2nd)
+          .select(col("final_rank"), col("id"), col("lex_rank"),
+            col("s_lex"), col("s_dense"))
+          .orderBy(col("final_rank"))
+      },
+      Some {
+        val terms = Seq("spark", "join", "dup")
+        val tfCols = terms.map(w =>
+          s"len(list_filter(string_split(text, ' '), t -> t = '$w'))::DOUBLE AS tf_$w")
+          .mkString(", ")
+        val dfCols = terms.map(w =>
+          s"sum(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$w")
+          .mkString(", ")
+        val scoreSql = terms.map(w =>
+          s"""ln((n - df_$w + 0.5) / (df_$w + 0.5) + 1) * tf_$w * 2.2
+              / (tf_$w + (dl / avgdl * 0.75 + 0.25) * 1.2)""").mkString(" + ")
+        s"""WITH per_doc AS (
+                 SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl, $tfCols
+                 FROM documents),
+               stats AS (
+                 SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfCols FROM per_doc),
+               lex_top AS (
+                 SELECT doc_id AS id, ${Num.froundSql(scoreSql, 4)} AS s_lex
+                 FROM per_doc, stats
+                 ORDER BY s_lex DESC, id LIMIT 50),
+               lex AS (
+                 SELECT id, s_lex,
+                   row_number() OVER (ORDER BY s_lex DESC, id)::BIGINT AS lex_rank
+                 FROM lex_top),
+               c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               p AS (SELECT emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id = 0),
+               rr AS (
+                 SELECT lex.id, lex.lex_rank, lex.s_lex,
+                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "c.emb")} / (sqrt(p_nsq) * sqrt(c.nsq))", 4)} AS s_dense
+                 FROM lex JOIN c ON c.vec_id = lex.id CROSS JOIN p)
+               SELECT row_number() OVER (ORDER BY s_dense DESC, id)::BIGINT AS final_rank,
+                 id, lex_rank, s_lex, s_dense
+               FROM rr
+               QUALIFY final_rank <= 10
+               ORDER BY final_rank"""
+      },
+    )
+
+  // INCREMENTAL IVF index maintenance — the q111 incremental-pairs
+  // stance applied to the ANN index: when a delta batch of vectors
+  // arrives, only the DELTA is assigned (a narrow argmax against the
+  // frozen broadcast centroids) and unioned with the staged base
+  // assignment; nothing about the base recomputes. The ORACLE does
+  // the opposite — a FULL rebuild assigning every vector from
+  // scratch against the same centroids — so the hash match is an
+  // independent proof that incremental maintenance equals a rebuild
+  // (valid exactly because the coarse quantizer is frozen: real
+  // deployments freeze it too and retrain offline when drift — q142's
+  // monitor — says so).
+  //
+  // Split: vec_id % 10 == 0 is the arriving delta; centroids derive
+  // from the BASE population only (the index existed before the
+  // delta). Per-cell counts ride along — the monitor a serving system
+  // watches for cell-balance drift after each delta merge.
+  private lazy val IncrementalIvfDef: QueryDef =
+    QueryDef(
+      "q162_incremental_ivf",
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val base = c.filter(col("vec_id") % 10 =!= 0)
+        val delta = c.filter(col("vec_id") % 10 === 0)
+        val nBase = base.agg(count(lit(1)).as("n_base"))
+        val cents = base.crossJoin(broadcast(nBase))
+          .filter(col("vec_id") %
+            greatest(lit(97L), floor(col("n_base") / IVF_K).cast("long")) === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+            col("nsq").as("c_nsq"))
+        // staged base assignment: built once per (dir, JVM) — the
+        // pre-existing index artifact a delta merge reads, not
+        // recomputes
+        val baseIdx = graft.operators.Staged.parquet(s, s"ivf_inc_base|$dir") {
+          ivfAssign(base, cents, Seq.empty).select(col("vec_id"), col("cell"))
+        }
+        val deltaIdx = ivfAssign(delta, cents, Seq.empty)
+          .select(col("vec_id"), col("cell"))
+        val merged = baseIdx.unionByName(deltaIdx)
+        val cellCounts = merged.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+        merged.join(broadcast(cellCounts), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            (col("vec_id") % 10 === 0).as("is_delta"), col("cell_n"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               nb AS (SELECT count(*)::BIGINT AS n_base FROM c WHERE vec_id % 10 <> 0),
+               cents AS (
+                 SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c, nb
+                 WHERE vec_id % 10 <> 0
+                   AND vec_id % greatest(97, n_base // $IVF_K) = 0),
+               assigned AS (
+                 SELECT vec_id, cid AS cell FROM (
+                   SELECT c.vec_id, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM c CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               cc AS (SELECT cell, count(*)::BIGINT AS cell_n FROM assigned GROUP BY cell)
+               SELECT a.vec_id, a.cell, (a.vec_id % 10 = 0) AS is_delta, cc.cell_n
+               FROM assigned a JOIN cc USING (cell)
+               ORDER BY a.vec_id"""),
+    )
 
   // Matryoshka-style DIMENSION-ABLATION evaluation (Kusupati et al.,
   // "Matryoshka Representation Learning", NeurIPS 2022): how much
