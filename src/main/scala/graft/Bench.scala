@@ -82,8 +82,11 @@ object Bench {
     // ~7 s). Third continuation: 540 → 600 for the nine q133–q141
     // learned-curation additions (pass-1 cold ~12 s incl. the staged
     // bigram-LM score and the GD/propagation multi-job queries;
-    // pass-2 warm ~7 s).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toInt
+    // pass-2 warm ~7 s). Round 8: 600 → 660 for the seven q156–q162
+    // additions (pass-1 cold ~10 s — the cell-partitioned IVF index
+    // stages of q103/q154/q162 and q158's 4-dim brute melt; pass-2
+    // warm ~5 s).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "660").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Optional subset (the Verify convention): extra args = bench only
     // these queries; unknown names fail loudly.
