@@ -1860,5 +1860,73 @@ object Text {
                FROM a JOIN sz USING (fold)
                ORDER BY a.doc_id"""),
     ),
+
+    // Dedup-aware SAMPLING WEIGHTS — the soft alternative to hard
+    // near-dup removal (q70's keep-best): every document stays in the
+    // corpus but samples with weight 1/cluster_size, so a 5-way
+    // near-dup family contributes ONE document's worth of expected
+    // training mass instead of five (the down-weighting stance of
+    // dedup-aware samplers; hard removal is the weight→{0,1}
+    // special case). The summary columns carry the audit numbers:
+    // effective corpus size Σw = #clusters, and the duplication
+    // overhead ratio a curation dashboard tracks release over
+    // release.
+    //
+    // Scale: clusters from the staged pair graph (q70's path);
+    // cluster sizes are one aggregate on the labels; the weight is a
+    // narrow map; summary is a 1-row broadcast. Weights are exact
+    // IEEE divisions of integers (1.0/n), identical cross-engine —
+    // no rounding needed.
+    QueryDef(
+      "q164_dedup_weights",
+      (s, dir) => {
+        val edges = minhashPairs(s, dir, threshold = 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val labels = graft.operators.ConnectedComponents.cluster(edges)
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val assigned = docs.join(labels, docs("doc_id") === labels("node"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+          .select(col("doc_id"), col("cluster_id"))
+        val sizes = assigned.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        val summary = sizes.agg(
+          sum(col("cluster_size")).as("n_docs"),
+          count(lit(1)).as("n_clusters"))
+        assigned.join(sizes, Seq("cluster_id"))
+          .crossJoin(broadcast(summary))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            (lit(1.0) / col("cluster_size").cast("double")).as("weight"),
+            col("n_docs"), col("n_clusters"),
+            Num.fround(col("n_docs").cast("double") / col("n_clusters"), 6)
+              .as("dup_overhead"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsSqlCtes(0.8)},
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+               reach AS (
+                 SELECT doc_id, doc_id AS label FROM nodes
+                 UNION
+                 SELECT e.dst AS doc_id, r.label
+                 FROM reach r JOIN edges e ON e.src = r.doc_id),
+               comp AS (
+                 SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+               a AS (
+                 SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN comp c USING (doc_id)),
+               sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                      FROM a GROUP BY cluster_id),
+               sm AS (SELECT sum(cluster_size)::BIGINT AS n_docs,
+                        count(*)::BIGINT AS n_clusters FROM sz)
+               SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+                 1.0::DOUBLE / cluster_size AS weight,
+                 sm.n_docs, sm.n_clusters,
+                 ${Num.froundSql("sm.n_docs::DOUBLE / sm.n_clusters", 6)} AS dup_overhead
+               FROM a JOIN sz USING (cluster_id) CROSS JOIN sm
+               ORDER BY a.doc_id"""),
+    ),
   )
 }

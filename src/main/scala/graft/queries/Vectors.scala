@@ -1417,7 +1417,97 @@ object Vectors {
     MatryoshkaDef,
     RerankCascadeDef,
     IncrementalIvfDef,
+    TombstoneServeDef,
   )
+
+  // Tombstoned ANN serving — DELETIONS under the merge-on-read
+  // discipline every lakehouse ANN index uses: a delete batch never
+  // rewrites the index; it flags rows (`is_deleted`, applied at
+  // index-maintenance time — the q162 merge path), serving pushes
+  // `NOT is_deleted` into the cell scan as a plain predicate, and a
+  // per-cell deleted-fraction audit decides when a cell is worth
+  // COMPACTING (physically rewriting without tombstones — the
+  // retention sweep MergeInto.compact models for the gold table).
+  // Serve-through-tombstones ≡ rebuild-without-deleted holds by
+  // construction here (per-vector assignment against a frozen
+  // quantizer commutes with the row filter); the oracle mirrors the
+  // filtered serve and pins the arithmetic + the audit.
+  //
+  // Deterministic delete set: vec_id % 7 == 3 (~14%). Output: per
+  // probe the top-3 LIVE neighbors in its cell, plus the cell's
+  // live/deleted counts and the compact flag (deleted fraction >
+  // 0.25 at 4dp).
+  private lazy val TombstoneServeDef: QueryDef =
+    QueryDef(
+      "q163_ann_tombstones",
+      (s, dir) => {
+        val idx = ivfAssign(corpus(s, dir), ivfCents(s, dir), Seq("embedding", "nsq"))
+          .withColumn("is_deleted", col("vec_id") % 7 === 3)
+          .persist()
+        val cellAudit = idx.groupBy(col("cell"))
+          .agg(sum(when(col("is_deleted"), 0L).otherwise(1L)).as("live_n"),
+            sum(when(col("is_deleted"), 1L).otherwise(0L)).as("dead_n"))
+          .withColumn("dead_frac", Num.fround(
+            col("dead_n").cast("double") / (col("live_n") + col("dead_n")), 4))
+          .withColumn("compact", col("dead_frac") > 0.25)
+        val probes = idx.filter(col("vec_id") < N_PROBES && !col("is_deleted"))
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nsq").as("p_nsq"), col("cell"))
+        val sim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        idx.filter(!col("is_deleted"))
+          .join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("cell"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .join(broadcast(cellAudit), Seq("cell"))
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
+            col("sim"), col("live_n"), col("dead_n"), col("dead_frac"), col("compact"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
+                         WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // $IVF_K) = 0),
+               assigned AS MATERIALIZED (
+                 SELECT vec_id, emb, nsq, cid AS cell,
+                   (vec_id % 7 = 3) AS is_deleted
+                 FROM (
+                   SELECT c.vec_id, c.emb, c.nsq, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM c CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               audit AS (
+                 SELECT cell,
+                   sum(CASE WHEN is_deleted THEN 0 ELSE 1 END)::BIGINT AS live_n,
+                   sum(CASE WHEN is_deleted THEN 1 ELSE 0 END)::BIGINT AS dead_n
+                 FROM assigned GROUP BY cell),
+               audit2 AS (
+                 SELECT cell, live_n, dead_n,
+                   ${Num.froundSql("dead_n::DOUBLE / (live_n + dead_n)", 4)} AS dead_frac
+                 FROM audit),
+               live AS (SELECT * FROM assigned WHERE NOT is_deleted),
+               p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, cell
+                     FROM live WHERE vec_id < $N_PROBES),
+               rk AS (
+                 SELECT probe_id, vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank
+                 FROM (
+                   SELECT p.probe_id, a.vec_id, a.cell,
+                     ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                   FROM live a JOIN p ON a.cell = p.cell
+                   WHERE a.vec_id <> p.probe_id)
+                 QUALIFY rank <= 3)
+               SELECT rk.probe_id, rk.rank, rk.vec_id, rk.cell, rk.sim,
+                 audit2.live_n, audit2.dead_n, audit2.dead_frac,
+                 (audit2.dead_frac > 0.25) AS compact
+               FROM rk JOIN audit2 USING (cell)
+               ORDER BY rk.probe_id, rk.rank"""),
+    )
 
   // Retrieve-then-RERANK cascade — the two-stage serving path every
   // RAG deployment runs (cheap recall stage → expensive precision

@@ -47,18 +47,21 @@ class PlanHygieneSpec extends SparkSuite {
     //  - q143: the containment join's tail candidate join (prefix ⋈
     //    full postings) and payload verification joins — the q122
     //    exact-similarity-join exchanges in directed form.
-    //  - q160: the q70 shape reused — cluster labels (one row per
-    //    node of the pair graph, scales with the corpus) joined back
-    //    onto every document for fold assignment; broadcast would be
-    //    the bug.
+    //  - q160/q164: the q70 shape reused — cluster labels (one row
+    //    per node of the pair graph, scales with the corpus) joined
+    //    back onto every document for fold assignment / sampling
+    //    weights (q164 additionally joins corpus-scale cluster sizes
+    //    back onto the assignment); broadcast would be the bug.
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
-      "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds"),
+      "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
+      "q164_dedup_weights"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
-      "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds"))
+      "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
+      "q164_dedup_weights"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
