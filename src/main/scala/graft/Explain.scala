@@ -126,7 +126,19 @@ object Explain {
     "q154_ann_ivfpq",
     // length bucketing: CASE-map buckets, PrefixSum positions, two
     // bounded aggregate chains with broadcast scalars.
-    "q155_length_bucketing")
+    "q155_length_bucketing",
+    // round 8: three-ranker RRF (three TakeOrdered cuts, union-
+    // groupBy, no corpus join), filtered ANN (label predicate inside
+    // the nprobe=4 cell scan + exact filtered ground truth),
+    // matryoshka ablation (one scan, four prefix kernels),
+    // curriculum schedule (PrefixSum ranks + 16-row apportionment
+    // broadcast), rerank cascade (top-50 shortlist broadcast to the
+    // embeddings scan), incremental IVF (staged base + delta-only
+    // argmax), tombstoned serve (NOT is_deleted pushed into the
+    // cell scan + per-cell compaction audit).
+    "q156_hybrid_rrf3", "q157_filtered_ann", "q158_matryoshka_recall",
+    "q159_curriculum_schedule", "q161_rerank_cascade",
+    "q162_incremental_ivf", "q163_ann_tombstones")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

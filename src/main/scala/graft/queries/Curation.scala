@@ -1413,6 +1413,117 @@ object Curation {
               FROM ph
               ORDER BY phase, slot"""),
     ),
+
+    // POPULATION STABILITY INDEX — the standard between-release drift
+    // monitor for a scored corpus (the curation complement of q142's
+    // embedding z-test): bucket the CURRENT cohort's metric into the
+    // REFERENCE cohort's deciles and fold Σ (p_cur − p_ref)·ln(p_cur/
+    // p_ref); PSI < 0.1 is the conventional "no action" band. Cohorts
+    // here are the deterministic doc_id-parity split — the monitor's
+    // NULL distribution: an unchanged corpus must score ≈ 0 and flag
+    // nothing, which is itself the check (the q142 stance).
+    //
+    // Scale shape: decile thresholds come from ExactMedian
+    // .quantilesDisc over the reference cohort (bounded three-pass
+    // rank selection, never a whole-group buffer) and broadcast back
+    // as NINE threshold comparisons — a narrow bucket map; per-
+    // (cohort, bucket) counts are a ≤20-row aggregate; an explicit
+    // 10-bucket spine keeps empty deciles visible (the q158 lesson);
+    // Laplace smoothing (c+0.5)/(n+5) keeps every ln finite.
+    // Determinism: thresholds are exact discrete quantiles, bucket
+    // membership is integer comparisons, ln's 1-ulp cross-libm noise
+    // is absorbed by fround (the q87 argument).
+    QueryDef(
+      "q165_psi_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = (1 to 9).map(i => s"t$i" -> i / 10.0)
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("v"))
+          .withColumn("cohort",
+            when(col("doc_id") % 2 === 0, "ref").otherwise("cur"))
+          .persist()
+        val ref = d.filter(col("cohort") === "ref").withColumn("g", lit(0))
+        val th = graft.operators.ExactMedian.quantilesDisc(
+          ref, "g", "v", ps).drop("g")
+        val bucket = (1 to 9).map(i =>
+          when(col("v") > col(s"t$i"), 1L).otherwise(0L)).reduce(_ + _)
+        val counts = d.crossJoin(broadcast(th))
+          .select(col("cohort"), bucket.as("bucket"))
+          .groupBy(col("cohort"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val spine = s.range(1)
+          .select(explode(array((0 until 10).map(b => lit(b.toLong)): _*)).as("bucket"))
+        val wide = spine
+          .join(broadcast(counts.filter(col("cohort") === "ref")
+            .select(col("bucket"), col("c").as("ref_n"))), Seq("bucket"), "left")
+          .join(broadcast(counts.filter(col("cohort") === "cur")
+            .select(col("bucket"), col("c").as("cur_n"))), Seq("bucket"), "left")
+          .select(col("bucket"),
+            coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+            coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+        val tot = wide.agg(sum(col("ref_n")).as("ref_t"), sum(col("cur_n")).as("cur_t"))
+        val pr = (col("ref_n").cast("double") + 0.5) / (col("ref_t").cast("double") + 5.0)
+        val pc = (col("cur_n").cast("double") + 0.5) / (col("cur_t").cast("double") + 5.0)
+        val contrib = Num.fround((pc - pr) * log(pc / pr), 6)
+        val perBucket = wide.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("ref_n"), col("cur_n"),
+            Num.fround(pr, 6).as("ref_share"),
+            Num.fround(pc, 6).as("cur_share"),
+            contrib.as("contrib"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        perBucket
+          .withColumn("psi", Num.fround(sum(col("contrib")).over(wAll), 4))
+          .withColumn("drifted", col("psi") > 0.1)
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val thCols = (1 to 9).map(i =>
+          s"quantile_disc(v, 0.${i}) AS t$i").mkString(", ")
+        val bucketSql = (1 to 9).map(i =>
+          s"CASE WHEN v > t$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH d AS (
+                SELECT doc_id, len(string_split(text, ' '))::BIGINT AS v,
+                  CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS cohort
+                FROM documents),
+              th AS (SELECT $thCols FROM d WHERE cohort = 'ref'),
+              bk AS (
+                SELECT cohort, ($bucketSql)::BIGINT AS bucket
+                FROM d CROSS JOIN th),
+              cts AS (
+                SELECT cohort, bucket, count(*)::BIGINT AS c
+                FROM bk GROUP BY cohort, bucket),
+              spine AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bucket),
+              wide AS (
+                SELECT spine.bucket,
+                  coalesce(r.c, 0)::BIGINT AS ref_n,
+                  coalesce(u.c, 0)::BIGINT AS cur_n
+                FROM spine
+                  LEFT JOIN (SELECT bucket, c FROM cts WHERE cohort = 'ref') r
+                    ON r.bucket = spine.bucket
+                  LEFT JOIN (SELECT bucket, c FROM cts WHERE cohort = 'cur') u
+                    ON u.bucket = spine.bucket),
+              tot AS (SELECT sum(ref_n)::BIGINT AS ref_t, sum(cur_n)::BIGINT AS cur_t
+                      FROM wide),
+              pb AS (
+                SELECT bucket, ref_n, cur_n,
+                  (ref_n::DOUBLE + 0.5) / (ref_t::DOUBLE + 5.0) AS pr,
+                  (cur_n::DOUBLE + 0.5) / (cur_t::DOUBLE + 5.0) AS pc
+                FROM wide CROSS JOIN tot),
+              pb2 AS (
+                SELECT bucket, ref_n, cur_n,
+                  ${Num.froundSql("pr", 6)} AS ref_share,
+                  ${Num.froundSql("pc", 6)} AS cur_share,
+                  ${Num.froundSql("(pc - pr) * ln(pc / pr)", 6)} AS contrib
+                FROM pb)
+              SELECT bucket, ref_n, cur_n, ref_share, cur_share, contrib,
+                ${Num.froundSql("sum(contrib) OVER ()", 4)} AS psi,
+                (${Num.froundSql("sum(contrib) OVER ()", 4)} > 0.1) AS drifted
+              FROM pb2
+              ORDER BY bucket"""
+      },
+    ),
   )
 
 }
