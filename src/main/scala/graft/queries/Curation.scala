@@ -1524,6 +1524,86 @@ object Curation {
               ORDER BY bucket"""
       },
     ),
+
+    // DATA-CONSTRAINED epoch allocation (Muennighoff et al., "Scaling
+    // Data-Constrained Language Models", NeurIPS 2023: repeating data
+    // up to ~4 epochs retains most of fresh-data value, decaying
+    // beyond): given a training token budget LARGER than the corpus,
+    // decide how many epochs of each source to schedule. Epoch e
+    // carries utility weight 0.5^(e−1) (the paper's decaying-value
+    // shape), so the greedy fill takes every source's epoch 1, then
+    // epoch 2, … (within an epoch tier, larger sources first — more
+    // tokens at equal marginal utility), clipping the first
+    // overflowing item fractionally and dropping the rest. Budget =
+    // 2.5× corpus tokens, so the schedule lands MID-tier-3 and every
+    // regime shows up: two full epochs everywhere, a full or clipped
+    // third epoch for the largest sources, dropped tiers for the
+    // rest.
+    //
+    // Scale shape: the corpus collapses to ONE row per source (map-
+    // side combined token sums); everything after — the 4×|sources|
+    // epoch items, the greedy cumulative fill, the per-source rollup
+    // — is windows over that aggregate, corpus-independent. All
+    // decisions are exact integer token counts; utility is display
+    // only.
+    QueryDef(
+      "q166_epoch_allocation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val MaxEpochs = 4
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("dl"))
+          .groupBy(col("source")).agg(sum(col("dl")).as("tokens"))
+        val budget = toks.agg((sum(col("tokens")) * 5 / 2).cast("long").as("budget"))
+        val items = toks
+          .select(col("source"), col("tokens"),
+            explode(array((1 to MaxEpochs).map(e => lit(e.toLong)): _*)).as("epoch"))
+        // greedy order: epoch tier asc (utility desc), bigger sources
+        // first inside a tier, source name as the total tiebreak
+        val wCum = Window.orderBy(col("epoch"), col("tokens").desc, col("source"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val filled = items.crossJoin(broadcast(budget))
+          .withColumn("cum", sum(col("tokens")).over(wCum))
+          .withColumn("alloc",
+            greatest(lit(0L), least(col("tokens"), col("budget") - (col("cum") - col("tokens")))))
+        filled.groupBy(col("source"))
+          .agg(first(col("tokens")).as("tokens"),
+            sum(when(col("alloc") === col("tokens"), 1L).otherwise(0L)).as("full_epochs"),
+            max(when(col("alloc") > 0 && col("alloc") < col("tokens"), col("alloc"))
+              .otherwise(lit(0L))).as("partial_tokens"),
+            sum(col("alloc")).as("alloc_tokens"),
+            first(col("budget")).as("budget"))
+          .withColumn("epochs_eff", Num.fround(
+            col("alloc_tokens").cast("double") / col("tokens").cast("double"), 4))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+                SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS tokens
+                FROM documents GROUP BY source),
+              b AS (SELECT (sum(tokens) * 5 // 2)::BIGINT AS budget FROM t),
+              it AS (
+                SELECT source, tokens, e.epoch::BIGINT AS epoch
+                FROM t, (SELECT unnest(generate_series(1, 4)) AS epoch) e),
+              f AS (
+                SELECT *,
+                  sum(tokens) OVER (ORDER BY epoch, tokens DESC, source
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM it),
+              a AS (
+                SELECT f.*, b.budget,
+                  greatest(0, least(tokens, b.budget - (cum - tokens)))::BIGINT AS alloc
+                FROM f CROSS JOIN b)
+              SELECT source,
+                max(tokens)::BIGINT AS tokens,
+                sum(CASE WHEN alloc = tokens THEN 1 ELSE 0 END)::BIGINT AS full_epochs,
+                max(CASE WHEN alloc > 0 AND alloc < tokens THEN alloc ELSE 0 END)::BIGINT
+                  AS partial_tokens,
+                sum(alloc)::BIGINT AS alloc_tokens,
+                max(budget)::BIGINT AS budget,
+                floor(sum(alloc)::DOUBLE / max(tokens)::DOUBLE * 10000 + 0.5) / 10000
+                  AS epochs_eff
+              FROM a GROUP BY source ORDER BY source"""),
+    ),
   )
 
 }
