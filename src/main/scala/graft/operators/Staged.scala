@@ -48,7 +48,13 @@ object Staged {
     * attribute (UnwrapCastInBinaryComparison). */
   def partitionedParquet(s: SparkSession, key: String, partCol: String)
       (build: => DataFrame): DataFrame = {
-    val path = memo.computeIfAbsent(key, k => {
+    // Namespaced key: a caller-supplied key that collides with a plain
+    // parquet() stage must NOT silently serve the unpartitioned layout
+    // (no pruning, and no schemaMemo entry → NPE on read). The
+    // namespace also makes the partition column part of the identity,
+    // so the same table staged under two layouts stays two stages.
+    val nsKey = s"partitioned[$partCol]|$key"
+    val path = memo.computeIfAbsent(nsKey, k => {
       val p = root.resolve(
         k.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + Integer.toHexString(k.hashCode)).toString
       val df = build
@@ -56,7 +62,9 @@ object Staged {
       df.write.mode("overwrite").partitionBy(partCol).parquet(p)
       p
     })
-    val orig = schemaMemo.get(key)
+    val orig = schemaMemo.get(nsKey)
+    require(orig != null,
+      s"staged path for '$nsKey' exists without a recorded schema — memo/schemaMemo out of sync")
     val raw = s.read.parquet(path)
     import org.apache.spark.sql.functions.col
     raw.select(orig.fields.map(f =>

@@ -17,26 +17,28 @@ class IvfLayoutSpec extends SparkSuite {
   private def partitionFilteredScans(plan: String): Seq[String] =
     "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
 
-  test("q103 serving scan partition-prunes on cell") {
-    val df = SparkEntry.queries("q103_ann_ivf_sq")(spark, sfDir)
+  // The literal push-down this spec exists to pin: a cell IN-list of
+  // actual values inside PartitionFilters (e.g. "cell#42 IN
+  // (0,97,194)"). `isnotnull(cell#42)` from a bare equi-join must NOT
+  // satisfy it — that was exactly the regression shape the first
+  // version of this spec could not catch.
+  private val cellInList = "cell#\\d+ IN \\(\\d+(,\\d+)*\\)".r
+
+  private def assertLiteralCellPruning(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     val pf = partitionFilteredScans(plan)
-    assert(pf.exists(f => f.contains("cell") && f.matches(".*\\bin\\b.*|.*IN .*|.*cell#\\d+ IN.*")
-        || f.contains("cell")),
-      s"no cell partition filter in scans: ${pf.mkString("; ")}\n$plan")
-    // the filter must be non-degenerate (actual literals, not just isnotnull)
-    assert(pf.exists(f => f.contains("cell") && f.exists(_.isDigit)),
-      s"cell partition filter carries no literals: ${pf.mkString("; ")}")
+    assert(pf.exists(f => cellInList.findFirstIn(f).isDefined),
+      s"$name: no literal cell IN-list in any PartitionFilters: ${pf.mkString("; ")}\n$plan")
   }
 
-  test("q154 serving scan partition-prunes on cell") {
-    val df = SparkEntry.queries("q154_ann_ivfpq")(spark, sfDir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    val pf = partitionFilteredScans(plan)
-    assert(pf.exists(f => f.contains("cell") && f.exists(_.isDigit)),
-      s"no literal cell partition filter in scans: ${pf.mkString("; ")}\n$plan")
+  test("q103 serving scan partition-prunes on cell with a literal IN-list") {
+    assertLiteralCellPruning("q103_ann_ivf_sq")
+  }
+
+  test("q154 serving scan partition-prunes on cell with a literal IN-list") {
+    assertLiteralCellPruning("q154_ann_ivfpq")
   }
 
   test("partitionedParquet round-trips schema types and column order") {
