@@ -61,4 +61,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The `(doc_id, source, lang, n_tokens)` projection of `documents`,
+    * STAGED once per input dir (operators/Staged): whitespace token
+    * counts are re-derived by ~9 independent queries (length profiles,
+    * quantile gates, packing, curricula, PSI drift, epoch budgets), and
+    * each re-derivation is a full `text` scan + split — the single most
+    * repeated piece of work in the suite. Staging the 4 narrow columns
+    * once turns every later consumer into a column-pruned scan of a
+    * text-free table; at 100 TB this is the `token_counts` side table a
+    * curation warehouse materializes next to the corpus for exactly
+    * this reason. `n_tokens` stays `size()`-native IntegerType so
+    * consumers see the exact pre-staging schema and cast as they did.
+    */
+  def docLens(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, size, split}
+    graft.operators.Staged.parquet(s, s"doclens|$d") {
+      documents(s, d).select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    }
+  }
 }

@@ -1197,24 +1197,29 @@ object Curation {
       "q155_length_bucketing",
       (s, dir) => {
         val B = 8
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"),
+        // Narrow maps over the staged docLens table — cheap to
+        // recompute, so no persist (and no JVM-lifetime cache pin).
+        val d = Tables.docLens(s, dir)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("len"),
             md5(concat(lit("lb|"), col("doc_id").cast("string"))).as("u"))
           .withColumn("bucket",
             when(col("len") <= 8, 8L).when(col("len") <= 16, 16L)
               .when(col("len") <= 32, 32L).when(col("len") <= 64, 64L)
               .otherwise(128L))
           .withColumn("ub", expr("cast(conv(substring(u, 1, 3), 16, 10) as int)"))
-          .persist()
         val ranked = graft.operators.PrefixSum.keyedRank(
           d, key = Seq("bucket"), bucket = "ub",
           ord = Seq(col("u"), col("doc_id")), rankName = "rk", totalName = "nb",
           persistProjection = false)
-        val batches = ranked.withColumn("batch", expr(s"(rk - 1) div $B"))
-          .groupBy(col("bucket"), col("batch"))
-          .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"), sum(col("len")).as("sm"))
-          .withColumn("waste", col("mx") * col("bn") - col("sm"))
-          .persist()
+        // Staged, not persisted: the per-batch table is corpus/8 rows
+        // (corpus-linear) and feeds two consumers — a parquet stage
+        // serves both without pinning executor memory for the JVM.
+        val batches = graft.operators.Staged.parquet(s, s"q155batches|$dir") {
+          ranked.withColumn("batch", expr(s"(rk - 1) div $B"))
+            .groupBy(col("bucket"), col("batch"))
+            .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"), sum(col("len")).as("sm"))
+            .withColumn("waste", col("mx") * col("bn") - col("sm"))
+        }
         val perBucket = batches.groupBy(col("bucket"))
           .agg(sum(col("bn")).as("n_docs"), count(lit(1)).as("n_batches"),
             sum(col("sm")).as("n_tokens"), sum(col("waste")).as("padding_waste"))
@@ -1299,12 +1304,13 @@ object Curation {
           Seq(0.25, 0.35, 0.25, 0.15),
           Seq(0.15, 0.25, 0.35, 0.25),
           Seq(0.05, 0.15, 0.25, 0.55))
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        // Narrow maps over the staged docLens table — no persist, no
+        // JVM-lifetime cache pin (round-8 ADVICE).
+        val d = Tables.docLens(s, dir)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("dl"),
             md5(concat(lit("cur|"), col("doc_id").cast("string"))).as("h"))
           .withColumn("hb", expr("cast(conv(substring(h, 1, 2), 16, 10) as int)"))
           .withColumn("g", lit(0L))
-          .persist()
         // global difficulty rank, bucketed by the length value itself
         val dranked = graft.operators.PrefixSum.keyedRank(
           d, key = Seq("g"), bucket = "dl",
@@ -1438,12 +1444,12 @@ object Curation {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val ps = (1 to 9).map(i => s"t$i" -> i / 10.0)
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("v"))
+        // Narrow maps over the staged docLens table — no persist, no
+        // JVM-lifetime cache pin (round-8 ADVICE).
+        val d = Tables.docLens(s, dir)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("v"))
           .withColumn("cohort",
             when(col("doc_id") % 2 === 0, "ref").otherwise("cur"))
-          .persist()
         val ref = d.filter(col("cohort") === "ref").withColumn("g", lit(0))
         val th = graft.operators.ExactMedian.quantilesDisc(
           ref, "g", "v", ps).drop("g")
@@ -1551,8 +1557,8 @@ object Curation {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val MaxEpochs = 4
-        val toks = Tables.documents(s, dir)
-          .select(col("source"), size(split(col("text"), " ")).cast("long").as("dl"))
+        val toks = Tables.docLens(s, dir)
+          .select(col("source"), col("n_tokens").cast("long").as("dl"))
           .groupBy(col("source")).agg(sum(col("dl")).as("tokens"))
         val budget = toks.agg((sum(col("tokens")) * 5 / 2).cast("long").as("budget"))
         val items = toks

@@ -541,10 +541,10 @@ object Learning {
         val budgets = mix.crossJoin(broadcast(tot))
           .select(col("source"),
             floor(col("alpha") * col("t") * 0.5 + 0.5).cast("long").as("budget"))
-        val d = Tables.documents(s, dir)
+        val d = Tables.docLens(s, dir)
           .select(col("source"), col("doc_id"),
             md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("u"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+            col("n_tokens").cast("long").as("n_tokens"))
           .withColumn("ub", expr("cast(conv(substring(u, 1, 3), 16, 10) as int)"))
         val cum = graft.operators.PrefixSum.keyedCumSum(
           d, key = Seq("source"), bucket = "ub",

@@ -802,9 +802,8 @@ object Text {
     QueryDef(
       "q66_token_budget_pack",
       (s, dir) => {
-        val nTok = size(split(col("text"), " "))
-        val base = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
+        val base = Tables.docLens(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"))
         val mx = base.agg(max(col("doc_id")).as("__mx"))
         val bucketed = base.crossJoin(broadcast(mx))
           .withColumn("db",
@@ -1155,12 +1154,10 @@ object Text {
     QueryDef(
       "q107_corpus_length_profile",
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+        val toks = Tables.docLens(s, dir).select(col("lang"), col("n_tokens"))
         val med = graft.operators.ExactMedian.quantilesDisc(
           toks, "lang", "n_tokens",
-          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99),
-          persistProjection = true) // n_tokens is a split() — worth materializing once
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99))
         toks.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
           .join(broadcast(med), Seq("lang"))
           .orderBy(col("lang"))
@@ -1184,15 +1181,11 @@ object Text {
     QueryDef(
       "q108_quantile_trim",
       (s, dir) => {
-        // Persisted HERE, not via persistProjection: the final
-        // join/filter scan needs doc_id, which the operator's internal
-        // (lang, value) projection drops — persisting the full toks
-        // row once serves BOTH the quantile build and the trim scan
-        // with a single corpus tokenization.
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).as("n_tokens"))
-          .persist()
+        // The staged docLens table serves BOTH the quantile build and
+        // the trim scan — no persist needed (the old in-memory persist
+        // was the eviction-prone variant of the same idea).
+        val toks = Tables.docLens(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
         val bands = graft.operators.ExactMedian.quantilesDisc(
           toks, "lang", "n_tokens", Seq("p05" -> 0.05, "p95" -> 0.95))
         toks.join(broadcast(bands), Seq("lang"))
@@ -1275,10 +1268,8 @@ object Text {
       (s, dir) => {
         val u16 = expr(
           "cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as long) + 1L")
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).as("n_tokens"),
-            u16.as("__u"))
+        Tables.docLens(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), u16.as("__u"))
           .withColumn("priority",
             col("n_tokens").cast("double") * lit(16777216.0) / col("__u"))
           .drop("__u")
