@@ -1418,6 +1418,7 @@ object Vectors {
     RerankCascadeDef,
     IncrementalIvfDef,
     TombstoneServeDef,
+    CompactionDef,
   )
 
   // Tombstoned ANN serving — DELETIONS under the merge-on-read
@@ -1437,13 +1438,22 @@ object Vectors {
   // probe the top-3 LIVE neighbors in its cell, plus the cell's
   // live/deleted counts and the compact flag (deleted fraction >
   // 0.25 at 4dp).
+
+  /** The tombstoned IVF index — STAGED, not persisted: this is the
+    * stored lakehouse artifact (index rows + `is_deleted` flags) that
+    * q163 serves through and q167 compacts; staging builds it once
+    * per (JVM, input dir) and keeps it off the executor heap. */
+  private def tombstonedIdx(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Staged.parquet(s, s"q163idx|$dir") {
+      ivfAssign(corpus(s, dir), ivfCents(s, dir), Seq("embedding", "nsq"))
+        .withColumn("is_deleted", col("vec_id") % 7 === 3)
+    }
+
   private lazy val TombstoneServeDef: QueryDef =
     QueryDef(
       "q163_ann_tombstones",
       (s, dir) => {
-        val idx = ivfAssign(corpus(s, dir), ivfCents(s, dir), Seq("embedding", "nsq"))
-          .withColumn("is_deleted", col("vec_id") % 7 === 3)
-          .persist()
+        val idx = tombstonedIdx(s, dir)
         val cellAudit = idx.groupBy(col("cell"))
           .agg(sum(when(col("is_deleted"), 0L).otherwise(1L)).as("live_n"),
             sum(when(col("is_deleted"), 1L).otherwise(0L)).as("dead_n"))
@@ -1506,6 +1516,136 @@ object Vectors {
                  audit2.live_n, audit2.dead_n, audit2.dead_frac,
                  (audit2.dead_frac > 0.25) AS compact
                FROM rk JOIN audit2 USING (cell)
+               ORDER BY rk.probe_id, rk.rank"""),
+    )
+
+  // ANN index COMPACTION — the maintenance path q163's audit only
+  // FLAGS: cells whose deleted fraction exceeds the threshold are
+  // physically REWRITTEN without their tombstoned rows (the
+  // merge-on-read → copy-on-write transition every lakehouse table
+  // service runs), cells below it keep serving through tombstones.
+  // Serving the compacted store is provably identical to serving
+  // through tombstones — compaction removes only rows the serve
+  // filter already excludes — and that equivalence is exactly what
+  // the oracle checks: the serve block of the SQL mirror recomputes
+  // the topology from scratch, so a compaction bug that drops a live
+  // row (or keeps a dead one in a "compacted" cell) diverges the
+  // hash. CompactionSpec additionally asserts the PHYSICAL claims:
+  // zero tombstoned rows remain stored in compacted cells, and
+  // non-compacted cells are byte-identical to the input index.
+  //
+  // Threshold: the discrete MEDIAN dead fraction across cells (rank
+  // ceil(n/2) — the quantile_disc convention), not a fixed constant:
+  // the deterministic ~14% delete rule keeps every cell well under a
+  // fixed 0.25 cut at every SF (measured), which would make the
+  // rewrite path vacuous; the median guarantees both regimes —
+  // compacted and serve-through — exist at any corpus size.
+  //
+  // Scale shape: the audit and threshold are windows/joins over the
+  // ≤|cells|-row aggregate; the rewrite is one filter over the staged
+  // index written back cell-partitioned (only flagged DIRECTORIES
+  // change under a real table service — modeled here by the
+  // partitioned stage); the serve is q163's broadcast cell-join.
+  // `stored_n`/`removed_n` are MEASURED from the compacted store
+  // (groupBy cell count), not derived arithmetic — the oracle derives
+  // them independently, so the output pins the physical row counts.
+  private lazy val CompactionDef: QueryDef =
+    QueryDef(
+      "q167_ann_compaction",
+      (s, dir) => {
+        val idx = tombstonedIdx(s, dir)
+        val audit = idx.groupBy(col("cell"))
+          .agg(sum(when(col("is_deleted"), 0L).otherwise(1L)).as("live_n"),
+            sum(when(col("is_deleted"), 1L).otherwise(0L)).as("dead_n"))
+          .withColumn("dead_frac", Num.fround(
+            col("dead_n").cast("double") / (col("live_n") + col("dead_n")), 4))
+        // discrete median over the bounded cell audit (row_number over
+        // ≤|cells| rows — never corpus rows)
+        val nc = audit.agg(count(lit(1)).as("nc"))
+        val thr = audit
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("dead_frac"), col("cell"))))
+          .crossJoin(broadcast(nc))
+          .filter(col("rk") === ceil(col("nc").cast("double") / 2).cast("int"))
+          .select(col("dead_frac").as("thr"))
+        val audit3 = audit.crossJoin(broadcast(thr))
+          .withColumn("compacted", col("dead_frac") > col("thr"))
+        val store = graft.operators.Staged.partitionedParquet(
+            s, s"q167store|$dir", "cell") {
+          idx.join(broadcast(audit3.select(col("cell"), col("compacted"))), Seq("cell"))
+            .filter(!(col("compacted") && col("is_deleted")))
+            .select(col("vec_id"), col("cell"), col("embedding"), col("nsq"),
+              col("is_deleted"))
+        }
+        val stored = store.groupBy(col("cell")).agg(count(lit(1)).as("stored_n"))
+        val live = store.filter(!col("is_deleted"))
+        val probes = live.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nsq").as("p_nsq"), col("cell"))
+        val sim = Num.fround(
+          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+        live.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("cell"), sim.as("sim"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .join(broadcast(audit3), Seq("cell"))
+          .join(broadcast(stored), Seq("cell"))
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
+            col("sim"), col("live_n"), col("dead_n"), col("dead_frac"),
+            col("compacted"), col("stored_n"),
+            (col("live_n") + col("dead_n") - col("stored_n")).as("removed_n"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id, embedding::DOUBLE[] AS emb,
+                        ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
+                 FROM embeddings),
+               cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
+                         WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // $IVF_K) = 0),
+               assigned AS MATERIALIZED (
+                 SELECT vec_id, emb, nsq, cid AS cell,
+                   (vec_id % 7 = 3) AS is_deleted
+                 FROM (
+                   SELECT c.vec_id, c.emb, c.nsq, cents.cid,
+                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                   FROM c CROSS JOIN cents)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+               audit AS (
+                 SELECT cell,
+                   sum(CASE WHEN is_deleted THEN 0 ELSE 1 END)::BIGINT AS live_n,
+                   sum(CASE WHEN is_deleted THEN 1 ELSE 0 END)::BIGINT AS dead_n
+                 FROM assigned GROUP BY cell),
+               audit2 AS (
+                 SELECT cell, live_n, dead_n,
+                   ${Num.froundSql("dead_n::DOUBLE / (live_n + dead_n)", 4)} AS dead_frac
+                 FROM audit),
+               thr AS (SELECT quantile_disc(dead_frac, 0.5) AS thr FROM audit2),
+               audit3 AS (
+                 SELECT audit2.*, (dead_frac > thr) AS compacted
+                 FROM audit2 CROSS JOIN thr),
+               store AS (
+                 SELECT a.* FROM assigned a JOIN audit3 USING (cell)
+                 WHERE NOT (audit3.compacted AND a.is_deleted)),
+               stored AS (SELECT cell, count(*)::BIGINT AS stored_n FROM store GROUP BY cell),
+               live AS (SELECT * FROM store WHERE NOT is_deleted),
+               p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, cell
+                     FROM live WHERE vec_id < $N_PROBES),
+               rk AS (
+                 SELECT probe_id, vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank
+                 FROM (
+                   SELECT p.probe_id, a.vec_id, a.cell,
+                     ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                   FROM live a JOIN p ON a.cell = p.cell
+                   WHERE a.vec_id <> p.probe_id)
+                 QUALIFY rank <= 3)
+               SELECT rk.probe_id, rk.rank, rk.vec_id, rk.cell, rk.sim,
+                 audit3.live_n, audit3.dead_n, audit3.dead_frac, audit3.compacted,
+                 stored.stored_n,
+                 (audit3.live_n + audit3.dead_n - stored.stored_n)::BIGINT AS removed_n
+               FROM rk JOIN audit3 USING (cell) JOIN stored USING (cell)
                ORDER BY rk.probe_id, rk.rank"""),
     )
 
