@@ -116,7 +116,10 @@ object Bench {
         try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
-            errors += name -> e.getClass.getSimpleName
+            // class+message, not just the class: round 9 recorded bare
+            // "IllegalStateException" and cost a full diagnosis cycle
+            // that e.toString ("Recursive update") would have skipped.
+            errors += name -> e.toString.take(200)
             -1.0
         }
       val gcSec = (gcMillis() - gc0) / 1e3
@@ -188,7 +191,15 @@ object Bench {
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    // e.toString carries arbitrary message text — escape it so the
+    // JSON line always parses (quotes, backslashes, control chars).
+    def jstr(v: String): String = v.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + jstr(v) + "\"" }
       .mkString("{", ",", "}")
     val rpq = samples.map { case (k, ss) => "\"" + k + "\":" + ss.size }
       .mkString("{", ",", "}")

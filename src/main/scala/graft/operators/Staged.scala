@@ -15,20 +15,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `build` MUST be deterministic in `key`: the stage is written once
   * per key per JVM and read thereafter.
+  *
+  * Builds are NEVER run inside `ConcurrentHashMap.computeIfAbsent`:
+  * stages nest (q136's kNN graph stages on top of the staged
+  * hierarchical-clustering chain), and a nested `computeIfAbsent` on
+  * the same map throws `IllegalStateException: Recursive update` when
+  * the inner insert lands during a resize (state-dependent — it needs
+  * the ~20+ keys a full-suite pass accumulates, which is exactly why
+  * it only ever fired in the full driver bench, never in isolation).
+  * Instead `computeIfAbsent` only installs a cheap per-key lazy
+  * holder; the build evaluates OUTSIDE the map update, where nested
+  * staging is plain nested lazy initialization on distinct objects.
+  * The lazy val also dedups concurrent builds of the same key, and a
+  * failed build is retried on next access rather than memoized.
   */
 object Staged {
   private lazy val root: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-stage")
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private final class Holder(build: () => String) {
+    lazy val value: String = build()
+  }
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Holder]()
+
+  private def stagePath(k: String): String =
+    root.resolve(
+      k.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + Integer.toHexString(k.hashCode)).toString
+
+  /** Evaluate a holder, evicting it from the memo on failure so a
+    * later call installs a FRESH holder (a memoized holder pins its
+    * original build closure — without eviction a transient failure
+    * would replay forever). `remove(key, holder)` is value-conditional
+    * so a concurrently re-installed holder is never clobbered. */
+  private def evaluate(key: String, holder: Holder): String =
+    try holder.value
+    catch { case e: Throwable => memo.remove(key, holder); throw e }
 
   def parquet(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val path = memo.computeIfAbsent(key, k => {
-      val p = root.resolve(
-        k.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + Integer.toHexString(k.hashCode)).toString
+    val holder = memo.computeIfAbsent(key, k => new Holder(() => {
+      val p = stagePath(k)
       build.write.mode("overwrite").parquet(p)
       p
-    })
-    s.read.parquet(path)
+    }))
+    s.read.parquet(evaluate(key, holder))
   }
 
   /** Like [[parquet]] but hive-layout-partitioned by `partCol` — one
@@ -54,14 +83,14 @@ object Staged {
     // namespace also makes the partition column part of the identity,
     // so the same table staged under two layouts stays two stages.
     val nsKey = s"partitioned[$partCol]|$key"
-    val path = memo.computeIfAbsent(nsKey, k => {
-      val p = root.resolve(
-        k.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + Integer.toHexString(k.hashCode)).toString
+    val holder = memo.computeIfAbsent(nsKey, k => new Holder(() => {
+      val p = stagePath(k)
       val df = build
       schemaMemo.put(k, df.schema)
       df.write.mode("overwrite").partitionBy(partCol).parquet(p)
       p
-    })
+    }))
+    val path = evaluate(nsKey, holder)
     val orig = schemaMemo.get(nsKey)
     require(orig != null,
       s"staged path for '$nsKey' exists without a recorded schema — memo/schemaMemo out of sync")
