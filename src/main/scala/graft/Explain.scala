@@ -138,7 +138,15 @@ object Explain {
     // cell scan + per-cell compaction audit).
     "q156_hybrid_rrf3", "q157_filtered_ann", "q158_matryoshka_recall",
     "q159_curriculum_schedule", "q161_rerank_cascade",
-    "q162_incremental_ivf", "q163_ann_tombstones")
+    "q162_incremental_ivf", "q163_ann_tombstones",
+    // rounds 8-9 tail: dedup-aware weights (component-size weights off
+    // the staged near-dup components), PSI drift (ExactMedian decile
+    // thresholds broadcast, ≤20-row PSI aggregate), epoch allocation
+    // (corpus collapses to one row per source, largest-remainder
+    // integer budgets), ANN compaction (median-threshold cell rewrite
+    // of the staged tombstoned index; serve plan ≡ q163's).
+    "q164_dedup_weights", "q165_psi_drift", "q166_epoch_allocation",
+    "q167_ann_compaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -30,8 +30,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * failed build is retried on next access rather than memoized.
   */
 object Staged {
-  private lazy val root: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft-stage")
+  // Stages live for the JVM; the shutdown hook bounds the DISK
+  // lifetime too (a long-lived session staging corpus-sized artifacts
+  // across many input dirs would otherwise grow the temp dir without
+  // bound). Best-effort: a kill -9 leaves the dir to the OS tmp
+  // reaper, which is the standard contract for temp dirs.
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-stage")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p
+  }
 
   private final class Holder(build: () => String) {
     lazy val value: String = build()

@@ -247,7 +247,10 @@ object Clustering {
     * the modulus sample, return the corpus to assign. Shared by q97
     * (full assignment) and q104 (trained-quantizer ANN serving). */
   private def twoLevelTrained(s: SparkSession, dir: String): (DataFrame, Seq[(Long, Seq[Double])]) = {
-    val df = emb(s, dir).persist()
+    // narrow map over the parquet scan — recomputed per consumer
+    // action (count, seed collect, final assignment) instead of
+    // pinned on the heap for the JVM lifetime
+    val df = emb(s, dir)
     val k = MinK
     val m = math.max(1L, df.count() / (k * 32))
     val sample = df.filter(col("vec_id") % m === 0)
@@ -297,6 +300,22 @@ object Clustering {
     * sim UNROUNDED (rank order is taken on the ulp-identical
     * fixed-fold cosine; consumers round for display). See q136's
     * scaladoc for the boundedness contract. */
+  /** Fine-cluster membership with payloads (vec_id, fcid, label,
+    * embedding, nsq) — the hierFinal ⋈ embeddings join every
+    * cluster-mate self-join reads (q86 SemDeDup, the kNN graph build,
+    * q138 hard negatives). STAGED (round-10 persist sweep): each
+    * consumer used to persist its own copy of this join for the JVM
+    * lifetime; one stored table serves all of them, off-heap. */
+  private def hierMembers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Staged.parquet(s, s"hier_members|$dir") {
+      hierFinal(s, dir)
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("fcid"), col("label"), col("embedding"), col("nsq"))
+    }
+
   private def knnRanked(s: SparkSession, dir: String): DataFrame =
     // the kNN graph is the persisted artifact its three consumers
     // (q136 listing, q140 propagation, q148 triangles) read — staged
@@ -305,11 +324,7 @@ object Clustering {
 
   private def knnBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = hierFinal(s, dir)
-      .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
-        Seq("vec_id"))
-      .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
-      .persist()
+    val m = hierMembers(s, dir)
     val a = m.select(col("fcid"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("nsq").as("na"))
     val b = m.select(col("fcid"), col("vec_id").as("vb"),
@@ -372,11 +387,10 @@ object Clustering {
     QueryDef(
       "q86_semantic_dedup",
       (s, dir) => {
-        val m = hierFinal(s, dir)
-          .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
-            Seq("vec_id"))
+        // both self-join sides + the verdict join read the shared
+        // staged membership table (see hierMembers)
+        val m = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
-          .persist()
         val a = m.select(col("fcid"), col("vec_id").as("va"),
           col("embedding").as("ea"), col("nsq").as("na"))
         val b = m.select(col("fcid"), col("vec_id").as("vb"),
@@ -481,7 +495,11 @@ object Clustering {
         val NPROBES = 8
         val NPROBE = 2
         val (df, cents) = twoLevelTrained(s, dir)
-        val assigned = assign(df, cents).withColumnRenamed("cid", "cell").persist()
+        // the trained-quantizer index table — staged (codebook is a
+        // deterministic function of the dir, so the key is just dir)
+        val assigned = graft.operators.Staged.parquet(s, s"q104assigned|$dir") {
+          assign(df, cents).withColumnRenamed("cid", "cell")
+        }
         // Probe-side top-NPROBE trained cells: argsort over the k
         // literal centroid distances, per probe row — no join, no
         // shuffle; k structs per probe, sliced to nprobe.
@@ -570,13 +588,8 @@ object Clustering {
       "q138_hard_negatives",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
-        val m = hierFinal(s, dir)
-          .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
-            Seq("vec_id"))
-          .join(lab, Seq("vec_id"))
+        val m = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"), col("label"))
-          .persist()
         val a = m.select(col("fcid"), col("vec_id").as("va"),
           col("embedding").as("ea"), col("nsq").as("na"), col("label").as("la"))
         val b = m.select(col("fcid"), col("vec_id").as("vb"),
@@ -713,12 +726,18 @@ object Clustering {
     QueryDef(
       "q148_triangle_count",
       (s, dir) => {
-        val e = knnRanked(s, dir)
-          .select(least(col("va"), col("vb")).as("da"),
-            greatest(col("va"), col("vb")).as("db"))
-          .distinct().persist()
+        // The undirected edge set is bounded (≤ 3 edges per node off
+        // the staged kNN graph) — staged once; its derived tables
+        // (degrees, orientation, triangles) are cheap re-reads of it,
+        // no heap pins (round-10 persist sweep).
+        val e = graft.operators.Staged.parquet(s, s"q148edges|$dir") {
+          knnRanked(s, dir)
+            .select(least(col("va"), col("vb")).as("da"),
+              greatest(col("va"), col("vb")).as("db"))
+            .distinct()
+        }
         val deg = e.select(col("da").as("v")).unionByName(e.select(col("db").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("deg")).persist()
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         // orient: (deg, id)-ascending — attach both endpoint degrees,
         // flip when the target sorts lower
         val withDeg = e
@@ -729,14 +748,12 @@ object Clustering {
               struct(col("da").as("src"), col("db").as("dst")))
               .otherwise(struct(col("db").as("src"), col("da").as("dst"))).as("o"))
           .select(col("o.src").as("src"), col("o.dst").as("dst"))
-          .persist()
         val wedges = oriented.as("e1").join(oriented.as("e2"), Seq("src"))
           .filter(col("e1.dst") < col("e2.dst"))
           .select(col("src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
         // close the wedge: (v, w) is id-ordered (v < w), exactly how
         // the undirected edge set stores it — a direct equi-join
         val tri = wedges.join(e.select(col("da").as("v"), col("db").as("w")), Seq("v", "w"))
-          .persist()
         val summary = tri.agg(count(lit(1)).as("n_triangles"))
           .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
           .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),

@@ -154,13 +154,14 @@ object Curation {
         // side read it (the minhashPairs signature-table pattern — at
         // production scale this is the chunk table you'd persist to
         // storage rather than tokenize the corpus twice).
-        val chunks = Tables.documents(s, dir)
-          .select(col("doc_id"), toks.as("ws"), nChunks.as("nc"))
-          .select(col("doc_id"),
-            posexplode(expr(
-              "transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
-          .withColumnsRenamed(Map("pos" -> "idx", "col" -> "chunk"))
-          .persist()
+        val chunks = graft.operators.Staged.parquet(s, s"q75chunks|$dir") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), toks.as("ws"), nChunks.as("nc"))
+            .select(col("doc_id"),
+              posexplode(expr(
+                "transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
+            .withColumnsRenamed(Map("pos" -> "idx", "col" -> "chunk"))
+        }
         val winners = chunks
           .groupBy(col("chunk"))
           .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
@@ -355,7 +356,11 @@ object Curation {
         val sketch: Map[String, Long] = chars.as[String]
           .select(new graft.functions.MisraGriesAgg(SketchK).toColumn)
           .head()
-        val exact = chars.groupBy(col("ch")).agg(count(lit(1)).as("n")).persist()
+        // staged ≤|alphabet|-row exact table (the total action and the
+        // verdict projection both read it; re-running the char explode
+        // per consumer is the cost the stage avoids)
+        val exact = graft.operators.Staged.parquet(s, s"q91chars|$dir")(
+          chars.groupBy(col("ch")).agg(count(lit(1)).as("n")))
         val total = exact.agg(sum(col("n"))).head().getLong(0)
         val thresh = total.toDouble / SketchK
         val est = element_at(typedLit(sketch), col("ch"))
@@ -411,7 +416,10 @@ object Curation {
           .withColumn("toks", TextFns.tokens(col("text")))
           .select(col("doc_id"),
             explode(array_distinct(TextFns.shingleExpr("toks", 3))).as("sh"))
-        val benchSh = sh.filter(col("doc_id") < 5).select(col("sh")).distinct().persist()
+        // staged benchmark shingle set (bounded): the bitmap collect
+        // and the exact-recheck broadcast both read it
+        val benchSh = graft.operators.Staged.parquet(s, s"q92bench|$dir")(
+          sh.filter(col("doc_id") < 5).select(col("sh")).distinct())
         val bits = benchSh
           .select(explode(array((0 until K).map(i => expr(posSpark(i))): _*)).as("p"))
           .distinct().collect().map(_.getLong(0)) // ≤ M values — bounded
@@ -850,7 +858,10 @@ object Curation {
         val HeadK = 16
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+        // staged vocab table — head cut, tail anti-join, and the total
+        // all read the stored vocab-bounded rows
+        val vocab = graft.operators.Staged.parquet(s, s"q87vocab|$dir")(
+          toks.groupBy(col("w")).agg(count(lit(1)).as("c")))
         val head = vocab.orderBy(col("c").desc, col("w")).limit(HeadK)
         val tail = vocab.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
         val total = vocab.agg(sum(col("c")).cast("double").as("n"))
@@ -1150,12 +1161,15 @@ object Curation {
       "q147_k_anonymity",
       (s, dir) => {
         val K = 5
-        val g = Tables.documents(s, dir)
-          .select(col("lang"), col("source"),
-            expr("n_chars div 100").as("size_bucket"))
-          .groupBy(col("lang"), col("source"), col("size_bucket"))
-          .agg(count(lit(1)).as("n_docs"))
-          .persist()
+        // staged quasi-identifier group table (bounded by the id
+        // domain) — the summary and the risky-group listing read it
+        val g = graft.operators.Staged.parquet(s, s"q147groups|$dir") {
+          Tables.documents(s, dir)
+            .select(col("lang"), col("source"),
+              expr("n_chars div 100").as("size_bucket"))
+            .groupBy(col("lang"), col("source"), col("size_bucket"))
+            .agg(count(lit(1)).as("n_docs"))
+        }
         val summary = g.agg(count(lit(1)).as("n_groups"),
           sum(when(col("n_docs") < K, 1L).otherwise(0L)).as("n_risky"),
           sum(when(col("n_docs") < K, col("n_docs")).otherwise(0L)).as("docs_at_risk"))

@@ -193,12 +193,15 @@ object Extensions {
     QueryDef(
       "q144_skew_audit",
       (s, dir) => {
-        val c = Tables.lineitem(s, dir)
-          .select(when(col("l_orderkey") % 10 < 7, 0L)
-            .otherwise(col("l_orderkey")).as("key"))
-          .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
-          .withColumn("g", lit("all"))
-          .persist()
+        // staged per-key count table — the quantile walk, the totals,
+        // and the top-5 listing all read the stored derived rows
+        val c = graft.operators.Staged.parquet(s, s"q144keys|$dir") {
+          Tables.lineitem(s, dir)
+            .select(when(col("l_orderkey") % 10 < 7, 0L)
+              .otherwise(col("l_orderkey")).as("key"))
+            .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+            .withColumn("g", lit("all"))
+        }
         // Count-of-counts quantiles: the count DISTRIBUTION has few
         // distinct values (multiplicities) even when the key space is
         // huge, so the exact discrete quantile is a cumulative walk

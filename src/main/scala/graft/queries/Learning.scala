@@ -41,26 +41,31 @@ object Learning {
   private val Eta = 2.0
   private val D = 5
 
-  /** Classifier feature frame (doc_id, y, x0..x4), persisted — the
-    * shared input of q133 (full-data fit) and q152 (holdout eval). */
+  /** Classifier feature frame (doc_id, y, x0..x4), STAGED through
+    * parquet once per (JVM, input dir) — the shared input of q133
+    * (full-data fit), q152 (holdout eval) and q153 (fairness audit),
+    * and re-read by every GD gradient aggregate (3 actions per
+    * training run). A stage, not a persist: the feature table is the
+    * artifact a training pipeline materializes before fitting, and it
+    * stays off the executor heap (the round-10 persist sweep). */
   private def classifierFeatures(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks).cast("double")
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        when(least(lit(1.0), nTok / 100.0)
-            * (lit(1.0) - size(filter(toks, t => t.isin(TextFns.STOPWORDS.map(x => x: Any): _*)))
-              .cast("double") / nTok) >= QualityThreshold, 1.0)
-          .otherwise(0.0).as("y"),
-        lit(1.0).as("x0"),
-        (size(toks) / lit(128.0)).as("x1"),
-        (size(array_distinct(toks)).cast("double") / nTok).as("x2"),
-        (size(filter(toks, t => t.isin(TextFns.STOPWORDS.map(x => x: Any): _*)))
-          .cast("double") / nTok).as("x3"),
-        (col("n_chars") / lit(1024.0)).as("x4"))
-      .persist()
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Staged.parquet(s, s"clf_features|$dir") {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(least(lit(1.0), nTok / 100.0)
+              * (lit(1.0) - size(filter(toks, t => t.isin(TextFns.STOPWORDS.map(x => x: Any): _*)))
+                .cast("double") / nTok) >= QualityThreshold, 1.0)
+            .otherwise(0.0).as("y"),
+          lit(1.0).as("x0"),
+          (size(toks) / lit(128.0)).as("x1"),
+          (size(array_distinct(toks)).cast("double") / nTok).as("x2"),
+          (size(filter(toks, t => t.isin(TextFns.STOPWORDS.map(x => x: Any): _*)))
+            .cast("double") / nTok).as("x3"),
+          (col("n_chars") / lit(1024.0)).as("x4"))
+    }
 
   private def margin(w: IndexedSeq[Double]): Column =
     Num.fround((0 until D).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _), 6)
@@ -129,7 +134,11 @@ object Learning {
     * scaladoc for the per-stage scale shape. */
   private def bigramNllStaged(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.operators.Staged.parquet(s, s"bigram_nll|$dir") {
+  {
+    // build caches released once the stage is written (the knnRanked
+    // scratch pattern); on a warm memoized read the build never runs
+    val scratch = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    val out = graft.operators.Staged.parquet(s, s"bigram_nll|$dir") {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
@@ -139,8 +148,10 @@ object Learning {
             .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         .persist()
+      scratch += bg
       val toks = Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("w"))
       val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+      scratch += uni
       val tot = uni.agg(sum(col("c")).cast("double").as("n"))
       val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val enriched = big
@@ -155,6 +166,9 @@ object Learning {
         .agg(count(lit(1)).as("n_bigrams"),
           Num.fround(avg(-log(col("p"))), 4).as("avg_nll"))
     }
+    scratch.foreach(_.unpersist(false))
+    out
+  }
 
   /** The DoReMi mixture frame (source, n_docs, n_tokens, avg_nll,
     * alpha) — shared by q134 (the listing with budgets) and q141 (the
@@ -166,10 +180,19 @@ object Learning {
     * listing, q141's selection); the corpus-scan training pass runs
     * once, consumers pay a |domains|-row read. */
   private def domainMixture(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    graft.operators.Staged.parquet(s, s"domain_mixture|$dir")(domainMixtureBuild(s, dir))
+      : org.apache.spark.sql.DataFrame = {
+    // build cache released once the stage is written (scratch
+    // pattern); the trailing persist the build used to carry was
+    // redundant with the stage itself
+    val scratch = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    val out = graft.operators.Staged.parquet(s, s"domain_mixture|$dir")(
+      domainMixtureBuild(s, dir, scratch))
+    scratch.foreach(_.unpersist(false))
+    out
+  }
 
-  private def domainMixtureBuild(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def domainMixtureBuild(s: org.apache.spark.sql.SparkSession, dir: String,
+      scratch: scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -183,6 +206,7 @@ object Learning {
       .agg(count(lit(1)).as("n_tokens"),
         Num.fround(avg(-log(col("c").cast("double") / col("n"))), 6).as("avg_nll"))
       .persist()
+    scratch += perDom
     val g = perDom.agg(
       (sum(col("n_tokens") * col("avg_nll")) / sum(col("n_tokens"))).as("gbar"))
     val ex = perDom.crossJoin(broadcast(g))
@@ -192,7 +216,6 @@ object Learning {
       .join(broadcast(nd), Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("avg_nll"),
         Num.fround(exp(col("ex")) / col("zden"), 6).as("alpha"))
-      .persist()
   }
 
   /** DuckDB CTE list mirroring [[domainMixture]] (no leading WITH):
@@ -315,9 +338,10 @@ object Learning {
         val feat = classifierFeatures(s, dir)
         val w = trainWeights(feat.filter(col("doc_id") % 2 === 0))
         val p = sigmoid(margin(w))
+        // narrow map over the staged feature table (literal weights)
+        // — each consumer branch recomputes it off the stage read
         val test = feat.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"), col("y"), Num.fround(p, 4).as("score"))
-          .persist()
         val conf = test.agg(
           sum(when(col("score") >= 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
           sum(when(col("score") >= 0.5 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
@@ -399,7 +423,6 @@ object Learning {
         val scored = feat
           .select(col("doc_id"), (Num.fround(p, 4) >= 0.5).as("pred"))
           .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
-          .persist()
         val overall = scored.agg(
           (sum(when(col("pred"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
             .as("ov"))

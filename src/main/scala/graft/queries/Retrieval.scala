@@ -301,10 +301,13 @@ object Retrieval {
             (col(s"tf_$w") + (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1)
         }.reduce(_ + _)
         val rel = Terms.map(w => when(col(s"tf_$w") > 0, 1).otherwise(0)).reduce(_ + _)
-        val scored = perDocF.crossJoin(broadcast(stats))
-          .select(col("doc_id"), Num.fround(score, 4).as("score"),
-            rel.cast("long").as("rel"))
-          .persist()
+        // staged scored table — both TakeOrdered cuts (actual + ideal)
+        // read the stored narrow rows instead of pinning a cache
+        val scored = graft.operators.Staged.parquet(s, s"q145scored|$dir") {
+          perDocF.crossJoin(broadcast(stats))
+            .select(col("doc_id"), Num.fround(score, 4).as("score"),
+              rel.cast("long").as("rel"))
+        }
         val ranked = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
           .withColumn("pos",
             row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))

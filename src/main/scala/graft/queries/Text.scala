@@ -55,11 +55,12 @@ object Text {
     * it lands in a per-JVM temp dir so cross-process runs always
     * rebuild (no staleness), while the bench/verify processes reuse
     * it the way a real consumer would. Reuse goes through parquet,
-    * never the in-memory cache (the round-1 eviction lesson). */
-  private lazy val pairsStageRoot: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft-pairs-stage")
-  private val pairsStaged =
-    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
+    * never the in-memory cache (the round-1 eviction lesson).
+    * Round 10: migrated onto operators.Staged — the private
+    * ConcurrentHashMap here ran builds inside computeIfAbsent, the
+    * exact re-entrancy bug class Staged fixed (nested stage insert
+    * during a map resize → IllegalStateException: Recursive update);
+    * one staging implementation, one fix. */
 
   /** Per-doc 8-token-span occurrence table (doc_id, h, cnt) — the
     * shared artifact of the exact-substring family (q115 coverage,
@@ -86,21 +87,15 @@ object Text {
 
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Double): org.apache.spark.sql.DataFrame = {
-    val path = pairsStaged.computeIfAbsent((dir, threshold), _ => {
-      // The sanitized dir rides IN the path (the Staged.parquet rule):
-      // a 32-bit hashCode alone can collide across two input dirs,
-      // silently overwriting one corpus's pair graph with another's.
-      val p = pairsStageRoot
-        .resolve(s"t${(threshold * 100).toInt}_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-          s"_${Integer.toHexString(dir.hashCode)}")
-        .toString
-      val (pairs, scratch) = buildMinhashPairs(s, dir, threshold)
-      pairs.write.mode("overwrite").parquet(p)
-      scratch.foreach(_.unpersist(false)) // the stage replaces the build caches
-      p
-    })
-    s.read.parquet(path)
+    val scratch = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    val out = graft.operators.Staged.parquet(
+        s, s"minhash_pairs_t${(threshold * 100).toInt}|$dir") {
+      val (pairs, sc) = buildMinhashPairs(s, dir, threshold)
+      scratch ++= sc
+      pairs
+    }
+    scratch.foreach(_.unpersist(false)) // the stage replaces the build caches
+    out
   }
 
   /** Signature tables for `docs` (doc_id, text): the (doc_id, shset)
@@ -211,15 +206,24 @@ object Text {
     // signature projection inside the pairs build persists exactly
     // like the full-rebuild path so the self-join doesn't recompute
     // it per side).
-    val basePairs = graft.operators.Staged.parquet(s, s"${key}_pairs") {
-      val (sh, b) = sigTables(s, oldDocs)
-      candVerify(b.persist(), b, sh.persist(), sh, threshold)
+    val basePairs = {
+      val scratch = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+      val out = graft.operators.Staged.parquet(s, s"${key}_pairs") {
+        val (sh, b) = sigTables(s, oldDocs)
+        val bp = b.persist(); val shp = sh.persist()
+        scratch += bp; scratch += shp
+        candVerify(bp, bp, shp, shp, threshold)
+      }
+      scratch.foreach(_.unpersist(false))
+      out
     }
     val baseSh = graft.operators.Staged.parquet(s, s"${key}_shingles")(sigTables(s, oldDocs)._1)
     val baseBanded = graft.operators.Staged.parquet(s, s"${key}_banded")(sigTables(s, oldDocs)._2)
-    val (newSh0, newBanded0) = sigTables(s, newDocs)
-    val newSh = newSh0.persist()
-    val newBanded = newBanded0.persist()
+    // Today's batch signatures are ALSO staged (they become tomorrow's
+    // base artifacts in a real pipeline) — both delta join sides read
+    // the stored tables, no JVM-lifetime heap pin.
+    val newSh = graft.operators.Staged.parquet(s, s"${key}_newsh")(sigTables(s, newDocs)._1)
+    val newBanded = graft.operators.Staged.parquet(s, s"${key}_newbanded")(sigTables(s, newDocs)._2)
     val deltaPairs = candVerify(
       baseBanded.unionByName(newBanded), newBanded,
       baseSh.unionByName(newSh), newSh, threshold)
@@ -509,23 +513,27 @@ object Text {
         // (bit-identical to the composed TextFns.minhash form the
         // oracle uses — same md5("<i>|"+tok) definition).
         graft.functions.MinHashSlots.register(s)
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), col("source"),
-            array_distinct(TextFns.tokens(col("text"))).as("tokset"))
-          .persist()
-        // keys persisted BELOW the signature projection: the md5 pass
-        // must run once, not once per self-join side. Token-set size
-        // rides along so the J >= 0.8 size implication
-        // (|a| >= 0.8|b|, symmetric) prunes candidates at the id
-        // stage, before any payload join — output-preserving, so the
-        // oracle needs no mirror.
-        val keys = docs
-          .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("tokset"), 2))
-          .select(col("lang"), col("source"), col("doc_id"), size(col("tokset")).as("sz"),
-            explode(array(
-              concat_ws("|", lit("b0"), element_at(col("mh"), 1)),
-              concat_ws("|", lit("b1"), element_at(col("mh"), 2)))).as("blk"))
-          .persist()
+        // Both the signature projection and the payload joins read the
+        // STAGED token-set table; the banded keys are staged below it
+        // so the md5 pass runs once, not once per self-join side
+        // (round 10: stages replace the per-query JVM-lifetime
+        // persists). Token-set size rides along so the J >= 0.8 size
+        // implication (|a| >= 0.8|b|, symmetric) prunes candidates at
+        // the id stage, before any payload join — output-preserving,
+        // so the oracle needs no mirror.
+        val docs = graft.operators.Staged.parquet(s, s"q34docs|$dir") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("source"),
+              array_distinct(TextFns.tokens(col("text"))).as("tokset"))
+        }
+        val keys = graft.operators.Staged.parquet(s, s"q34keys|$dir") {
+          docs
+            .withColumn("mh", graft.functions.MinHashSlots.slotsCol(col("tokset"), 2))
+            .select(col("lang"), col("source"), col("doc_id"), size(col("tokset")).as("sz"),
+              explode(array(
+                concat_ws("|", lit("b0"), element_at(col("mh"), 1)),
+                concat_ws("|", lit("b1"), element_at(col("mh"), 2)))).as("blk"))
+        }
         val pairs = keys.select(col("lang"), col("source"), col("blk"),
             col("doc_id").as("doc_a"), col("sz").as("sz_a"))
           .join(keys.select(col("lang"), col("source"), col("blk"),
@@ -866,8 +874,10 @@ object Text {
         // buffers (aggregate-lambda HOFs are CodegenFallback). At scale
         // this ships one 64-int row per doc per partition, never the
         // tokens.
-        val sigs = TextFns.simhashWords(Tables.documents(s, dir), 4)
-          .persist()
+        // staged signature table — the banded key build and both
+        // payload joins read the stored 4-word rows
+        val sigs = graft.operators.Staged.parquet(s, s"q54sigs|$dir")(
+          TextFns.simhashWords(Tables.documents(s, dir), 4))
         val banded = sigs.select(col("doc_id"), explode(array(
           (0 until 4).map(w => concat(lit(s"$w:"), col(s"w$w").cast("string"))): _*)).as("blk"))
         val pairs = banded.select(col("doc_id").as("doc_a"), col("blk"))
@@ -1029,11 +1039,12 @@ object Text {
       "q90_neardup_pagerank",
       (s, dir) => {
         val p = minhashPairs(s, dir, threshold = 0.5)
+        // edges/nodes are cheap narrow derivations of the staged pair
+        // graph (45 pairs at sf0.01) — re-read per consumer, no pins
         val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .persist()
         val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .select(col("src").as("doc_id"), col("deg")).persist()
+          .select(col("src").as("doc_id"), col("deg"))
         val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
         val pr0 = nodes.crossJoin(nDf)
           .select(col("doc_id"), col("deg"), (lit(1.0) / col("n")).as("pr"))
@@ -1098,9 +1109,12 @@ object Text {
     QueryDef(
       "q96_cooccurrence_pmi",
       (s, dir) => {
-        val tok = Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
-          .persist()
+        // staged position table — three consumers (unigram counts,
+        // both sides of the ±δ position join) read the stored rows
+        val tok = graft.operators.Staged.parquet(s, s"q96tok|$dir") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+        }
         val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
         val nTok = uni.agg(sum(col("c")).cast("double").as("nt"))
         val left = tok
@@ -1757,10 +1771,13 @@ object Text {
     QueryDef(
       "q146_corpus_diversity",
       (s, dir) => {
-        val wc = Tables.documents(s, dir)
-          .select(col("source"), explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-          .persist()
+        // staged (source, token, count) table — totals and the entropy
+        // pass both read the stored vocab-bounded rows
+        val wc = graft.operators.Staged.parquet(s, s"q146wc|$dir") {
+          Tables.documents(s, dir)
+            .select(col("source"), explode(split(col("text"), " ")).as("w"))
+            .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        }
         val tot = wc.groupBy(col("source"))
           .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
         val p = col("c").cast("double") / col("n_tokens")

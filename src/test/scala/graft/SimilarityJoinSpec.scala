@@ -133,6 +133,28 @@ class SimilarityJoinSpec extends SparkSuite {
     assert(jac == 0, "Jaccard should exclude the asymmetric pair")
   }
 
+  test("low-tau containment salts with the prefix side as build (fanned)") {
+    import spark.implicits._
+    // Below tau = 3/4 the head-key candidate join goes through
+    // SaltedJoin. The FANNED (build) side must be the A-prefix rows
+    // (preHead) — per hot key strictly fewer rows than the full
+    // B-postings, since head elements sort LAST in the df-ascending
+    // prefix order; fanning the postings side instead would multiply
+    // the corpus-linear side 8x. The salt Generate node's child
+    // carries the prefix-side rank column __rka iff preHead is the
+    // side being fanned.
+    val sets = (0 until 20).map(i =>
+      (i.toLong, (0 until 10).map(j => ((i + j) % 15).toLong))).toDF("id", "ta")
+    val df = SimilarityJoin.exactContainmentPairs(sets, "id", "ta", 1, 2)
+    val saltGens = df.queryExecution.analyzed.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generatorOutput.exists(_.name == operators.SaltedJoin.SaltCol) => g
+    }
+    assert(saltGens.nonEmpty, "low-tau containment plan has no salted join")
+    assert(saltGens.forall(_.child.output.exists(_.name == "__rka")),
+      "salt fan-out applied to the postings side, not the bounded prefix side")
+  }
+
   test("randomized corpora: equality vs brute force holds across seeds and taus") {
     import spark.implicits._
     for (seed <- Seq(7, 42, 1234)) {
