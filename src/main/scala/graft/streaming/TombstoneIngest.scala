@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.MergeInto
+
+/** STREAMING TOMBSTONE INGESTION for the ANN serving index — the
+  * maintenance path of q163/q167 run as a stream instead of a batch
+  * job: delete events arrive continuously, and the serving index
+  * accumulates `is_deleted` flags under the same versioned-bucket
+  * MergeInto discipline as [[Incremental]]'s gold table (exactly-once
+  * under at-least-once replay because each epoch overwrites its own
+  * `v=` directory and merges from pre-epoch state only).
+  *
+  * Index contract: one row per `vec_id` carrying the serving payload
+  * (cell assignment + whatever the search kernel needs) and the
+  * `is_deleted` flag. A delete event is just a vec_id: the merge
+  * flips the flag and PRESERVES the payload (merge-on-read — the
+  * physical rewrite stays q167's compaction job). A delete for an id
+  * the index doesn't hold yet persists as an orphan tombstone (null
+  * payload, flag set): serving filters `NOT is_deleted`, so it can
+  * never serve, and a late-arriving insert of that id must merge
+  * against it — the standard lakehouse late-data stance.
+  *
+  * Scale shape: a delete batch's IO is proportional to the BUCKETS
+  * its vec_ids hash into (MergeInto reads/rewrites only touched
+  * `bucket=` directories), never the index size; dedup state for the
+  * event stream is watermark-bounded exactly like [[Incremental]]'s
+  * ingest; the only driver-side materialization is the bounded
+  * touched-bucket list.
+  */
+object TombstoneIngest {
+
+  /** Bucket fan-out of the versioned index layout (see
+    * [[Incremental.NumBuckets]] for the tuning rationale). */
+  val NumBuckets = 16
+
+  /** Duplicate-delivery horizon for delete-event dedup state. */
+  val DedupDelay = "24 hours"
+
+  private val FlagCol = "is_deleted"
+
+  /** Merge aggregates: every payload column keeps its (unique)
+    * non-null value; the flag is an OR across state + deletes. */
+  private def mergeAggs(payloadCols: Seq[String]) =
+    payloadCols.map(c => first(col(c), ignoreNulls = true).as(c)) :+
+      max(col(FlagCol)).as(FlagCol)
+
+  /** Seed the versioned layout from a base index at epoch 0. `base`
+    * must carry `vec_id` and the payload columns; rows start live. */
+  def seed(spark: SparkSession, indexDir: String, base: DataFrame): Unit = {
+    val cols = base.columns.filterNot(c => c == "vec_id" || c == FlagCol).toSeq
+    MergeInto.mergeBucketed(spark, indexDir,
+      updates = base.withColumn(FlagCol, lit(false)),
+      keys = Seq("vec_id"),
+      aggs = mergeAggs(cols),
+      epochId = 0L,
+      bucketOn = col("vec_id"),
+      numBuckets = NumBuckets)
+  }
+
+  /** Apply one delete batch (a `vec_id` column; extra columns are
+    * ignored) at `epochId`. IDEMPOTENT per (deletes, epochId): a
+    * replayed batch overwrites its own `v=` directory from pre-epoch
+    * state — and doubly so because the flag merge is an OR. */
+  def applyDeletes(spark: SparkSession, indexDir: String,
+      deletes: DataFrame, epochId: Long): Unit = {
+    val current = MergeInto.readBucketed(spark, indexDir).getOrElse(
+      sys.error(s"tombstone ingest against an unseeded index at $indexDir"))
+    val payloadCols = current.columns
+      .filterNot(c => c == "vec_id" || c == FlagCol || c == "bucket").toSeq
+    // delete rows carry typed null payloads so the union in
+    // mergeAggregate lines up schema-exactly with the index state
+    val shaped = payloadCols.foldLeft(
+        deletes.select(col("vec_id")).distinct()) { (df, c) =>
+      df.withColumn(c, lit(null).cast(current.schema(c).dataType))
+    }.withColumn(FlagCol, lit(true))
+    MergeInto.mergeBucketed(spark, indexDir,
+      updates = shaped,
+      keys = Seq("vec_id"),
+      aggs = mergeAggs(payloadCols),
+      epochId = epochId,
+      bucketOn = col("vec_id"),
+      numBuckets = NumBuckets)
+  }
+
+  /** One streaming pass over the delete-event backlog
+    * (`Trigger.AvailableNow`): watermark-bounded dedup on vec_id
+    * (duplicate deliveries within the horizon collapse before the
+    * merge — the [[Incremental.runOnce]] ingest discipline; the merge
+    * itself is an OR, so a duplicate past the horizon is still
+    * harmless), then one [[applyDeletes]] per micro-batch. Events
+    * need (vec_id, timestamp) with WRITE-time stamps — see
+    * [[Incremental.runOnce]] for the late-data contract. */
+  def runOnce(spark: SparkSession, deletesDir: String, indexDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(deletesDir).schema
+    val events = spark.readStream.schema(schema).parquet(deletesDir)
+      .withWatermark("timestamp", DedupDelay)
+      .dropDuplicatesWithinWatermark("vec_id")
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        if (!batch.isEmpty)
+          // epoch 0 seeds the layout, so stream epochs start at 1
+          applyDeletes(spark, indexDir, batch.toDF(), epochId + 1)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The live serving view (q163's serve source): newest complete
+    * version per bucket, tombstones filtered out. */
+  def serveLive(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    MergeInto.readBucketed(spark, indexDir)
+      .map(_.filter(!col(FlagCol)).drop("bucket"))
+
+  /** The q163 per-cell maintenance audit over the CURRENT index:
+    * live/dead counts, dead fraction, and the compact flag that hands
+    * cells to q167's physical rewrite. */
+  def cellAudit(spark: SparkSession, indexDir: String, threshold: Double)
+      : Option[DataFrame] =
+    MergeInto.readBucketed(spark, indexDir).map {
+      _.filter(col("cell").isNotNull)
+        .groupBy(col("cell"))
+        .agg(sum(when(col(FlagCol), 0L).otherwise(1L)).as("live_n"),
+          sum(when(col(FlagCol), 1L).otherwise(0L)).as("dead_n"))
+        .withColumn("dead_frac", graft.functions.Num.fround(
+          col("dead_n").cast("double") / (col("live_n") + col("dead_n")), 4))
+        .withColumn("compact", col("dead_frac") > threshold)
+    }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.TombstoneIngest
+
+/** Streaming tombstone ingestion (the q163/q167 maintenance path as a
+  * stream): stream-merged flags must equal the batch ground truth,
+  * payloads must survive the merge untouched, replays must be
+  * idempotent, and the streaming wrapper must survive a restart at a
+  * batch boundary (the [[StreamingSpec]] exactly-once stance applied
+  * to the index table).
+  */
+class TombstoneIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def baseIndex = (0L until 40L)
+    .map(i => (i, i % 4, 1.0 + i))
+    .toDF("vec_id", "cell", "nsq")
+
+  test("batched deletes: flags OR in, payloads survive, replay is idempotent") {
+    val dir = Files.createTempDirectory("graft_tomb").toString
+    TombstoneIngest.seed(spark, dir, baseIndex)
+    TombstoneIngest.applyDeletes(spark, dir, Seq(1L, 5L, 9L).toDF("vec_id"), epochId = 1)
+    TombstoneIngest.applyDeletes(spark, dir, Seq(5L, 13L).toDF("vec_id"), epochId = 2)
+
+    def state() = TombstoneIngest.serveLive(spark, dir).get
+    val deleted = Set(1L, 5L, 9L, 13L)
+    val live = state().select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live == (0L until 40L).toSet -- deleted)
+    // payloads intact on every surviving row
+    val badPayload = state()
+      .filter(col("nsq") =!= (col("vec_id") + 1.0) || col("cell") =!= col("vec_id") % 4)
+      .count()
+    assert(badPayload == 0, "merge altered serving payloads")
+
+    // replay epoch 2 (at-least-once retry): same state after
+    TombstoneIngest.applyDeletes(spark, dir, Seq(5L, 13L).toDF("vec_id"), epochId = 2)
+    val live2 = state().select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live2 == live, "replayed epoch changed the index")
+
+    // the audit sees the merged flags per cell (deletes 1,5,9,13 all
+    // land in cell 1 — 4 dead of 10)
+    val audit = TombstoneIngest.cellAudit(spark, dir, threshold = 0.25).get
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(audit(1L) == ((4L, true)), s"cell-1 audit wrong: ${audit(1L)}")
+    assert(audit(0L) == ((0L, false)))
+  }
+
+  test("orphan tombstone: a delete for an unknown id never serves") {
+    val dir = Files.createTempDirectory("graft_tomb_orphan").toString
+    TombstoneIngest.seed(spark, dir, baseIndex)
+    TombstoneIngest.applyDeletes(spark, dir, Seq(999L).toDF("vec_id"), epochId = 1)
+    val served = TombstoneIngest.serveLive(spark, dir).get
+    assert(served.filter(col("vec_id") === 999L).count() == 0)
+    assert(served.count() == 40)
+  }
+
+  test("streaming wrapper: two event files, restart between passes, equals batch truth") {
+    val root = Files.createTempDirectory("graft_tomb_stream")
+    val idxDir = root.resolve("idx").toString
+    val evDir = root.resolve("events").toString
+    val ckpt = root.resolve("ckpt").toString
+    TombstoneIngest.seed(spark, idxDir, baseIndex)
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    Seq((2L, t0), (6L, t0), (2L, t0)) // duplicate delivery of 2
+      .toDF("vec_id", "timestamp")
+      .write.mode("append").parquet(evDir)
+    TombstoneIngest.runOnce(spark, evDir, idxDir, ckpt).awaitTermination()
+
+    // restart: new backlog file, SAME checkpoint — the first file's
+    // offsets are committed, only the new events process
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+    Seq((10L, t1)).toDF("vec_id", "timestamp")
+      .write.mode("append").parquet(evDir)
+    TombstoneIngest.runOnce(spark, evDir, idxDir, ckpt).awaitTermination()
+
+    val live = TombstoneIngest.serveLive(spark, idxDir).get
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live == (0L until 40L).toSet -- Set(2L, 6L, 10L),
+      s"stream-merged index diverges from batch truth: $live")
+  }
+}
