@@ -73,6 +73,13 @@ object Tables {
     * curation warehouse materializes next to the corpus for exactly
     * this reason. `n_tokens` stays `size()`-native IntegerType so
     * consumers see the exact pre-staging schema and cast as they did.
+    *
+    * Staleness caveat (round-9 ADVICE): the stage memo keys on the
+    * DIRECTORY only — if a test rewrites the documents table into a
+    * reused dir within one JVM, this serves the lengths of the OLD
+    * table. That is Staged's documented per-JVM contract (cross-
+    * process runs always rebuild; a shutdown hook reclaims the disk);
+    * tests that regenerate fixtures must use a fresh dir.
     */
   def docLens(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, size, split}

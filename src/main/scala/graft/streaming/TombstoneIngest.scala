@@ -60,6 +60,40 @@ object TombstoneIngest {
       numBuckets = NumBuckets)
   }
 
+  /** Apply one insert batch (full payload rows, `vec_id` + the
+    * seeded payload columns) at `epochId` — the q162 delta path run
+    * through the same versioned merge as deletes. EXACTLY-ONCE on
+    * ids, not just idempotent per epoch: inserts are anti-joined
+    * against the PRE-EPOCH state (the same state a replayed batch
+    * merges onto), so a vec_id the index already holds — including a
+    * tombstoned one — is dropped, never double-inserted or silently
+    * revived. Append-only corpus + deletes is the modeled lifecycle;
+    * a revive is a new vec_id, the lakehouse surrogate-key stance. */
+  def applyInserts(spark: SparkSession, indexDir: String,
+      rows: DataFrame, epochId: Long): Unit = {
+    val shaped = rows.withColumn(FlagCol, lit(false))
+      .withColumn("bucket", pmod(hash(col("vec_id")), lit(NumBuckets)))
+    // bucket-pruned pre-epoch read: only the buckets this batch's ids
+    // hash into are consulted (bounded driver list, the MergeInto
+    // discipline)
+    val touched = shaped.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fresh = MergeInto.readVersions(spark, indexDir,
+        beforeEpoch = Some(epochId), buckets = Some(touched)) match {
+      case Some(prior) =>
+        shaped.join(prior.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      case None => shaped
+    }
+    val cols = rows.columns.filterNot(c => c == "vec_id" || c == FlagCol).toSeq
+    MergeInto.mergeBucketed(spark, indexDir,
+      updates = fresh.drop("bucket"),
+      keys = Seq("vec_id"),
+      aggs = mergeAggs(cols),
+      epochId = epochId,
+      bucketOn = col("vec_id"),
+      numBuckets = NumBuckets)
+  }
+
   /** Apply one delete batch (a `vec_id` column; extra columns are
     * ignored) at `epochId`. IDEMPOTENT per (deletes, epochId): a
     * replayed batch overwrites its own `v=` directory from pre-epoch

@@ -57,6 +57,34 @@ class TombstoneIngestSpec extends SparkSuite {
     assert(served.count() == 40)
   }
 
+  test("index lifecycle: inserts + deletes interleave, serve stays equal to batch truth") {
+    val dir = Files.createTempDirectory("graft_tomb_life").toString
+    TombstoneIngest.seed(spark, dir, baseIndex)
+    // epoch 1: delta inserts (the q162 path) — 10 new ids
+    val delta = (40L until 50L).map(i => (i, i % 4, 1.0 + i)).toDF("vec_id", "cell", "nsq")
+    TombstoneIngest.applyInserts(spark, dir, delta, epochId = 1)
+    // epoch 2: deletes touch both base and delta rows
+    TombstoneIngest.applyDeletes(spark, dir, Seq(3L, 42L).toDF("vec_id"), epochId = 2)
+    // epoch 3: a duplicate insert of existing ids (one live, one
+    // tombstoned) must be dropped — no double rows, no revive
+    val dup = Seq((42L, 2L, 99.0), (44L, 0L, 99.0)).toDF("vec_id", "cell", "nsq")
+    TombstoneIngest.applyInserts(spark, dir, dup, epochId = 3)
+
+    val served = TombstoneIngest.serveLive(spark, dir).get
+    val live = served.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live == (0L until 50L).toSet -- Set(3L, 42L),
+      s"lifecycle serve diverges: $live")
+    // no duplicate rows, payloads are the originals (44's nsq stays 45.0)
+    assert(served.count() == served.select("vec_id").distinct().count())
+    assert(served.filter(col("vec_id") === 44L).head().getDouble(2) == 45.0,
+      "duplicate insert overwrote an existing payload")
+    // replay the insert epoch (at-least-once retry): unchanged
+    TombstoneIngest.applyInserts(spark, dir, delta, epochId = 1)
+    val live2 = TombstoneIngest.serveLive(spark, dir).get
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live2 == live, "replayed insert epoch changed the index")
+  }
+
   test("streaming wrapper: two event files, restart between passes, equals batch truth") {
     val root = Files.createTempDirectory("graft_tomb_stream")
     val idxDir = root.resolve("idx").toString
