@@ -135,6 +135,47 @@ object ExactMedian {
     picked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact discrete per-group quantiles for SMALL-VALUE-DOMAIN
+    * columns — token lengths, rounded scores, count-of-count
+    * multiplicities: one count-of-counts aggregate + a cumulative
+    * window OVER THAT AGGREGATE per key, then the rank thresholds as
+    * conditional mins. One corpus pass (vs [[quantilesDisc]]'s
+    * three), and every window partition is bounded by the VALUE
+    * DOMAIN (|distinct values| per key), never by corpus rows — the
+    * q144 count-of-counts shape generalized. Use [[quantilesDisc]]
+    * when the value domain is unbounded (raw continuous doubles):
+    * there the count table IS corpus-sized and this shape degrades
+    * to the whole-group window it exists to avoid. Round-10
+    * measurements of the swap where the domain is bounded: q165
+    * 4.3→1.8 s, q139 2.6→1.6 s at sf0.1.
+    *
+    * Same rank convention as [[quantilesDisc]] (value at rank
+    * ceil(p·n) — `quantile_disc`), same NULL handling (null values
+    * ignored; an all-null key is absent). The value column keeps its
+    * ORIGINAL type (no double cast): the result is an exact data
+    * element, so cross-engine checks stay float-exact. */
+  def quantilesDiscSmallDomain(
+      df: DataFrame,
+      key: String,
+      value: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 })
+    require(ps.map(_._1).distinct.size == ps.size,
+      s"duplicate quantile output names: ${ps.map(_._1)}")
+    val rows = df.filter(col(value).isNotNull)
+    val cc = rows.groupBy(col(key), col(value)).agg(count(lit(1)).as("__em_k"))
+    val wCum = Window.partitionBy(col(key)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nq = rows.groupBy(col(key)).agg(count(lit(1)).as("__em_n"))
+    val cum = cc.withColumn("__em_cum", sum(col("__em_k")).over(wCum))
+      .join(broadcast(nq), Seq(key))
+    val aggs = ps.map { case (nm, p) =>
+      min(when(col("__em_cum") >= greatest(lit(1L),
+        ceil(col("__em_n") * lit(p)).cast("long")), col(value))).as(nm)
+    }
+    cum.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Shared rank-selection core: resolves every (tag, rank) target
     * produced by `targetsOf(stats)` to its value, returning
     * (key, __em_tag, __em_r, __em_v) — one row per target. */

@@ -1443,21 +1443,26 @@ object Curation {
     // NULL distribution: an unchanged corpus must score ≈ 0 and flag
     // nothing, which is itself the check (the q142 stance).
     //
-    // Scale shape: decile thresholds come from ExactMedian
-    // .quantilesDisc over the reference cohort (bounded three-pass
-    // rank selection, never a whole-group buffer) and broadcast back
-    // as NINE threshold comparisons — a narrow bucket map; per-
-    // (cohort, bucket) counts are a ≤20-row aggregate; an explicit
-    // 10-bucket spine keeps empty deciles visible (the q158 lesson);
-    // Laplace smoothing (c+0.5)/(n+5) keeps every ln finite.
-    // Determinism: thresholds are exact discrete quantiles, bucket
+    // Scale shape: decile thresholds come from a COUNT-OF-COUNTS
+    // cumulative walk over the reference cohort (the q144 trick —
+    // token lengths have a value domain bounded by max doc length,
+    // not corpus size, so the distinct-value count table is tiny and
+    // its single cumulative window partitions over ≤|domain| rows;
+    // ExactMedian's generic three-pass rank selection paid ~3 s of
+    // fixed multi-stage overhead here for the same exact ranks,
+    // round-10 measured) and broadcast back as NINE threshold
+    // comparisons — a narrow bucket map; per-(cohort, bucket) counts
+    // are a ≤20-row aggregate; an explicit 10-bucket spine keeps
+    // empty deciles visible (the q158 lesson); Laplace smoothing
+    // (c+0.5)/(n+5) keeps every ln finite. Determinism: thresholds
+    // are exact discrete quantiles (smallest value whose cumulative
+    // count reaches ceil(n·p) — the quantile_disc convention), bucket
     // membership is integer comparisons, ln's 1-ulp cross-libm noise
     // is absorbed by fround (the q87 argument).
     QueryDef(
       "q165_psi_drift",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val ps = (1 to 9).map(i => s"t$i" -> i / 10.0)
         // Narrow maps over the staged docLens table — no persist, no
         // JVM-lifetime cache pin (round-8 ADVICE).
         val d = Tables.docLens(s, dir)
@@ -1465,8 +1470,8 @@ object Curation {
           .withColumn("cohort",
             when(col("doc_id") % 2 === 0, "ref").otherwise("cur"))
         val ref = d.filter(col("cohort") === "ref").withColumn("g", lit(0))
-        val th = graft.operators.ExactMedian.quantilesDisc(
-          ref, "g", "v", ps).drop("g")
+        val th = graft.operators.ExactMedian.quantilesDiscSmallDomain(
+          ref, "g", "v", (1 to 9).map(i => s"t$i" -> i / 10.0)).drop("g")
         val bucket = (1 to 9).map(i =>
           when(col("v") > col(s"t$i"), 1L).otherwise(0L)).reduce(_ + _)
         val counts = d.crossJoin(broadcast(th))

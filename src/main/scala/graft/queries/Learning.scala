@@ -504,17 +504,24 @@ object Learning {
     // hardest language (exactly why CCNet buckets per language).
     //
     // Scale shape: the scored corpus is the STAGED q135 artifact (one
-    // read); thresholds come from ExactMedian.quantilesDisc — the
-    // bounded three-pass rank selection, never a whole-group
-    // percentile buffer — and join back as a |languages|-row
-    // broadcast. The verdict pass is a narrow map.
+    // read); thresholds come from a per-language COUNT-OF-COUNTS
+    // cumulative walk (the q144/q165 trick — avg_nll is 4dp-rounded,
+    // so the distinct-value table is bounded by |langs| × the value
+    // grid at ANY corpus size, and the cumulative window partitions
+    // per language over that aggregate; the generic ExactMedian pass
+    // paid ~2 s of fixed multi-stage overhead here for the same exact
+    // ranks, round-10 measured) joining back as a |languages|-row
+    // broadcast. The verdict pass is a narrow map. Rank convention
+    // unchanged: smallest value whose cumulative count reaches
+    // ceil(n·p) — quantile_disc, float-exact cross-engine.
     QueryDef(
       "q139_perplexity_buckets",
       (s, dir) => {
         val scored = bigramNllStaged(s, dir)
           .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-        val thr = graft.operators.ExactMedian.quantilesDisc(
-          scored, "lang", "avg_nll", Seq("p33" -> 1.0 / 3, "p67" -> 2.0 / 3))
+        val thr = graft.operators.ExactMedian.quantilesDiscSmallDomain(
+          scored.select(col("lang"), col("avg_nll")), "lang", "avg_nll",
+          Seq("p33" -> 1.0 / 3, "p67" -> 2.0 / 3))
         val bucket = when(col("avg_nll") <= col("p33"), "head")
           .when(col("avg_nll") <= col("p67"), "middle")
           .otherwise("tail")

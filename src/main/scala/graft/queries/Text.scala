@@ -1169,9 +1169,13 @@ object Text {
       "q107_corpus_length_profile",
       (s, dir) => {
         val toks = Tables.docLens(s, dir).select(col("lang"), col("n_tokens"))
-        val med = graft.operators.ExactMedian.quantilesDisc(
+        // token counts are value-domain-bounded → the one-pass
+        // count-of-counts quantile form (see quantilesDiscSmallDomain)
+        val med = graft.operators.ExactMedian.quantilesDiscSmallDomain(
           toks, "lang", "n_tokens",
           Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99))
+          .select(col("lang") +:
+            Seq("p25", "p50", "p75", "p99").map(c => col(c).cast("double").as(c)): _*)
         toks.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
           .join(broadcast(med), Seq("lang"))
           .orderBy(col("lang"))
@@ -1200,8 +1204,10 @@ object Text {
         // was the eviction-prone variant of the same idea).
         val toks = Tables.docLens(s, dir)
           .select(col("doc_id"), col("lang"), col("n_tokens"))
-        val bands = graft.operators.ExactMedian.quantilesDisc(
-          toks, "lang", "n_tokens", Seq("p05" -> 0.05, "p95" -> 0.95))
+        // domain-bounded token counts → one-pass count-of-counts form
+        val bands = graft.operators.ExactMedian.quantilesDiscSmallDomain(
+          toks.select(col("lang"), col("n_tokens")), "lang", "n_tokens",
+          Seq("p05" -> 0.05, "p95" -> 0.95))
         toks.join(broadcast(bands), Seq("lang"))
           .filter(col("n_tokens") >= col("p05") && col("n_tokens") <= col("p95"))
           .select(col("doc_id"), col("lang"), col("n_tokens"),

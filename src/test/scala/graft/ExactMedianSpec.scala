@@ -104,6 +104,44 @@ class ExactMedianSpec extends SparkSuite {
     }
   }
 
+  test("quantilesDiscSmallDomain equals quantilesDisc and brute force on tie-heavy data") {
+    val ps = Seq("p05" -> 0.05, "p33" -> 1.0 / 3, "p50" -> 0.50,
+      "p95" -> 0.95, "p100" -> 1.0)
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      // small value domain (the operator's contract): integer token
+      // counts 0..40, heavy ties, uneven key sizes incl. a singleton
+      val rows = (0 until 400 + rnd.nextInt(600)).map { _ =>
+        (s"k${rnd.nextInt(4)}", rnd.nextInt(41).toDouble)
+      } :+ ("solo", 7.0)
+      val df = rows.toDF("key", "v")
+      val fast = ExactMedian.quantilesDiscSmallDomain(df, "key", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      val slow = ExactMedian.quantilesDisc(df, "key", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      assert(fast == slow, s"seed $seed: small-domain path diverges from quantilesDisc")
+      val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      byKey.foreach { case (k, sorted) =>
+        val expect = ps.map { case (_, p) =>
+          sorted(math.max(1, math.ceil(p * sorted.length).toInt) - 1)
+        }
+        assert(fast(k) == expect, s"key $k: ${fast(k)} vs $expect")
+      }
+    }
+  }
+
+  test("quantilesDiscSmallDomain: NULL values ignored, all-NULL key absent, original type kept") {
+    val df = Seq(("a", java.lang.Long.valueOf(3L)), ("a", java.lang.Long.valueOf(9L)),
+      ("a", null.asInstanceOf[java.lang.Long]), ("n", null.asInstanceOf[java.lang.Long]))
+      .toDF("key", "v")
+    val out = ExactMedian.quantilesDiscSmallDomain(df, "key", "v", Seq("p50" -> 0.5))
+    assert(out.schema("p50").dataType == org.apache.spark.sql.types.LongType)
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 3L))
+  }
+
   test("quantilesDisc: singleton and all-equal groups return the value at every p") {
     val df = Seq(("one", 5.0), ("const", 2.0), ("const", 2.0), ("const", 2.0))
       .toDF("key", "v")
