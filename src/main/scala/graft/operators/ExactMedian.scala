@@ -135,6 +135,46 @@ object ExactMedian {
     picked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[perGroup]]'s interpolated median AND [[quantilesDisc]]'s
+    * discrete quantiles resolved through ONE shared rank-selection
+    * build — for consumers that need both families over the same
+    * (key, value): every rank target (the two middle ranks plus each
+    * ceil(p·n)) rides the same three bounded passes, so the combined
+    * call costs the same as either alone. One output row per key:
+    * (key, `medianName`, then one column per p). */
+  def medianAndQuantiles(
+      df: DataFrame,
+      key: String,
+      value: String,
+      ps: Seq[(String, Double)],
+      medianName: String = "median",
+      buckets: Int = 8192): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 })
+    require((ps.map(_._1) :+ medianName).distinct.size == ps.size + 1,
+      s"duplicate output names: ${ps.map(_._1)} + $medianName")
+    val picked = selectAtRanks(df, key, value, buckets, persistProjection = false, stats => {
+      val med = stats.select(
+        col(key),
+        lit("__m").as("__em_tag"),
+        explode(array_distinct(array(
+          floor((col("__em_n") + lit(1)) / lit(2)).cast("long"),
+          floor((col("__em_n") + lit(2)) / lit(2)).cast("long")))).as("__em_r"))
+      val prs = ps.map { case (nm, p) =>
+        struct(lit(nm).as("t"),
+          greatest(lit(1L), ceil(col("__em_n") * lit(p)).cast("long")).as("r"))
+      }
+      val qs = stats.select(col(key), explode(array(prs: _*)).as("__em_pr"))
+        .select(col(key), col("__em_pr.t").as("__em_tag"),
+          col("__em_pr.r").as("__em_r"))
+      med.unionByName(qs)
+    })
+    val aggs = avg(when(col("__em_tag") === "__m", col("__em_v"))).as(medianName) +:
+      ps.map { case (nm, _) =>
+        max(when(col("__em_tag") === nm, col("__em_v"))).as(nm)
+      }
+    picked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact discrete per-group quantiles for SMALL-VALUE-DOMAIN
     * columns — token lengths, rounded scores, count-of-count
     * multiplicities: one count-of-counts aggregate + a cumulative

@@ -104,6 +104,30 @@ class ExactMedianSpec extends SparkSuite {
     }
   }
 
+  test("medianAndQuantiles equals perGroup + quantilesDisc through one shared build") {
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.50, "p99" -> 0.99)
+    for (seed <- Seq(9, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // odd AND even group sizes so the two-middle-rank interpolation
+      // is exercised, plus ties
+      val rows = (0 until 301).map(_ => ("odd", rnd.nextDouble() * 50)) ++
+        (0 until 200).map(_ => ("even", rnd.nextInt(25).toDouble))
+      val df = rows.toDF("key", "v")
+      val got = ExactMedian.medianAndQuantiles(df, "key", "v", ps, medianName = "med")
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), ps.indices.map(i => r.getDouble(i + 2)))).toMap
+      val med = ExactMedian.perGroup(df, "key", "v", "med")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val qd = ExactMedian.quantilesDisc(df, "key", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      med.keySet.foreach { k =>
+        assert(got(k)._1 == med(k), s"seed $seed key $k: median diverges")
+        assert(got(k)._2 == qd(k), s"seed $seed key $k: quantiles diverge")
+      }
+    }
+  }
+
   test("quantilesDiscSmallDomain equals quantilesDisc and brute force on tie-heavy data") {
     val ps = Seq("p05" -> 0.05, "p33" -> 1.0 / 3, "p50" -> 0.50,
       "p95" -> 0.95, "p100" -> 1.0)
