@@ -29,6 +29,23 @@ object Extensions {
         medianName = "median_raw")
     }
 
+  /** q113's exact ground truth, STAGED as its own artifact: the
+    * positive-price contract keeps it out of [[priceStats]] (that
+    * table's stats must not assume the corpus has no nonpositive
+    * prices), but the exact side is still per-snapshot column
+    * statistics — (returnflag, n, p50/p95/p99 over prices > 0)
+    * materialized once; only the SKETCH path (the thing q113 is
+    * actually exercising) runs at query time against it. */
+  private def posPriceStats(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Staged.parquet(s, s"pospricestats|$dir") {
+      val li = Tables.lineitem(s, dir).filter(col("l_extendedprice") > 0)
+      val exact = graft.operators.ExactMedian.quantilesDisc(
+        li, "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+      li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .join(exact, Seq("l_returnflag"))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ROLLUP grouping sets (the reference has none — SURVEY §2.4);
@@ -679,18 +696,16 @@ object Extensions {
     QueryDef(
       "q113_quantile_sketch",
       (s, dir) => {
-        import graft.operators.{ExactMedian, LogQuantile}
+        import graft.operators.LogQuantile
         val li = Tables.lineitem(s, dir).filter(col("l_extendedprice") > 0)
         val ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
         val sk = LogQuantile.sketch(li, Seq("l_returnflag"), col("l_extendedprice"))
         val est = LogQuantile.quantiles(sk, Seq("l_returnflag"),
           ps.map { case (nm, p) => s"e$nm" -> p })
-        val exact = ExactMedian.quantilesDisc(li, "l_returnflag", "l_extendedprice", ps)
-        val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
         def ok(p: String) =
           (abs(col(s"ep$p") - col(s"p$p")) / col(s"p$p") <= lit(LogQuantile.Alpha * 1.001))
             .cast("int").as(s"ok$p")
-        n.join(broadcast(exact), Seq("l_returnflag"))
+        broadcast(posPriceStats(s, dir))
           .join(broadcast(est), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("n"),
             col("p50"), col("p95"), col("p99"),
