@@ -377,7 +377,10 @@ class PlanSpec extends SparkSuite {
     // Spark's `median`/`percentile` buffers every group value in the
     // aggregation buffer — the unbounded shape ExactMedian replaces.
     // `percentile_approx(` must NOT trip the check (bounded sketch),
-    // so match the exact aggregates only.
+    // so match the exact aggregates only. Since the round-10 staging
+    // the QUERY plans read the stored price-stats artifact — the
+    // bounded-build claim itself is asserted on the BUILD plan below
+    // (the q39/q53/q54 convention).
     for (q <- Seq("q56_exact_stats", "q45_sketches")) {
       val plan = finalPlan(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.contains("median(") && !plan.contains("percentile("),
@@ -388,6 +391,27 @@ class PlanSpec extends SparkSuite {
         assert(!plan.contains("SortMergeJoin"), s"fact must not shuffle for the join:\n$plan")
       }
     }
+  }
+
+  test("price-stats BUILD (q45/q56/q106/q113 staged artifacts): ExactMedian passes stay bounded") {
+    // The staged reads hide the build from the query plans; this is
+    // the build both artifacts run (medianAndQuantiles is what
+    // `pricestats|dir` stages; `pospricestats|dir` runs the same
+    // selection via quantilesDisc over the positive-price slice).
+    val buildPlan = finalPlan(graft.operators.ExactMedian.medianAndQuantiles(
+      Tables.lineitem(spark, sfDir), "l_returnflag", "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99),
+      medianName = "median_raw"))
+    // no whole-group percentile buffer anywhere in the build
+    assert(!buildPlan.contains("median(") && !buildPlan.contains("percentile("),
+      s"build must not plan an exact percentile buffer:\n$buildPlan")
+    // histogram passes collapse map-side before any exchange
+    assert(buildPlan.contains("HashAggregate") && buildPlan.contains("partial"),
+      s"expected partial hash aggregation in the build:\n$buildPlan")
+    // per-key stats/targets/selection join back broadcast — the fact
+    // (lineitem) is never shuffled for a join
+    assert(!buildPlan.contains("SortMergeJoin") && !buildPlan.contains("ShuffledHashJoin"),
+      s"fact must not shuffle for the rank-selection joins:\n$buildPlan")
   }
 
   test("q78 sequence windows: pure per-row flatMap — only exchange is the output sort") {
