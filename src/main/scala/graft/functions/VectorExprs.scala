@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Dot product of two `array<float>` columns in double, as a native
   * codegen expression — the hot kernel of every similarity query
@@ -96,6 +96,83 @@ case class SqDistF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqDistF =
     copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance between two `array<int>` columns as a LONG, as
+  * a native codegen expression — the int8-codes candidate kernel of
+  * the SQ serving stack (q72 brute scan, q103 cell scan), where the
+  * higher-order form `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),
+  * 0, +)` runs an interpreted boxed lambda per element over every
+  * candidate row. Accumulation is exact integer arithmetic (codes are
+  * 0..255, so a 64-dim sum tops out at ~4.2M — far inside long), so
+  * the result is value-identical to the HOF fold and the DuckDB
+  * mirrors are unchanged; null on length mismatch or null element,
+  * matching zip_with/aggregate. */
+case class SqDistI(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sqdist_i"
+
+  // Null even for non-null inputs (length mismatch, null element) —
+  // same hazard as DotProductF: without the override a folded null
+  // would read back as 0 from a non-nullable slot.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<INT> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqDistI.sqDistOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("sqdi")
+      s"""
+         |java.lang.Long $r = graft.functions.SqDistI.sqDistOrNull($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistI =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistI {
+
+  /** The kernel (also called from generated code). */
+  def sqDistOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = (a.getInt(i) - b.getInt(i)).toLong
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  private val FN = "sqdist_i"
+
+  /** Idempotently register `sqdist_i(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FN)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FN, exprs => SqDistI(exprs.head, exprs(1)), "built-in")
+
+  /** Column form (requires [[register]] on the session first). */
+  def distCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(FN, a, b)
 }
 
 object SqDistF {

@@ -474,6 +474,7 @@ object Vectors {
       "q72_ann_quantized",
       (s, dir) => {
         graft.functions.DotProductF.register(s)
+        graft.functions.SqDistI.register(s)
         // Codes + payload read from the staged SQ index; nsq is the
         // same codegen'd normSqF kernel corpus() computes.
         val qz = quantizedIdx(s, dir)
@@ -485,9 +486,11 @@ object Vectors {
         val cands = qz.select(col("vec_id"), col("codes"))
           .crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("adist", expr(
-            """aggregate(zip_with(codes, p_codes, (a, b) -> (a - b) * (a - b)),
-                 0, (acc, v) -> acc + v)""").cast("long"))
+          // codegen'd exact integer kernel — value-identical to the
+          // HOF fold (codes are 0..255; see SqDistI), DuckDB mirror
+          // unchanged
+          .withColumn("adist",
+            graft.functions.SqDistI.distCol(col("codes"), col("p_codes")))
         val w10 = Window.partitionBy(col("probe_id"))
           .orderBy(col("adist"), col("vec_id"))
         val w3 = Window.partitionBy(col("probe_id"))
@@ -624,6 +627,7 @@ object Vectors {
       "q103_ann_ivf_sq",
       (s, dir) => {
         graft.functions.DotProductF.register(s)
+        graft.functions.SqDistI.register(s)
         val NPROBE = 2
         val cents = ivfCents(s, dir)
         // The serving INDEX: one row per vector with its IVF cell,
@@ -667,9 +671,11 @@ object Vectors {
         val cands = cellIndex.select(col("vec_id"), col("cell"), col("codes"))
           .join(broadcast(probeCells), Seq("cell"))
           .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("adist", expr(
-            """aggregate(zip_with(codes, p_codes, (a, b) -> (a - b) * (a - b)),
-                 0, (acc, v) -> acc + v)""").cast("long"))
+          // codegen'd exact integer kernel — value-identical to the
+          // HOF fold (codes are 0..255; see SqDistI), DuckDB mirror
+          // unchanged
+          .withColumn("adist",
+            graft.functions.SqDistI.distCol(col("codes"), col("p_codes")))
         val w10 = Window.partitionBy(col("probe_id"))
           .orderBy(col("adist"), col("vec_id"))
         val w3 = Window.partitionBy(col("probe_id"))

@@ -241,6 +241,39 @@ class ExtensionOpsSpec extends SparkSuite {
       spark.sql("SELECT sqdist_f(array(1, 2), array(1, 2))").collect()
     }
   }
+
+  test("SqDistI == higher-order aggregate/zip_with int fold, value-identical") {
+    import graft.functions.SqDistI
+    SqDistI.register(spark)
+    // int8-code-shaped vectors (0..255) — the q72/q103 candidate
+    // kernel; integer arithmetic, so fused ≡ HOF exactly, including
+    // the all-255-vs-all-0 extreme (64 · 255² — inside int, and the
+    // fused long accumulator must match the HOF's int fold there).
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(j => (i * 31 + j * 17) % 256),
+        Array.tabulate(64)(j => (i * 13 + j * 29) % 256))
+    } :+ (50L, Array.fill(64)(255), Array.fill(64)(0))
+    val df = spark.createDataFrame(rows).toDF("id", "a", "b")
+    val hof = org.apache.spark.sql.functions.expr(
+      """aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+           0, (acc, v) -> acc + v)""").cast("long")
+    val both = df.select(col("id"),
+      SqDistI.distCol(col("a"), col("b")).as("fused"), hof.as("hof")).collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}: fused != hof")
+    }
+    // null semantics: length mismatch / null element / null array
+    val edge = spark.sql(
+      "SELECT sqdist_i(array(1), array(1, 2)) AS a, " +
+        "sqdist_i(array(CAST(NULL AS INT)), array(1)) AS b, " +
+        "sqdist_i(CAST(NULL AS ARRAY<INT>), array(1)) AS c").collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    // non-int-array input is an analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sqdist_i(array(1.0D), array(1.0D))").collect()
+    }
+  }
 }
 
 case class EvRow(ts_us: Long, user_id: Long, event_type: String, value: Double)
