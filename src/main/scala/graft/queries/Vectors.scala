@@ -1882,37 +1882,68 @@ object Vectors {
   // teaching brute-force baseline (q37's shape; at 100 TB this runs
   // over a fixed eval sample, while the serving path stays IVF).
   // Determinism: 6dp-rounded cosine, vec_id ties, mirrored folds.
+  // lazy: the eager query-registry val above forces MatryoshkaDef
+  // during <clinit>, before later-declared plain vals are assigned
+  private lazy val MatryoshkaDims = Seq(8, 16, 32, 64)
+  private lazy val MatryoshkaK = 10
+
+  /** q158's staged per-(probe, dim) top-K cut — public so PlanSpec can
+    * assert on the BUILD plan the staged read hides (the
+    * q39/lsh32Build convention).
+    *
+    * The four prefix NORMS are per-vector, not per-pair — hoisted to
+    * one fold per (row, d) in a projection BELOW the pair join (they
+    * were recomputed per probe: 8 redundant folds per pair at
+    * N_PROBES=8; at 100 TB the pair scan is the whole cost). The fold
+    * itself is unchanged — the identical aggregate over the identical
+    * slice — so every norm VALUE is bit-identical and the oracle
+    * (which inlines the norms per pair) still hash-matches. Only the
+    * per-pair DOTS remain in the pair scan; they cannot hoist
+    * (pair-dependent) and must stay whole left-to-right folds —
+    * summing per-segment subtotals would change double rounding. */
+  def matryoshkaCutBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val Dims = MatryoshkaDims
+    val K = MatryoshkaK
+    val nrms = array(Dims.map { d =>
+      expr(s"aggregate(slice(e, 1, $d), 0D, (acc, x) -> acc + x * x)")
+    }: _*)
+    val base = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrms", nrms)
+    val probes = base.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("e").as("p_e"),
+        col("nrms").as("p_nrms"))
+    val pairs = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val simStructs = array(Dims.zipWithIndex.map { case (d, i) =>
+      val dot = expr(s"aggregate(zip_with(slice(e, 1, $d), slice(p_e, 1, $d)," +
+        " (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      val ne = element_at(col("nrms"), i + 1)
+      val np = element_at(col("p_nrms"), i + 1)
+      struct(lit(d.toLong).as("dim"),
+        Num.fround(dot / (sqrt(ne) * sqrt(np)), 6).as("sim"))
+    }: _*)
+    val melted = pairs
+      .select(col("probe_id"), col("vec_id"), explode(simStructs).as("ds"))
+      .select(col("probe_id"), col("vec_id"),
+        col("ds.dim").as("dim"), col("ds.sim").as("sim"))
+    val w = Window.partitionBy(col("probe_id"), col("dim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    melted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
   private lazy val MatryoshkaDef: QueryDef = {
-    val Dims = Seq(8, 16, 32, 64)
-    val K = 10
+    val Dims = MatryoshkaDims
+    val K = MatryoshkaK
     QueryDef(
       "q158_matryoshka_recall",
       (s, dir) => {
-        val base = Tables.embeddings(s, dir).select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-        val probes = base.filter(col("vec_id") < N_PROBES)
-          .select(col("vec_id").as("probe_id"), col("e").as("p_e"))
-        val pairs = base.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("probe_id"))
-        val simStructs = array(Dims.map { d =>
-          val dot = expr(s"aggregate(zip_with(slice(e, 1, $d), slice(p_e, 1, $d)," +
-            " (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-          val ne = expr(s"aggregate(slice(e, 1, $d), 0D, (acc, x) -> acc + x * x)")
-          val np = expr(s"aggregate(slice(p_e, 1, $d), 0D, (acc, x) -> acc + x * x)")
-          struct(lit(d.toLong).as("dim"),
-            Num.fround(dot / (sqrt(ne) * sqrt(np)), 6).as("sim"))
-        }: _*)
-        val melted = pairs
-          .select(col("probe_id"), col("vec_id"), explode(simStructs).as("ds"))
-          .select(col("probe_id"), col("vec_id"),
-            col("ds.dim").as("dim"), col("ds.sim").as("sim"))
-        val w = Window.partitionBy(col("probe_id"), col("dim"))
-          .orderBy(col("sim").desc, col("vec_id"))
         // The per-dim top-K cut feeds two branches (full-dim truth +
         // hits) — staged, not persisted (no JVM-lifetime heap pin).
         val cut = graft.operators.Staged.parquet(s, s"q158cut|$dir") {
-          melted.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= K)
+          matryoshkaCutBuild(s, dir)
         }
         val full = cut.filter(col("dim") === 64)
           .select(col("probe_id"), col("vec_id"))

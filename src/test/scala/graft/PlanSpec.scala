@@ -500,4 +500,32 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"the corpus must not shuffle for a pruned top-k:\n$plan")
   }
+
+  test("q158 matryoshka build: prefix norms fold once per row BELOW the pair join") {
+    // The cut build's pair scan is quadratic (corpus x probes); the
+    // four prefix-norm folds must be computed in the join INPUTS (one
+    // fold per row), not re-derived per pair above the join. Assert on
+    // the optimized logical plan: both join children already output
+    // the hoisted norm arrays.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val build = graft.queries.Vectors.matryoshkaCutBuild(spark, sfDir)
+    val joins = build.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the pair cross join in the build plan")
+    val j = joins.head
+    assert(j.left.output.exists(_.name == "nrms") ||
+           j.right.output.exists(_.name == "nrms"),
+      s"corpus-side norms must be computed below the join:\n${build.queryExecution.optimizedPlan}")
+    assert(j.left.output.exists(_.name == "p_nrms") ||
+           j.right.output.exists(_.name == "p_nrms"),
+      s"probe-side norms must be computed below the join:\n${build.queryExecution.optimizedPlan}")
+    // And the folds must be GONE from every projection above the join:
+    // nothing between the join and the window should re-aggregate.
+    val above = build.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+        if p.collect { case jj: Join => jj }.nonEmpty &&
+           p.projectList.exists(_.toString.contains("x * x")) => p
+    }
+    assert(above.isEmpty,
+      s"norm folds re-derived above the join:\n${build.queryExecution.optimizedPlan}")
+  }
 }
