@@ -189,6 +189,16 @@ object Explain {
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## q85_kmeans_assign (hierarchical stage build)\n\n```\n$plan```\n")
     }
+    // Same for q158: the staged cut read hides the quadratic pair
+    // scan; the build plan must show the prefix-norm folds in a
+    // projection BELOW the broadcast pair join — one fold per row,
+    // not per pair (PlanSpec asserts it on the optimized plan).
+    locally {
+      val build = graft.queries.Vectors.matryoshkaCutBuild(spark, sfDir)
+      val plan = build.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## q158_matryoshka_recall (cut stage build)\n\n```\n$plan```\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()
