@@ -37,7 +37,19 @@ import org.apache.spark.sql.functions._
 object SimilarityJoin {
   def exactJaccardPairs(
       sets: DataFrame, idCol: String, setCol: String,
-      tNum: Int, tDen: Int, headK: Int = 64): DataFrame = {
+      tNum: Int, tDen: Int, headK: Int = 64): DataFrame =
+    exactJaccardPairsTracked(sets, idCol, setCol, tNum, tDen, headK)._1
+
+  /** [[exactJaccardPairs]] plus a cleanup handle that unpersists the
+    * operator's three build caches (token arrays, element df, prefix).
+    * The caches exist to serve the multi-consumer build plan; once the
+    * consuming action has run (the staged parquet write in q122), they
+    * are dead weight pinned for the JVM lifetime — call the handle
+    * right after. Safe to call even if the result was never
+    * materialized (unpersist on a never-persisted plan is a no-op). */
+  def exactJaccardPairsTracked(
+      sets: DataFrame, idCol: String, setCol: String,
+      tNum: Int, tDen: Int, headK: Int = 64): (DataFrame, () => Unit) = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad tau $tNum/$tDen")
     val arrays = sets.select(col(idCol).as("__id"), col(setCol).as("__ta")).persist()
     val toks = arrays.select(col("__id"), explode(col("__ta")).as("__w"))
@@ -66,7 +78,7 @@ object SimilarityJoin {
       .select(col("a.__id").as("da"), col("b.__id").as("db"),
         col("a.__sz").as("sa"), col("b.__sz").as("sb"))
       .distinct()
-    cand
+    val out = cand
       .join(arrays.select(col("__id").as("da"), col("__ta").as("__arr_a")), Seq("da"))
       .join(arrays.select(col("__id").as("db"), col("__ta").as("__arr_b")), Seq("db"))
       .withColumn("inter",
@@ -74,6 +86,7 @@ object SimilarityJoin {
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
       .filter(lit(both) * col("inter") >= lit(tNum) * (col("sa") + col("sb")))
       .select(col("da"), col("db"), col("inter"), col("uni"))
+    (out, () => { arrays.unpersist(); dfT.unpersist(); pre.unpersist(); () })
   }
 
   /** Exact DIRECTED containment self-join: all ordered pairs (a, b),
@@ -112,7 +125,14 @@ object SimilarityJoin {
     */
   def exactContainmentPairs(
       sets: DataFrame, idCol: String, setCol: String,
-      tNum: Int, tDen: Int, headK: Int = 64): DataFrame = {
+      tNum: Int, tDen: Int, headK: Int = 64): DataFrame =
+    exactContainmentPairsTracked(sets, idCol, setCol, tNum, tDen, headK)._1
+
+  /** [[exactContainmentPairs]] plus the cache-cleanup handle — same
+    * contract as [[exactJaccardPairsTracked]]. */
+  def exactContainmentPairsTracked(
+      sets: DataFrame, idCol: String, setCol: String,
+      tNum: Int, tDen: Int, headK: Int = 64): (DataFrame, () => Unit) = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad tau $tNum/$tDen")
     val arrays = sets.select(col(idCol).as("__id"), col(setCol).as("__ta")).persist()
     val toks = arrays.select(col("__id"), explode(col("__ta")).as("__w"))
@@ -159,12 +179,13 @@ object SimilarityJoin {
       .select(col("__ida").as("da"), col("__idb").as("db"),
         col("__sa").as("sa"), col("__sb").as("sb"))
       .distinct()
-    cand
+    val out = cand
       .join(arrays.select(col("__id").as("da"), col("__ta").as("__arr_a")), Seq("da"))
       .join(arrays.select(col("__id").as("db"), col("__ta").as("__arr_b")), Seq("db"))
       .withColumn("inter",
         size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
       .filter(lit(tDen) * col("inter") >= lit(tNum) * col("sa"))
       .select(col("da"), col("db"), col("inter"), col("sa"), col("sb"))
+    (out, () => { arrays.unpersist(); dfT.unpersist(); sized.unpersist(); () })
   }
 }

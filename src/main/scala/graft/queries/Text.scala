@@ -250,18 +250,25 @@ object Text {
     * Consumers: q122 (the pair listing), q124 (recall truth set). */
   private def exactPairsStaged(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.operators.Staged.parquet(s, s"q122pairs|$dir") {
-      val arrays = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-          .as("ta"))
-      graft.operators.SimilarityJoin
-        .exactJaccardPairs(arrays, "doc_id", "ta", tNum = 3, tDen = 5)
-        .select(col("da"), col("db"), col("inter"), col("uni"),
-          Num.fround(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
-    }
+  {
+    // Plan construction is lazy — built outside the staged thunk so
+    // the operator's cache-cleanup handle exists whether or not the
+    // stage build runs; cleanup after Staged returns unpersists the
+    // operator's build caches the moment the write (the one consuming
+    // action) is done, instead of pinning them for the JVM lifetime.
+    val arrays = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+        .as("ta"))
+    val (pairs, done) = graft.operators.SimilarityJoin
+      .exactJaccardPairsTracked(arrays, "doc_id", "ta", tNum = 3, tDen = 5)
+    try graft.operators.Staged.parquet(s, s"q122pairs|$dir") {
+      pairs.select(col("da"), col("db"), col("inter"), col("uni"),
+        Num.fround(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+    } finally done()
+  }
 
   private def minhashPairsSqlCtes(threshold: Double): String = {
     val sigs = (0 until 8).map(i => s"${TextFns.minhashSql("shingles", i)} AS mh_$i")
@@ -1644,19 +1651,24 @@ object Text {
     // brute-force differential on engineered + randomized corpora.
     QueryDef(
       "q143_containment_join",
-      (s, dir) =>
-        graft.operators.Staged.parquet(s, s"q143contain|$dir") {
-          val arrays = Tables.documents(s, dir)
-            .select(col("doc_id"), split(col("text"), " ").as("toks"))
-            .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
-            .select(col("doc_id"), array_distinct(expr(
-              "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-              .as("ta"))
-          graft.operators.SimilarityJoin
-            .exactContainmentPairs(arrays, "doc_id", "ta", tNum = 4, tDen = 5)
-            .select(col("da"), col("db"), col("inter"), col("sa"), col("sb"),
-              Num.fround(col("inter").cast("double") / col("sa"), 4).as("containment"))
-        }.orderBy(col("da"), col("db")),
+      (s, dir) => {
+        // Lazy plan outside the thunk + cleanup after the staged write
+        // — the q122 pattern (unpersist the operator's build caches as
+        // soon as their one consuming action has run).
+        val arrays = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), TextFns.shingleExpr("toks", 3).as("sh"))
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+            .as("ta"))
+        val (contain, done) = graft.operators.SimilarityJoin
+          .exactContainmentPairsTracked(arrays, "doc_id", "ta", tNum = 4, tDen = 5)
+        val staged = try graft.operators.Staged.parquet(s, s"q143contain|$dir") {
+          contain.select(col("da"), col("db"), col("inter"), col("sa"), col("sb"),
+            Num.fround(col("inter").cast("double") / col("sa"), 4).as("containment"))
+        } finally done()
+        staged.orderBy(col("da"), col("db"))
+      },
       Some(s"""WITH arr AS (
                 SELECT doc_id,
                   list_distinct(list_transform(

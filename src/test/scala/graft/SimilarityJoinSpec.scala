@@ -182,4 +182,30 @@ class SimilarityJoinSpec extends SparkSuite {
       }
     }
   }
+
+  test("tracked variants: build caches persist during the action and drop on cleanup") {
+    import spark.implicits._
+    val sets = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L)),
+      (2L, Seq(1L, 2L, 3L, 4L, 6L)),
+      (3L, Seq(7L, 8L, 9L))).toDF("id", "ta")
+    // Baseline persistent-RDD count: other suites share nothing here,
+    // but the suite's own earlier tests may have leaked via the
+    // untracked overloads — measure the delta, not the absolute.
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    val before = persisted()
+    val (pairs, done) = SimilarityJoin.exactJaccardPairsTracked(sets, "id", "ta", 3, 5)
+    assert(pairs.count() >= 1)
+    assert(persisted() > before,
+      "build caches should be materialized while the result is consumed")
+    done()
+    assert(persisted() == before,
+      s"cleanup must unpersist every operator cache (before=$before, after=${persisted()})")
+    // cleanup without any action is a safe no-op
+    val (contain, done2) = SimilarityJoin.exactContainmentPairsTracked(sets, "id", "ta", 4, 5)
+    done2()
+    assert(persisted() == before)
+    assert(contain.count() >= 1, "result stays computable after cleanup (uncached plan)")
+  }
 }
