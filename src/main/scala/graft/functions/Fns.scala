@@ -162,6 +162,24 @@ object TextFns {
   * Weyl-style mix giving roughly uniform weights in [-504, 504].
   */
 object VectorFns {
+  /** Cosine similarity with the zero-norm guard the house style
+    * mandates for every ratio under ANSI mode (Spark 4 raises
+    * DIVIDE_BY_ZERO on double division too): a zero-norm vector has
+    * no direction, so its similarity to anything is DEFINED as 0
+    * (orthogonal) — the one-bad-row-in-100-TB alternative is the
+    * whole stage aborting. The adversarial-fixture differential
+    * (tools/make_adversarial.py) is what caught the unguarded form:
+    * one all-zeros embedding killed every ANN query while the DuckDB
+    * mirror kept serving. Mirror every use with [[cosineSql]] — the
+    * CASE and the division must round identically on both engines. */
+  def cosine(dot: Column, nsqA: Column, nsqB: Column): Column =
+    when(nsqA === 0d || nsqB === 0d, lit(0d))
+      .otherwise(dot / (sqrt(nsqA) * sqrt(nsqB)))
+
+  /** SQL mirror of [[cosine]] for the DuckDB oracle. */
+  def cosineSql(dot: String, nsqA: String, nsqB: String): String =
+    s"(CASE WHEN $nsqA = 0 OR $nsqB = 0 THEN 0.0 ELSE ($dot) / (sqrt($nsqA) * sqrt($nsqB)) END)"
+
   /** Σ v[i]^2 accumulated left-to-right in double. */
   def normSq(embCol: String): Column =
     expr(s"aggregate($embCol, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")

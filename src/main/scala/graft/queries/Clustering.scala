@@ -332,7 +332,7 @@ object Clustering {
     val sims = a.join(b, Seq("fcid"))
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"), col("fcid"),
-        (VectorFns.dotF("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+        (VectorFns.cosine(VectorFns.dotF("ea", "eb"), col("na"), col("nb"))).as("sim"))
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
@@ -349,7 +349,7 @@ object Clustering {
                    ${VectorFns.normSqSql("e.emb")} AS nsq
                  FROM fa2 JOIN e USING (vec_id)),
         sims AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.fcid,
-                   ${VectorFns.dotSql("a.emb", "b.emb")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS sim
+                   ${VectorFns.cosineSql(VectorFns.dotSql("a.emb", "b.emb"), "a.nsq", "b.nsq")} AS sim
                  FROM memf a JOIN memf b
                    ON a.fcid = b.fcid AND a.vec_id <> b.vec_id),
         knn AS MATERIALIZED (
@@ -397,8 +397,8 @@ object Clustering {
           col("embedding").as("eb"), col("nsq").as("nb"))
         val drops = a.join(b, Seq("fcid"))
           .filter(col("va") < col("vb"))
-          .filter(VectorFns.dotF("ea", "eb")
-            / (sqrt(col("na")) * sqrt(col("nb"))) >= TAU)
+          .filter(VectorFns.cosine(VectorFns.dotF("ea", "eb"),
+            col("na"), col("nb")) >= TAU)
           .select(col("vb").as("vec_id")).distinct()
           .withColumn("dropped", lit(true))
         m.join(drops, Seq("vec_id"), "left")
@@ -414,8 +414,8 @@ object Clustering {
                  SELECT DISTINCT b.vec_id
                  FROM memf a JOIN memf b
                    ON a.fcid = b.fcid AND a.vec_id < b.vec_id
-                 WHERE ${VectorFns.dotSql("a.emb", "b.emb")}
-                   / (sqrt(a.nsq) * sqrt(b.nsq)) >= $TAU)
+                 WHERE ${VectorFns.cosineSql(
+                     VectorFns.dotSql("a.emb", "b.emb"), "a.nsq", "b.nsq")} >= $TAU)
                SELECT m.vec_id, m.fcid AS cluster_id,
                  (d.vec_id IS NULL) AS keep
                FROM memf m LEFT JOIN drops d ON m.vec_id = d.vec_id
@@ -510,7 +510,7 @@ object Clustering {
             col("nsq").as("p_nsq"), explode(ranked).as("cand"))
           .select(col("probe_id"), col("p_emb"), col("p_nsq"), col("cand.cid").as("cell"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         assigned.join(broadcast(probeCells), Seq("cell"))
           .filter(col("vec_id") =!= col("probe_id"))
@@ -535,7 +535,7 @@ object Clustering {
                  FROM pc JOIN nz ON nz.vec_id = pc.probe_id),
                sims AS (
                  SELECT p.probe_id, nz.vec_id, nz.cell,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "nz.emb")} / (sqrt(p_nsq) * sqrt(nz.nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "nz.emb"), "p_nsq", "nz.nsq")}", 4)} AS sim
                  FROM nz JOIN p ON nz.cell = p.cell AND nz.vec_id <> p.probe_id)
                SELECT probe_id,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
@@ -597,7 +597,7 @@ object Clustering {
         val sims = a.join(b, Seq("fcid"))
           .filter(col("la") =!= col("lb"))
           .select(col("va"), col("la"), col("vb"), col("lb"),
-            (VectorFns.dotF("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+            (VectorFns.cosine(VectorFns.dotF("ea", "eb"), col("na"), col("nb"))).as("sim"))
         val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
         sims.withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 2)
@@ -613,7 +613,7 @@ object Clustering {
                           JOIN embeddings emb0 ON emb0.vec_id = fa2.vec_id),
                sims AS (SELECT a.vec_id AS anchor, a.label AS anchor_label,
                           b.vec_id AS negative, b.label AS negative_label,
-                          ${VectorFns.dotSql("a.emb", "b.emb")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS sim
+                          ${VectorFns.cosineSql(VectorFns.dotSql("a.emb", "b.emb"), "a.nsq", "b.nsq")} AS sim
                         FROM meml a JOIN meml b
                           ON a.fcid = b.fcid AND a.label <> b.label)
                SELECT anchor, anchor_label,

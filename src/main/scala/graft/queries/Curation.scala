@@ -120,7 +120,12 @@ object Curation {
     }.mkString(",\n          ")
     s"""wt0 AS MATERIALIZED (
             SELECT w, count(*)::BIGINT AS cnt,
-              '  ' || array_to_string([w[i] for i in generate_series(1, len(w))], '  ') || '  ' AS s
+              -- coalesce: DuckDB's array_to_string([], sep) is NULL
+              -- (Spark's concat_ws is '') — without it the EMPTY word
+              -- type (real corpora: consecutive spaces, empty docs)
+              -- silently vanishes from the vocabulary via
+              -- replace(NULL)/unnest(NULL), diverging q131/q137
+              '  ' || coalesce(array_to_string([w[i] for i in generate_series(1, len(w))], '  '), '') || '  ' AS s
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
             GROUP BY w),
           $rounds"""

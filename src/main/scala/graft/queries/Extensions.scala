@@ -299,14 +299,25 @@ object Extensions {
             octet_length(col("text")).as("n_bytes"),
             hex(substring(col("text").cast("binary"), 1, 8)).as("head_hex"),
             md5(substring(col("text"), 1, 32)).as("slice_fp"),
-            expr("array_join(transform(sequence(1, length(text), 16), i -> substring(text, i, 1)), '')")
+            // greatest(.., 1): Spark's sequence ABORTS on (1, 0, 16)
+            // where DuckDB's generate_series returns empty — an empty
+            // document must sample to '' on both engines, not kill the
+            // stage (substring('', 1, 1) joins to '' = the empty
+            // series' join, so the values still match exactly).
+            expr("array_join(transform(sequence(1, greatest(length(text), 1), 16), i -> substring(text, i, 1)), '')")
               .as("strided_sample"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
               strlen(text) AS n_bytes,
-              hex(encode(substr(text, 1, 8))) AS head_hex,
+              -- first 8 BYTES as hex (left on the hex string, 2 hex
+              -- chars per byte): substr(text,...) before encode()
+              -- slices CHARACTERS and diverges from the engine's
+              -- binary slice on any multibyte document
+              left(hex(encode(text)), 16) AS head_hex,
               md5(substr(text, 1, 32)) AS slice_fp,
-              array_to_string([substr(text, i, 1) for i in generate_series(1, length(text), 16)], '') AS strided_sample
+              -- coalesce: array_to_string([], '') is NULL in DuckDB
+              -- where the engine's empty-doc sample is ''
+              coalesce(array_to_string([substr(text, i, 1) for i in generate_series(1, length(text), 16)], ''), '') AS strided_sample
               FROM documents ORDER BY doc_id"""),
     ),
 

@@ -91,7 +91,7 @@ object Vectors {
   /** Cosine of a row's embedding to a candidate centroid (6dp — the
     * assignment tie-break scale mirrored by every oracle). */
   private def ivfCentSim = Num.fround(
-    VectorFns.dotF("c_emb", "embedding") / (sqrt(col("c_nsq")) * sqrt(col("nsq"))), 6)
+    VectorFns.cosine(VectorFns.dotF("c_emb", "embedding"), col("c_nsq"), col("nsq")), 6)
 
   /** Best-centroid assignment as a map-side argmax AGGREGATE, not a
     * row_number window: the cross join emits each vec_id's k
@@ -193,7 +193,7 @@ object Vectors {
         val probes = c.filter(col("vec_id") < N_PROBES)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id"), sim.as("sim"))
@@ -208,7 +208,7 @@ object Vectors {
                p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id < $N_PROBES),
                sims AS (
                  SELECT probe_id, vec_id,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
                  FROM c, p WHERE vec_id <> probe_id)
                SELECT probe_id, vec_id, sim,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
@@ -232,7 +232,7 @@ object Vectors {
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("nsq").as("p_nsq"), col("bucket"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         c.join(broadcast(probes), Seq("bucket"))
           .filter(col("vec_id") =!= col("probe_id"))
@@ -250,7 +250,7 @@ object Vectors {
                      FROM c WHERE vec_id < $N_PROBES),
                sims AS (
                  SELECT probe_id, vec_id, c.bucket AS bucket,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
                  FROM c JOIN p ON c.bucket = p.bucket AND c.vec_id <> p.probe_id)
                SELECT probe_id, vec_id, bucket, sim,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
@@ -287,7 +287,7 @@ object Vectors {
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b")).distinct()
         val sim = Num.fround(
-          VectorFns.dotF("emb_a", "emb_b") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))), 4)
+          VectorFns.cosine(VectorFns.dotF("emb_a", "emb_b"), col("nsq_a"), col("nsq_b")), 4)
         pairs
           .join(c.select(col("vec_id").as("vec_a"),
             col("embedding").as("emb_a"), col("nsq").as("nsq_a")), Seq("vec_a"))
@@ -311,7 +311,7 @@ object Vectors {
                  FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
                sims AS (
                  SELECT p.vec_a, p.vec_b,
-                   ${Num.froundSql(s"${VectorFns.dotSql("ca.emb", "cb.emb")} / (sqrt(ca.nsq) * sqrt(cb.nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("ca.emb", "cb.emb"), "ca.nsq", "cb.nsq")}", 4)} AS sim
                  FROM pairs p
                  JOIN c ca ON ca.vec_id = p.vec_a
                  JOIN c cb ON cb.vec_id = p.vec_b)
@@ -340,7 +340,7 @@ object Vectors {
           explode(array(col("home") +:
             (0 until 8).map(j => col("home").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         c.join(broadcast(probeKeys), Seq("bucket"))
           .filter(col("vec_id") =!= col("probe_id"))
@@ -361,7 +361,7 @@ object Vectors {
                  UNNEST([home, ${(0 until 8).map(j => s"xor(home, ${1 << j})").mkString(", ")}]) AS u(bucket)),
                sims AS (
                  SELECT probe_id, vec_id,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
                  FROM c JOIN pk ON c.bucket = pk.bucket AND c.vec_id <> pk.probe_id)
                SELECT probe_id, vec_id, sim,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
@@ -395,7 +395,7 @@ object Vectors {
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("nsq").as("p_nsq"), col("cell"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         assigned.join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("probe_id"))
@@ -413,14 +413,14 @@ object Vectors {
                assigned AS (
                  SELECT vec_id, emb, nsq, cid AS cell FROM (
                    SELECT c.vec_id, c.emb, c.nsq, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM c CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
                p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, cell
                      FROM assigned WHERE vec_id < $N_PROBES),
                sims AS (
                  SELECT probe_id, a.vec_id AS vec_id, a.cell AS cell,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "a.emb"), "p_nsq", "a.nsq")}", 4)} AS sim
                  FROM assigned a JOIN p ON a.cell = p.cell AND a.vec_id <> p.probe_id)
                SELECT probe_id, vec_id, cell, sim,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
@@ -505,8 +505,9 @@ object Vectors {
           .filter(col("crank") <= 10))
           .join(qz.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
           .withColumn("sim", Num.fround(
-            graft.functions.DotProductF.dotCol(col("p_emb"), col("embedding"))
-              / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
+            VectorFns.cosine(
+              graft.functions.DotProductF.dotCol(col("p_emb"), col("embedding")),
+              col("p_nsq"), col("nsq")), 4))
           .withColumn("rank", row_number().over(w3).cast("long"))
           .filter(col("rank") <= 3)
           .select(col("probe_id"), col("rank"), col("vec_id"), col("adist"), col("sim"))
@@ -531,7 +532,7 @@ object Vectors {
                rr AS (
                  SELECT probe_id, vec_id, adist,
                    ${Num.froundSql(
-          s"${VectorFns.dotSql("p_emb", "embedding")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+          s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "embedding"), "p_nsq", "nsq")}", 4)} AS sim
                  FROM cand)
                SELECT probe_id, row_number() OVER
                    (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
@@ -572,7 +573,7 @@ object Vectors {
           .select(col("vec_id").as("probe_id"), col("p_emb"), col("p_nsq"),
             explode(expr("transform(cells, x -> x.cid)")).as("cell"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         assigned.join(broadcast(probeCells), Seq("cell"))
           .filter(col("vec_id") =!= col("probe_id"))
@@ -590,19 +591,19 @@ object Vectors {
                assigned AS (
                  SELECT vec_id, emb, nsq, cid AS cell FROM (
                    SELECT c.vec_id, c.emb, c.nsq, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM c CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
                pc AS (
                  SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, cid AS cell FROM (
                    SELECT c.vec_id, c.emb, c.nsq, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM c CROSS JOIN cents
                    WHERE c.vec_id < $N_PROBES)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) <= 2),
                sims AS (
                  SELECT probe_id, a.vec_id AS vec_id, a.cell AS cell,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "a.emb"), "p_nsq", "a.nsq")}", 4)} AS sim
                  FROM assigned a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
                SELECT probe_id, vec_id, cell, sim,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
@@ -688,7 +689,7 @@ object Vectors {
           .filter(col("crank") <= 10))
           .join(cellIndex.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
           .withColumn("sim", Num.fround(
-            VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
+            VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4))
           .withColumn("rank", row_number().over(w3).cast("long"))
           .filter(col("rank") <= 3)
           .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
@@ -705,14 +706,14 @@ object Vectors {
                assigned AS (
                  SELECT vec_id, emb, nsq, codes, cid AS cell FROM (
                    SELECT nz.vec_id, nz.emb, nz.nsq, nz.codes, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM nz CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
                pc AS (
                  SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq,
                         codes AS p_codes, cid AS cell FROM (
                    SELECT nz.vec_id, nz.emb, nz.nsq, nz.codes, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM nz CROSS JOIN cents
                    WHERE nz.vec_id < $N_PROBES)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) <= 2),
@@ -724,7 +725,7 @@ object Vectors {
                  QUALIFY row_number() OVER (PARTITION BY pc.probe_id ORDER BY adist, a.vec_id) <= 10),
                rr AS (
                  SELECT probe_id, vec_id, cell, adist,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
                  FROM cand)
                SELECT probe_id,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
@@ -761,7 +762,7 @@ object Vectors {
         // recompute per consumer; no heap pin.
         val c = corpus(s, dir)
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         // Exact ground truth: q37's brute-force shape, top-10.
         val probes = c.filter(col("vec_id") < N_PROBES)
@@ -809,7 +810,7 @@ object Vectors {
                      WHERE vec_id < $N_PROBES),
                esims AS (
                  SELECT probe_id, vec_id,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
                  FROM c, p WHERE vec_id <> probe_id),
                exact AS (
                  SELECT probe_id, vec_id,
@@ -820,14 +821,14 @@ object Vectors {
                assigned AS (
                  SELECT vec_id, emb, nsq, cid AS cell FROM (
                    SELECT c.vec_id, c.emb, c.nsq, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM c CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
                ip AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, cell
                       FROM assigned WHERE vec_id < $N_PROBES),
                cand AS (
                  SELECT probe_id, a.vec_id AS vec_id,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "a.emb"), "p_nsq", "a.nsq")}", 4)} AS sim
                  FROM assigned a JOIN ip ON a.cell = ip.cell AND a.vec_id <> ip.probe_id),
                approx AS (
                  SELECT probe_id, vec_id,
@@ -875,7 +876,7 @@ object Vectors {
         val K = 10
         val c = corpus(s, dir)
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         val probes = c.filter(col("vec_id") < N_PROBES)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
@@ -946,7 +947,7 @@ object Vectors {
                      WHERE vec_id < $N_PROBES),
                esims AS (
                  SELECT probe_id, vec_id,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
                  FROM c, p WHERE vec_id <> probe_id),
                exact AS (
                  SELECT probe_id, vec_id,
@@ -963,7 +964,7 @@ object Vectors {
                  UNNEST([home, ${(0 until 8).map(j => s"xor(home, ${1 << j})").mkString(", ")}]) AS u(bucket)),
                cand AS (
                  SELECT DISTINCT probe_id, cb.vec_id AS vec_id,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
                  FROM cb JOIN pk ON cb.band = pk.band AND cb.bucket = pk.bucket
                    AND cb.vec_id <> pk.probe_id),
                approx AS (
@@ -1037,7 +1038,7 @@ object Vectors {
         val probe = c.filter(col("vec_id") === 0)
           .select(col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val denseTop = c.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
           .select(col("vec_id").as("id"), sim.as("s"))
           .orderBy(col("s").desc, col("id")).limit(K)
@@ -1088,7 +1089,7 @@ object Vectors {
                p AS (SELECT emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id = 0),
                dense_top AS (
                  SELECT vec_id AS id,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS s
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS s
                  FROM c, p WHERE vec_id <> 0
                  ORDER BY s DESC, id LIMIT 50),
                dense AS (
@@ -1144,7 +1145,7 @@ object Vectors {
         val probe = c.filter(col("vec_id") === 0)
           .select(col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val denseTop = c.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
           .select(col("vec_id").as("id"), sim.cast("double").as("s"))
           .orderBy(col("s").desc, col("id")).limit(K)
@@ -1201,7 +1202,7 @@ object Vectors {
                p AS (SELECT emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id = 0),
                dense_top AS (
                  SELECT vec_id AS id,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "emb")} / (sqrt(p_nsq) * sqrt(nsq))", 4)} AS s
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS s
                  FROM c, p WHERE vec_id <> 0
                  ORDER BY s DESC, id LIMIT 50),
                dense AS (
@@ -1421,7 +1422,15 @@ object Vectors {
         val mb = col("s_b").cast("double") / col("n_b")
         val va = col("ss_a").cast("double") / col("n_a") - ma * ma
         val vb = col("ss_b").cast("double") / col("n_b") - mb * mb
-        val z = abs(ma - mb) / sqrt(va / col("n_a") + vb / col("n_b"))
+        // Zero pooled variance is REAL data (a constant dim — padding
+        // dims in production embeddings): equal means → z = 0 exactly
+        // (0/0 limit); different means → infinite drift. Both engines
+        // fround(±inf) to inf, so the sentinel is hash-stable; the
+        // unguarded division is an ANSI DIVIDE_BY_ZERO abort.
+        val zDenomSq = va / col("n_a") + vb / col("n_b")
+        val z = when(zDenomSq === 0d,
+            when(ma === mb, lit(0d)).otherwise(lit(Double.PositiveInfinity)))
+          .otherwise(abs(ma - mb) / sqrt(zDenomSq))
         stats.select((col("i") + 1).cast("long").as("dim"), col("n_a"), col("n_b"),
             Num.fround(ma / 1000.0, 6).as("mean_a"),
             Num.fround(mb / 1000.0, 6).as("mean_b"),
@@ -1434,7 +1443,10 @@ object Vectors {
         val mb = "s_b::DOUBLE / n_b"
         val va = s"ss_a::DOUBLE / n_a - ($ma) * ($ma)"
         val vb = s"ss_b::DOUBLE / n_b - ($mb) * ($mb)"
-        val z = s"abs(($ma) - ($mb)) / sqrt(($va) / n_a + ($vb) / n_b)"
+        val zd = s"($va) / n_a + ($vb) / n_b"
+        val z = s"""(CASE WHEN ($zd) = 0
+                    THEN (CASE WHEN ($ma) = ($mb) THEN 0.0 ELSE 'inf'::DOUBLE END)
+                    ELSE abs(($ma) - ($mb)) / sqrt($zd) END)"""
         s"""WITH e AS (
               SELECT (vec_id % 2)::INT AS grp,
                 [floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT
@@ -1515,7 +1527,7 @@ object Vectors {
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("nsq").as("p_nsq"), col("cell"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         idx.filter(!col("is_deleted"))
           .join(broadcast(probes), Seq("cell"))
@@ -1539,7 +1551,7 @@ object Vectors {
                    (vec_id % 7 = 3) AS is_deleted
                  FROM (
                    SELECT c.vec_id, c.emb, c.nsq, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM c CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
                audit AS (
@@ -1559,7 +1571,7 @@ object Vectors {
                    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank
                  FROM (
                    SELECT p.probe_id, a.vec_id, a.cell,
-                     ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "a.emb"), "p_nsq", "a.nsq")}", 4)} AS sim
                    FROM live a JOIN p ON a.cell = p.cell
                    WHERE a.vec_id <> p.probe_id)
                  QUALIFY rank <= 3)
@@ -1637,7 +1649,7 @@ object Vectors {
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("nsq").as("p_nsq"), col("cell"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         live.join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("probe_id"))
@@ -1663,7 +1675,7 @@ object Vectors {
                    (vec_id % 7 = 3) AS is_deleted
                  FROM (
                    SELECT c.vec_id, c.emb, c.nsq, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM c CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
                audit AS (
@@ -1691,7 +1703,7 @@ object Vectors {
                    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank
                  FROM (
                    SELECT p.probe_id, a.vec_id, a.cell,
-                     ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "a.emb"), "p_nsq", "a.nsq")}", 4)} AS sim
                    FROM live a JOIN p ON a.cell = p.cell
                    WHERE a.vec_id <> p.probe_id)
                  QUALIFY rank <= 3)
@@ -1748,7 +1760,7 @@ object Vectors {
         val probe = c.filter(col("vec_id") === 0)
           .select(col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
         val sDense = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val wFinal = Window.orderBy(col("s_dense").desc, col("id"))
         c.join(broadcast(lexTop), c("vec_id") === lexTop("id"))
           .crossJoin(broadcast(probe))
@@ -1790,7 +1802,7 @@ object Vectors {
                p AS (SELECT emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id = 0),
                rr AS (
                  SELECT lex.id, lex.lex_rank, lex.s_lex,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "c.emb")} / (sqrt(p_nsq) * sqrt(c.nsq))", 4)} AS s_dense
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "c.emb"), "p_nsq", "c.nsq")}", 4)} AS s_dense
                  FROM lex JOIN c ON c.vec_id = lex.id CROSS JOIN p)
                SELECT row_number() OVER (ORDER BY s_dense DESC, id)::BIGINT AS final_rank,
                  id, lex_rank, s_lex, s_dense
@@ -1856,7 +1868,7 @@ object Vectors {
                assigned AS (
                  SELECT vec_id, cid AS cell FROM (
                    SELECT c.vec_id, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
                    FROM c CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
                cc AS (SELECT cell, count(*)::BIGINT AS cell_n FROM assigned GROUP BY cell)
@@ -1922,7 +1934,7 @@ object Vectors {
       val ne = element_at(col("nrms"), i + 1)
       val np = element_at(col("p_nrms"), i + 1)
       struct(lit(d.toLong).as("dim"),
-        Num.fround(dot / (sqrt(ne) * sqrt(np)), 6).as("sim"))
+        Num.fround(VectorFns.cosine(dot, ne, np), 6).as("sim"))
     }: _*)
     val melted = pairs
       .select(col("probe_id"), col("vec_id"), explode(simStructs).as("ds"))
@@ -1973,7 +1985,7 @@ object Vectors {
           val ne = s"list_sum([e.e[i] * e.e[i] for i in generate_series(1, $d)])"
           val np = s"list_sum([p.p_e[i] * p.p_e[i] for i in generate_series(1, $d)])"
           s"""SELECT p.probe_id, e.vec_id, $d AS dim,
-                ${Num.froundSql(s"($dot) / (sqrt($ne) * sqrt($np))", 6)} AS sim
+                ${Num.froundSql(VectorFns.cosineSql(dot, s"($ne)", s"($np)"), 6)} AS sim
               FROM e, p WHERE e.vec_id <> p.probe_id"""
         }.mkString("\n               UNION ALL\n               ")
         s"""WITH e AS MATERIALIZED (
@@ -2046,7 +2058,7 @@ object Vectors {
           .select(col("vec_id").as("probe_id"), col("p_label"), col("p_emb"),
             col("p_nsq"), explode(expr("transform(cells, x -> x.cid)")).as("cell"))
         val sim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
         // Bounded shortlist (N_PROBES × K rows) consumed by two
         // branches — staged, not persisted (no JVM-lifetime heap pin).
@@ -2062,7 +2074,7 @@ object Vectors {
           col("label").as("p_label"), col("embedding").as("p_emb"),
           col("nsq").as("p_nsq"))
         val exSim = Num.fround(
-          VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 6)
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 6)
         val exact = corpus(s, dir).join(broadcast(probes),
             col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
           .select(col("probe_id"), col("vec_id"), exSim.as("d"))
@@ -2089,7 +2101,7 @@ object Vectors {
         val NPROBE = 4
         val K = 3
         val centSim6 = Num.froundSql(
-          s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)
+          s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)
         s"""WITH c AS (
                  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
@@ -2108,7 +2120,7 @@ object Vectors {
                pc AS (
                  SELECT probe_id, p_label, p_emb, p_nsq, cid AS cell FROM (
                    SELECT pb.probe_id, pb.p_label, pb.p_emb, pb.p_nsq, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "p_emb")} / (sqrt(c_nsq) * sqrt(p_nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "p_emb"), "c_nsq", "p_nsq")}", 6)} AS cent_sim
                    FROM pb CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cent_sim DESC, cid) <= $NPROBE),
                rk AS MATERIALIZED (
@@ -2116,16 +2128,16 @@ object Vectors {
                    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank
                  FROM (
                    SELECT pc.probe_id, a.vec_id, a.cell,
-                     ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "a.emb")} / (sqrt(p_nsq) * sqrt(a.nsq))", 4)} AS sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "a.emb"), "p_nsq", "a.nsq")}", 4)} AS sim
                    FROM assigned a JOIN pc ON a.cell = pc.cell
                    WHERE a.vec_id <> pc.probe_id AND a.label = pc.p_label)
                  QUALIFY rank <= $K),
                ex AS MATERIALIZED (
                  SELECT probe_id, vec_id FROM (
                    SELECT pb.probe_id, c.vec_id,
-                     ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "c.emb")} / (sqrt(p_nsq) * sqrt(c.nsq))", 6)} AS d,
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "c.emb"), "p_nsq", "c.nsq")}", 6)} AS d,
                      row_number() OVER (PARTITION BY pb.probe_id
-                       ORDER BY ${Num.froundSql(s"${VectorFns.dotSql("p_emb", "c.emb")} / (sqrt(p_nsq) * sqrt(c.nsq))", 6)} DESC, c.vec_id) AS xr
+                       ORDER BY ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "c.emb"), "p_nsq", "c.nsq")}", 6)} DESC, c.vec_id) AS xr
                    FROM c JOIN pb ON c.label = pb.p_label AND c.vec_id <> pb.probe_id)
                  WHERE xr <= $K),
                th AS (SELECT count(*)::BIGINT AS total_hits
@@ -2556,7 +2568,7 @@ object Vectors {
         broadcast(cands.withColumn("crank", row_number().over(w10)).filter(col("crank") <= 10))
           .join(cellIdx.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
           .withColumn("sim", Num.fround(
-            VectorFns.dotF("p_emb", "embedding") / (sqrt(col("p_nsq")) * sqrt(col("nsq"))), 4))
+            VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"), col("p_nsq"), col("nsq")), 4))
           .withColumn("rank", row_number().over(w3).cast("long"))
           .filter(col("rank") <= 3)
           .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
@@ -2579,7 +2591,7 @@ object Vectors {
         val codesArr = (0 until PqS).map(sp => s"enc$sp.cid").mkString("[", ", ", "]")
         val adcSum = (0 until PqS).map(sp => s"dt$sp.d").mkString(" + ")
         val centSim = Num.froundSql(
-          s"${VectorFns.dotSql("c_emb", "emb")} / (sqrt(c_nsq) * sqrt(nsq))", 6)
+          s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)
         s"""WITH $pqSqlCtes,
                cd AS MATERIALIZED (
                  SELECT e.vec_id, $codesArr AS codes FROM e
@@ -2600,7 +2612,7 @@ object Vectors {
                pc AS (
                  SELECT probe_id, cid AS cell FROM (
                    SELECT pp.probe_id, cents.cid,
-                     ${Num.froundSql(s"${VectorFns.dotSql("c_emb", "p_e")} / (sqrt(c_nsq) * sqrt(p_nsq))", 6)} AS cent_sim
+                     ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "p_e"), "c_nsq", "p_nsq")}", 6)} AS cent_sim
                    FROM pp CROSS JOIN cents)
                  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cent_sim DESC, cid) <= 2),
                $dt,
@@ -2614,7 +2626,7 @@ object Vectors {
                  QUALIFY row_number() OVER (PARTITION BY pc.probe_id ORDER BY adc, a.vec_id) <= 10),
                rr AS (
                  SELECT cand.probe_id, cand.vec_id, cand.cell, cand.adc,
-                   ${Num.froundSql(s"${VectorFns.dotSql("p.p_e", "nz.emb")} / (sqrt(p.p_nsq) * sqrt(nz.nsq))", 4)} AS sim
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p.p_e", "nz.emb"), "p.p_nsq", "nz.nsq")}", 4)} AS sim
                  FROM cand JOIN nz ON nz.vec_id = cand.vec_id
                    JOIN pp p ON p.probe_id = cand.probe_id)
                SELECT probe_id,

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Build the adversarial differential fixture: a copy of an SF dir with
+edge-case rows a REAL corpus contains but the clean generator never
+emits — empty documents, single tokens, consecutive spaces, unicode
+(NFKC forms, CJK, ligatures), exact-duplicate text, a very long doc,
+punctuation-only text, a duplicated embedding, an all-zeros embedding,
+and a denormal-norm embedding.
+
+Round-10 findings from running `graft.Verify <out>` + `tools/compare.py
+<out>` on this fixture (all fixed, all 167 green since):
+  - one zero-norm embedding crashed every ANN query with ANSI
+    DIVIDE_BY_ZERO (→ VectorFns.cosine/cosineSql zero-norm guard);
+  - Spark's sequence(1, 0, 16) aborts where DuckDB's generate_series
+    is empty (q46 strided sample on the empty doc);
+  - DuckDB's array_to_string([], sep) is NULL where Spark's concat_ws
+    is '' (BPE wt0 lost the empty word type; q46 empty sample);
+  - the q46 oracle sliced 8 CHARS where the engine slices 8 BYTES
+    (diverged on the first multibyte doc).
+
+Usage: python3 tools/make_adversarial.py [src_sf_dir] [dst_dir]
+       (defaults: /root/testdata/sf0.001 -> /tmp/sfadv)
+"""
+import duckdb, os, shutil, glob, sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfadv'
+
+shutil.rmtree(dst, ignore_errors=True)
+os.makedirs(dst)
+con = duckdb.connect()
+
+for p in glob.glob(src + '/*.parquet'):
+    name = os.path.basename(p)
+    if name not in ('documents.parquet', 'embeddings.parquet'):
+        shutil.copy(p, dst + '/' + name)
+
+dup_text = con.execute(
+    f"SELECT text FROM '{src}/documents.parquet' WHERE doc_id=10").fetchone()[0]
+long_text = ' '.join(['stream table join merge window sort hash scan'] * 120)
+adv_docs = [
+    (500, '', 'en', 'src0'),                            # empty doc
+    (501, 'spark', 'en', 'src1'),                       # single token
+    (502, 'fast  fast  double  space', 'es', 'src0'),   # consecutive spaces
+    (503, 'café 北京 ﬁle ＡＢＣ ½ naïve', 'fr', 'src2'),    # unicode / NFKC forms
+    (504, dup_text, 'en', 'src1'),                      # exact duplicate text
+    (505, long_text, 'en', 'src0'),                     # very long doc
+    (506, '!!! ??? ... ---', 'de', 'src2'),             # punctuation only
+]
+vals = ", ".join(
+    f"({i}, {t!r}, {l!r}, {s!r}, length({t!r}))" for i, t, l, s in adv_docs)
+con.execute(f"""
+  COPY (
+    SELECT * FROM '{src}/documents.parquet'
+    UNION ALL
+    SELECT * FROM (VALUES {vals}) v(doc_id, text, lang, source, n_chars)
+    ORDER BY doc_id
+  ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+
+con.execute(f"""
+  COPY (
+    SELECT * FROM '{src}/embeddings.parquet'
+    UNION ALL
+    SELECT 500::BIGINT,
+      (SELECT embedding FROM '{src}/embeddings.parquet' WHERE vec_id=10),
+      1::INT
+    UNION ALL
+    SELECT 501::BIGINT, [0.0::FLOAT for i in generate_series(1,64)], 2::INT
+    UNION ALL
+    SELECT 502::BIGINT, [1e-20::FLOAT for i in generate_series(1,64)], 0::INT
+    ORDER BY vec_id
+  ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+
+nd = con.execute(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
+ne = con.execute(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
+print(f"wrote {dst}: documents={nd} embeddings={ne}")
