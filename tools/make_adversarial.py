@@ -37,14 +37,20 @@ for p in glob.glob(src + '/*.parquet'):
 dup_text = con.execute(
     f"SELECT text FROM '{src}/documents.parquet' WHERE doc_id=10").fetchone()[0]
 long_text = ' '.join(['stream table join merge window sort hash scan'] * 120)
+# Fresh ids AFTER the base range — sf dirs differ in row count, and a
+# colliding doc_id/vec_id would corrupt key-equality semantics.
+d0 = con.execute(
+    f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
+v0 = con.execute(
+    f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
 adv_docs = [
-    (500, '', 'en', 'src0'),                            # empty doc
-    (501, 'spark', 'en', 'src1'),                       # single token
-    (502, 'fast  fast  double  space', 'es', 'src0'),   # consecutive spaces
-    (503, 'café 北京 ﬁle ＡＢＣ ½ naïve', 'fr', 'src2'),    # unicode / NFKC forms
-    (504, dup_text, 'en', 'src1'),                      # exact duplicate text
-    (505, long_text, 'en', 'src0'),                     # very long doc
-    (506, '!!! ??? ... ---', 'de', 'src2'),             # punctuation only
+    (d0 + 0, '', 'en', 'src0'),                          # empty doc
+    (d0 + 1, 'spark', 'en', 'src1'),                     # single token
+    (d0 + 2, 'fast  fast  double  space', 'es', 'src0'), # consecutive spaces
+    (d0 + 3, 'café 北京 ﬁle ＡＢＣ ½ naïve', 'fr', 'src2'),  # unicode / NFKC forms
+    (d0 + 4, dup_text, 'en', 'src1'),                    # exact duplicate text
+    (d0 + 5, long_text, 'en', 'src0'),                   # very long doc
+    (d0 + 6, '!!! ??? ... ---', 'de', 'src2'),           # punctuation only
 ]
 vals = ", ".join(
     f"({i}, {t!r}, {l!r}, {s!r}, length({t!r}))" for i, t, l, s in adv_docs)
@@ -60,13 +66,13 @@ con.execute(f"""
   COPY (
     SELECT * FROM '{src}/embeddings.parquet'
     UNION ALL
-    SELECT 500::BIGINT,
+    SELECT {v0}::BIGINT,
       (SELECT embedding FROM '{src}/embeddings.parquet' WHERE vec_id=10),
       1::INT
     UNION ALL
-    SELECT 501::BIGINT, [0.0::FLOAT for i in generate_series(1,64)], 2::INT
+    SELECT {v0 + 1}::BIGINT, [0.0::FLOAT for i in generate_series(1,64)], 2::INT
     UNION ALL
-    SELECT 502::BIGINT, [1e-20::FLOAT for i in generate_series(1,64)], 0::INT
+    SELECT {v0 + 2}::BIGINT, [1e-20::FLOAT for i in generate_series(1,64)], 0::INT
     ORDER BY vec_id
   ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 
