@@ -449,7 +449,14 @@ object Core {
           .groupBy(col("event_type"))
           .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
           .orderBy(col("event_type")),
-      Some("""SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+      // json_valid guard: DuckDB's json_extract_string ERRORS on
+      // malformed JSON where Spark's get_json_object returns NULL —
+      // real event streams contain malformed payloads, and the engine
+      // must keep serving while the row contributes NULL (it still
+      // COUNTS in n, matching get_json_object's row-preserving shape).
+      Some("""SELECT event_type,
+              sum((CASE WHEN json_valid(props)
+                   THEN json_extract_string(props, '$.k') END)::BIGINT)::BIGINT AS k_sum,
               count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""),
     ),
 

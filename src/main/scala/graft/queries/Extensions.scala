@@ -429,18 +429,26 @@ object Extensions {
             Num.fround(col("__matched.o_totalprice"), 2).as("order_price"))
           .orderBy(col("event_id"))
       },
+      // Oracle ranks the match per DISTINCT (user, ts) and joins back
+      // to every probe row, NOT row_number'd per event_id: an as-of
+      // join is per probe ROW, and a replayed event (at-least-once
+      // delivery duplicates the whole row, event_id included) must
+      // emit once per occurrence — partitioning by event_id silently
+      // collapsed the duplicate (adversarial-fixture find).
       Some("""WITH probe AS (
                 SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
-              ranked AS (
-                SELECT p.event_id, p.user_id, o.o_orderkey, o.o_totalprice,
-                  row_number() OVER (PARTITION BY p.event_id
+              best AS (
+                SELECT q.user_id, q.ts_s, o.o_orderkey, o.o_totalprice,
+                  row_number() OVER (PARTITION BY q.user_id, q.ts_s
                     ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) AS rn
-                FROM probe p LEFT JOIN orders o
-                  ON o.o_custkey = p.user_id AND epoch(o.o_orderdate) <= p.ts_s)
-              SELECT event_id, user_id, o_orderkey,
-                floor((o_totalprice) * 100 + 0.5) / 100 AS order_price
-              FROM ranked WHERE rn = 1
-              ORDER BY event_id"""),
+                FROM (SELECT DISTINCT user_id, ts_s FROM probe) q
+                LEFT JOIN orders o
+                  ON o.o_custkey = q.user_id AND epoch(o.o_orderdate) <= q.ts_s)
+              SELECT p.event_id, p.user_id, b.o_orderkey,
+                floor((b.o_totalprice) * 100 + 0.5) / 100 AS order_price
+              FROM probe p JOIN best b
+                ON b.user_id = p.user_id AND b.ts_s = p.ts_s AND b.rn = 1
+              ORDER BY p.event_id"""),
     ),
 
     // CUBE grouping sets (all four grouping combinations).

@@ -31,8 +31,33 @@ con = duckdb.connect()
 
 for p in glob.glob(src + '/*.parquet'):
     name = os.path.basename(p)
-    if name not in ('documents.parquet', 'embeddings.parquet'):
+    if name not in ('documents.parquet', 'embeddings.parquet',
+                    'events.parquet'):
         shutil.copy(p, dst + '/' + name)
+
+# events edge rows: duplicate timestamp (window/order tie), a replayed
+# event_id (at-least-once delivery), malformed + empty JSON props, an
+# event type outside the known set, an exact hour-boundary timestamp,
+# a negative value, and a user with exactly one event.
+e0 = con.execute(
+    f"SELECT max(event_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+u0 = con.execute(
+    f"SELECT max(user_id) + 1000 FROM '{src}/events.parquet'").fetchone()[0]
+con.execute(f"""
+  COPY (
+    SELECT * FROM '{src}/events.parquet'
+    UNION ALL
+    SELECT * FROM (VALUES
+      ({e0 + 0}, TIMESTAMP '2024-01-15 07:30:00.123456', {u0}, 'click',  1.0,   '{{"k": 1}}'),
+      ({e0 + 1}, TIMESTAMP '2024-01-15 07:30:00.123456', {u0}, 'click',  2.0,   '{{"k": 2}}'),
+      ({e0 + 2}, TIMESTAMP '2024-01-15 00:00:00.000000', {u0}, 'purchase', -5.5, '{{"k": 3}}'),
+      ({e0 + 3}, TIMESTAMP '2024-01-16 12:00:00.000000', {u0}, 'mystery_type', 0.0, '{{bad json'),
+      ({e0 + 4}, TIMESTAMP '2024-01-17 23:59:59.999999', {u0} + 1, 'view', 7.25, '{{}}')
+    ) v(event_id, ts, user_id, event_type, value, props)
+    UNION ALL
+    SELECT * FROM '{src}/events.parquet' WHERE event_id = 5
+    ORDER BY event_id, ts
+  ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
 
 dup_text = con.execute(
     f"SELECT text FROM '{src}/documents.parquet' WHERE doc_id=10").fetchone()[0]
