@@ -18,9 +18,24 @@ import org.apache.spark.sql.functions._
   * replacement (e.g. a half-away variant) must change the Scala, SQL,
   * and driver-side (Clustering/ClusteringSpec) copies together. */
 object Num {
+  /** Floors via `x - pmod(x, 1.0)` — an all-DOUBLE pipeline — not
+    * Spark's `floor(double)`, which returns BIGINT and therefore
+    * silently corrupts the tails DuckDB's libm floor handles:
+    * NaN→long casts to 0 with NO error even under ANSI (fround(NaN)
+    * became 0.0, re-ranking an ANN top-k on one engine only — caught
+    * by the adversarial-fixture differential), and |x| ≥ 2^63 clamps
+    * to Long.MaxValue where DuckDB keeps 1e300-grade magnitudes.
+    * The pmod form is bit-exact vs libm floor for every finite x
+    * (fmod is exact per IEEE-754, and subtracting the fractional part
+    * from x is exact), NaN propagates through it natively, and only
+    * ±Inf needs a branch (pmod(Inf,1) is NaN where DuckDB's
+    * floor(Inf) is Inf). So the DuckDB mirror needs no guard — the
+    * Scala side now reproduces double-floor semantics exactly. */
   def fround(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
-    floor(c * p + 0.5) / p
+    val x = c * p + 0.5
+    when(abs(x) === Double.PositiveInfinity, x)
+      .otherwise(x - pmod(x, lit(1.0))) / p
   }
 
   /** SQL text of the same expression, for oracle queries. */
@@ -206,6 +221,26 @@ object VectorFns {
     * as [[normSq]]). */
   def normSqF(emb: String): Column =
     graft.functions.DotProductF.dotCol(col(emb), col(emb))
+
+  /** TRUE iff every coordinate of the array column is finite (no
+    * NaN, no ±Inf). The fixed-point kernels (int8/PQ quantization,
+    * e3/e4 integer moments, JL distortion ratios) are UNDEFINED on
+    * non-finite coordinates: Spark's double→integral casts yield
+    * 0/clamp silently while DuckDB's abort — the adversarial fixture
+    * (one NaN coordinate) split the engines 6 queries wide. The
+    * production stance is data hygiene at the index build: a vector
+    * that cannot be encoded is excluded from the encoded artifact
+    * (mirror with [[finiteVecSql]] so both engines drop the same
+    * rows). The float-cosine family needs NO such filter — NaN sims
+    * order identically in both engines. `abs(x) < Inf` is the whole
+    * test: NaN compares greater than Inf in BOTH engines' ordering,
+    * so it excludes NaN and ±Inf in one branch-free comparison. */
+  def finiteVec(emb: String): Column =
+    forall(col(emb), x => abs(x.cast("double")) < lit(Double.PositiveInfinity))
+
+  /** DuckDB mirror of [[finiteVec]] (empty list → TRUE, as forall). */
+  def finiteVecSql(emb: String): String =
+    s"coalesce(list_aggregate([isfinite(x::DOUBLE) for x in $emb], 'bool_and'), TRUE)"
 
   /** Deterministic hyperplane weights, md5-derived per (plane, coord):
     * the first 16 bits of md5("hp|j|i") minus 2^15 — INDEPENDENT

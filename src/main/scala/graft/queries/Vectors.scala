@@ -40,7 +40,11 @@ object Vectors {
     * DuckDB mirror is bit-exact. Shared by q71 (codes + MSE) and q72
     * (ANN over codes). Columns: vec_id, embedding, mins, maxs, codes. */
   private def quantized(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // Hygiene at the index build: a non-finite coordinate poisons the
+    // per-dim [min, max] AND is unencodable itself (see finiteVec) —
+    // the stored SQ artifact contains finite vectors only.
     val c = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .filter(VectorFns.finiteVec("embedding"))
     val stats = c.select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
@@ -58,9 +62,12 @@ object Vectors {
   /** DuckDB mirror of [[quantized]] as CTEs defining `q(vec_id,
     * embedding, mins, maxs, codes)`. */
   private val quantizedSqlCtes: String =
-    """dims AS (
+    s"""fe AS (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE ${VectorFns.finiteVecSql("embedding")}),
+       dims AS (
          SELECT i AS pos, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
-         FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+         FROM fe, unnest(generate_series(1, 64)) AS t(i)
          GROUP BY i),
        s AS (
          SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM dims),
@@ -70,7 +77,7 @@ object Vectors {
             ELSE floor((embedding[i]::DOUBLE - mins[i])
               / (maxs[i] - mins[i]) * 255.0 + 0.5)::INT END
             for i in generate_series(1, 64)] AS codes
-         FROM embeddings CROSS JOIN s)"""
+         FROM fe CROSS JOIN s)"""
 
   /** IVF coarse-quantizer cell count, shared by q53/q101/q103. */
   private val IVF_K = 16
@@ -79,8 +86,14 @@ object Vectors {
     * from the corpus size (m = max(97, n div k)) so the centroid
     * table stays ~k rows at any corpus size — broadcastable, and
     * assignment stays O(n·k). Shared by q53/q101/q103. */
-  private def ivfCents(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val c = corpus(s, dir)
+  private def ivfCents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ivfCentsOf(corpus(s, dir))
+
+  /** [[ivfCents]] over an explicit corpus (vec_id, embedding, nsq) —
+    * q103 derives centroids from the FILTERED quantized corpus so the
+    * coarse quantizer and the codes see the same rows (mirroring its
+    * oracle, whose cents CTE reads the finite-filtered `q`). */
+  private def ivfCentsOf(c: org.apache.spark.sql.DataFrame) = {
     val nTotal = c.agg(count(lit(1)).as("n_total"))
     c.crossJoin(broadcast(nTotal))
       .filter(col("vec_id") %
@@ -630,7 +643,6 @@ object Vectors {
         graft.functions.DotProductF.register(s)
         graft.functions.SqDistI.register(s)
         val NPROBE = 2
-        val cents = ivfCents(s, dir)
         // The serving INDEX: one row per vector with its IVF cell,
         // int8 codes, and the float payload — the q53 argmax
         // assignment over the quantized corpus.
@@ -640,6 +652,9 @@ object Vectors {
         val qz = quantizedIdx(s, dir)
           .withColumn("nsq", VectorFns.normSqF("embedding"))
           .select(col("vec_id"), col("embedding"), col("nsq"), col("codes"))
+        // Centroids from the SAME finite-filtered corpus as the codes
+        // (the oracle's cents CTE reads the filtered `q`).
+        val cents = ivfCentsOf(qz)
         // The serving index is STAGED STORAGE-PARTITIONED BY CELL —
         // the layout a deployment writes once so that every probe's
         // nprobe cells become a partition-pruned scan (directories
@@ -1265,7 +1280,11 @@ object Vectors {
             .map("%02x".format(_)).mkString
           if (Integer.parseInt(hex.substring(0, 1), 16) < 8) "1D" else "-1D"
         }.mkString("array(", ", ", ")")
+        // Finite vectors only: a NaN/Inf coordinate makes the pair's
+        // distortion ratio undefined (and the e4 integer copy
+        // engine-divergent) — the audit is over encodable pairs.
         val pairs = Tables.embeddings(s, dir)
+          .filter(VectorFns.finiteVec("embedding"))
           .select((col("vec_id") / 2).cast("long").as("g"), col("vec_id"), col("embedding"))
           .groupBy(col("g"))
           .agg(count(lit(1)).as("cnt"),
@@ -1299,7 +1318,8 @@ object Vectors {
                  SELECT vec_id // 2 AS g, count(*) AS cnt,
                    min_by(embedding, vec_id) AS a,
                    max_by(embedding, vec_id) AS b
-                 FROM embeddings GROUP BY vec_id // 2),
+                 FROM embeddings WHERE ${VectorFns.finiteVecSql("embedding")}
+                 GROUP BY vec_id // 2),
                d AS (
                  SELECT g,
                    [a[i]::DOUBLE - b[i]::DOUBLE for i in generate_series(1, len(a))] AS d
@@ -1342,7 +1362,11 @@ object Vectors {
       "q132_pca_moments",
       (s, dir) => {
         import graft.operators.Pca
-        val e = Pca.quantize(Tables.embeddings(s, dir)).persist()
+        // e3 moment quantization is undefined on non-finite
+        // coordinates (finiteVec scaladoc) — moments over the
+        // encodable corpus, mirrored in the oracle's e CTE.
+        val e = Pca.quantize(Tables.embeddings(s, dir)
+          .filter(VectorFns.finiteVec("embedding"))).persist()
         val n = e.count()
         // d- and d²-bounded moment tables, consumed by both the
         // driver-side eigen solve (collect) and the digest plan —
@@ -1367,10 +1391,10 @@ object Vectors {
             lit(if (lambda >= trace / cov.length.toDouble && lambda > 0) 1 else 0)
               .as("eig_ok"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
                 SELECT [floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT
                         for i in generate_series(1, 64)] AS e
-                FROM embeddings),
+                FROM embeddings WHERE ${VectorFns.finiteVecSql("embedding")}),
               s AS (
                 SELECT i, sum(e[i]) AS s
                 FROM e, generate_series(1, 64) AS g(i) GROUP BY i),
@@ -1405,7 +1429,13 @@ object Vectors {
     QueryDef(
       "q142_embedding_drift",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir).select(
+        // Drift statistics over the encodable corpus only (finiteVec
+        // scaladoc): one NaN coordinate would otherwise poison its
+        // dimension's mean on both cohorts — silently as 0 here,
+        // loudly as a cast error in the oracle.
+        val e = Tables.embeddings(s, dir)
+          .filter(VectorFns.finiteVec("embedding"))
+          .select(
           (col("vec_id") % 2).cast("int").as("grp"),
           expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
             .as("e"))
@@ -1451,7 +1481,7 @@ object Vectors {
               SELECT (vec_id % 2)::INT AS grp,
                 [floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT
                  for i in generate_series(1, 64)] AS e
-              FROM embeddings),
+              FROM embeddings WHERE ${VectorFns.finiteVecSql("embedding")}),
             x AS (SELECT grp, i, e[i] AS v FROM e, generate_series(1, 64) AS g(i)),
             s AS (SELECT i,
                     sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,

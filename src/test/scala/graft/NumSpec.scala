@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Num
+
+/** Pins the three-way rounding contract: the Column [[Num.fround]]
+  * must equal `math.floor(x * p + 0.5) / p` evaluated in PLAIN double
+  * arithmetic (the driver-side copies in Clustering/Learning and the
+  * semantics of DuckDB's double-typed floor in [[Num.froundSql]]) for
+  * EVERY double, not just the finite mid-range. The old
+  * `floor(Column)`-based form silently diverged on the tails —
+  * Spark's floor(double) returns BIGINT, so NaN became 0 and |x| ≥
+  * 2^63 clamped — which the adversarial fixture turned into a
+  * cross-engine ANN re-ranking. */
+class NumSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val cases: Seq[Double] = Seq(
+    0.0, -0.0, 1.0, -1.0, 2.675, -2.675, 0.005, -0.005, 0.015,
+    123.4567891, -123.4567891, 1e-20, -1e-20, Double.MinPositiveValue,
+    4.9e15, 9.3e15, -9.3e15, 1.1e18, 9.3e18, -9.3e18, 1e300, -1e300,
+    1.5e308, -1.5e308, Double.MaxValue, Double.MinValue,
+    Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+
+  private def oracle(x: Double, digits: Int): Double = {
+    val p = math.pow(10, digits)
+    math.floor(x * p + 0.5) / p
+  }
+
+  test("fround equals plain-double floor rounding over the full double domain") {
+    for (digits <- Seq(2, 4, 6)) {
+      val got = cases.toDF("x")
+        .select(col("x"), Num.fround(col("x"), digits).as("r"))
+        .collect()
+        .map(r => java.lang.Double.doubleToLongBits(r.getDouble(0)) -> r.getDouble(1))
+        .toMap
+      cases.foreach { x =>
+        val expect = oracle(x, digits)
+        val actual = got(java.lang.Double.doubleToLongBits(x))
+        // bit-compare so NaN==NaN and -0.0 != 0.0 mismatches surface
+        assert(
+          java.lang.Double.doubleToLongBits(actual) ==
+            java.lang.Double.doubleToLongBits(expect),
+          s"fround($x, $digits): got $actual, expect $expect")
+      }
+    }
+  }
+
+  test("fround NaN/Inf pass through (the adversarial-fixture regression)") {
+    val r = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("x").select(Num.fround(col("x"), 4).as("r")).collect().map(_.getDouble(0))
+    assert(r(0).isNaN)
+    assert(r(1) == Double.PositiveInfinity)
+    assert(r(2) == Double.NegativeInfinity)
+  }
+}

@@ -4,7 +4,8 @@ edge-case rows a REAL corpus contains but the clean generator never
 emits — empty documents, single tokens, consecutive spaces, unicode
 (NFKC forms, CJK, ligatures), exact-duplicate text, a very long doc,
 punctuation-only text, a duplicated embedding, an all-zeros embedding,
-and a denormal-norm embedding.
+a denormal-norm embedding, a NaN-coordinate embedding, and a NaN-valued
+event.
 
 Round-10 findings from running `graft.Verify <out>` + `tools/compare.py
 <out>` on this fixture (all fixed, all 167 green since):
@@ -15,7 +16,16 @@ Round-10 findings from running `graft.Verify <out>` + `tools/compare.py
   - DuckDB's array_to_string([], sep) is NULL where Spark's concat_ws
     is '' (BPE wt0 lost the empty word type; q46 empty sample);
   - the q46 oracle sliced 8 CHARS where the engine slices 8 BYTES
-    (diverged on the first multibyte doc).
+    (diverged on the first multibyte doc);
+  - one NaN coordinate made Num.fround silently emit 0.0 (Spark's
+    floor(double) returns BIGINT; NaN→long casts to 0 with no error
+    even under ANSI) → fround is now an all-double pmod pipeline,
+    bit-exact vs libm floor over the FULL double domain (NumSpec);
+  - the fixed-point kernels (int8 SQ, e3/e4 moments, JL ratios:
+    q71/q72/q103/q129/q132/q142) are undefined on non-finite
+    coordinates — DuckDB aborts on the ::INT cast where Spark
+    silently zeros → finite-vector hygiene filter at each build
+    (VectorFns.finiteVec / finiteVecSql), mirrored on both engines.
 
 Usage: python3 tools/make_adversarial.py [src_sf_dir] [dst_dir]
        (defaults: /root/testdata/sf0.001 -> /tmp/sfadv)
@@ -52,7 +62,8 @@ con.execute(f"""
       ({e0 + 1}, TIMESTAMP '2024-01-15 07:30:00.123456', {u0}, 'click',  2.0,   '{{"k": 2}}'),
       ({e0 + 2}, TIMESTAMP '2024-01-15 00:00:00.000000', {u0}, 'purchase', -5.5, '{{"k": 3}}'),
       ({e0 + 3}, TIMESTAMP '2024-01-16 12:00:00.000000', {u0}, 'mystery_type', 0.0, '{{bad json'),
-      ({e0 + 4}, TIMESTAMP '2024-01-17 23:59:59.999999', {u0} + 1, 'view', 7.25, '{{}}')
+      ({e0 + 4}, TIMESTAMP '2024-01-17 23:59:59.999999', {u0} + 1, 'view', 7.25, '{{}}'),
+      ({e0 + 5}, TIMESTAMP '2024-01-18 09:15:30.500000', {u0} + 1, 'click', 'nan'::DOUBLE, '{{"k": 4}}')
     ) v(event_id, ts, user_id, event_type, value, props)
     UNION ALL
     SELECT * FROM '{src}/events.parquet' WHERE event_id = 5
@@ -98,6 +109,10 @@ con.execute(f"""
     SELECT {v0 + 1}::BIGINT, [0.0::FLOAT for i in generate_series(1,64)], 2::INT
     UNION ALL
     SELECT {v0 + 2}::BIGINT, [1e-20::FLOAT for i in generate_series(1,64)], 0::INT
+    UNION ALL
+    SELECT {v0 + 3}::BIGINT,
+      [CASE WHEN i = 7 THEN 'nan'::FLOAT ELSE 0.5::FLOAT END
+       for i in generate_series(1,64)], 1::INT
     ORDER BY vec_id
   ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 
