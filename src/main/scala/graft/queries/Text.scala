@@ -1954,5 +1954,66 @@ object Text {
                FROM a JOIN sz USING (cluster_id) CROSS JOIN sm
                ORDER BY a.doc_id"""),
     ),
+
+    // Shannon word-entropy quality gate — the entropy filter of
+    // production curation stacks (C4/Gopher treat low lexical entropy
+    // as the boilerplate/repetition signal; Data-Juicer ships it as
+    // `words_entropy_filter`). Complements q30's type-token ratio
+    // (TTR is entropy's zeroth-order cousin: it counts the support,
+    // entropy weighs it) and q67's repetition removal (which finds
+    // WHICH line repeats; this scores HOW degenerate the whole
+    // distribution is).
+    //
+    // Determinism: H = -Σ p·ln p folded over the SORTED distinct
+    // vocabulary, so the double accumulation order is identical in
+    // both engines (the cosineSql left-fold contract); ln on both
+    // sides (the q87/q165 pattern). norm_ent = H / ln(n_distinct)
+    // ∈ [0,1] (Pielou evenness), 0 by definition for single-token
+    // support. The keep gate compares the UNROUNDED entropy (both
+    // engines fold bit-identical doubles, so the boundary cannot
+    // disagree) — ent ≥ 2.5 nats AND ≥ 20 tokens keeps both regimes
+    // non-empty at every SF (36/464, 30/470, 408/4592 reject/keep).
+    //
+    // Scale: a narrow per-row map over the corpus scan — no shuffle,
+    // no driver state; per-row cost O(n_distinct · n_tokens) bounded
+    // by the document length, embarrassingly parallel at 100 TB.
+    QueryDef(
+      "q168_entropy_gate",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val n = size(toks).cast("double")
+        val uq = array_sort(array_distinct(toks))
+        val ent = aggregate(uq, lit(0.0d), (acc, w) => {
+          val p = size(filter(toks, t => t === w)).cast("double") / n
+          acc - p * log(p)
+        })
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(uq).as("n_distinct"),
+            Num.fround(ent, 4).as("ent"),
+            Num.fround(when(size(uq) <= 1, lit(0.0))
+              .otherwise(ent / log(size(uq).cast("double"))), 4).as("norm_ent"),
+            (ent >= 2.5 && size(toks) >= 20).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+                 SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               u AS (
+                 SELECT doc_id, ws, list_sort(list_distinct(ws)) AS uq FROM t),
+               e AS (
+                 SELECT doc_id, len(ws) AS n_tokens, len(uq) AS n_distinct,
+                   list_sum([
+                     -(len(list_filter(ws, x -> x = w)) / len(ws)::DOUBLE)
+                       * ln(len(list_filter(ws, x -> x = w)) / len(ws)::DOUBLE)
+                     for w in uq ]) AS ent0
+                 FROM u)
+               SELECT doc_id, n_tokens, n_distinct,
+                 ${Num.froundSql("ent0", 4)} AS ent,
+                 ${Num.froundSql(
+                   "CASE WHEN n_distinct <= 1 THEN 0.0 ELSE ent0 / ln(n_distinct::DOUBLE) END", 4)} AS norm_ent,
+                 (ent0 >= 2.5 AND n_tokens >= 20) AS keep
+               FROM e ORDER BY doc_id"""),
+    ),
   )
 }

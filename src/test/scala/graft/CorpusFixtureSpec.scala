@@ -101,4 +101,31 @@ class CorpusFixtureSpec extends SparkSuite {
         && expr("n_chars div 100") === g.getAs[Long]("size_bucket")).count()
     assert(direct == g.getAs[Long]("n_docs"))
   }
+
+  test("q168 entropy laws: uniform = ln(k) with evenness 1, degenerate = 0, bounds hold") {
+    val dir = docsDir(Seq(
+      (1L, "a b c d", "srcT"),          // uniform over 4 types
+      (2L, "x x x x x", "srcT"),        // single-type support
+      (3L, "", "srcT"),                 // empty text → one '' token
+      (4L, "a a b b b b", "srcT")))     // skewed two-type
+    val out = SparkEntry.queries("q168_entropy_gate")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((4, 4, 1.3863, 1.0, false)), s"uniform: ${out(1L)}")
+    assert(out(2L) == ((5, 1, 0.0, 0.0, false)), s"degenerate: ${out(2L)}")
+    assert(out(3L) == ((1, 1, 0.0, 0.0, false)), s"empty: ${out(3L)}")
+    // skewed: H = -(1/3 ln 1/3 + 2/3 ln 2/3) ≈ 0.6365, evenness < 1
+    assert(out(4L)._3 == 0.6365 && out(4L)._4 < 1.0, s"skewed: ${out(4L)}")
+    // corpus-wide laws: H ∈ [0, ln(n_distinct)], evenness ∈ [0, 1],
+    // every kept doc satisfies both gate legs
+    val real = SparkEntry.queries("q168_entropy_gate")(spark, "/root/testdata/sf0.001")
+    assert(real.filter(col("ent") < 0.0
+      || col("ent") > col("norm_ent") * 0.0 + log(col("n_distinct").cast("double")) + 0.0001
+      || col("norm_ent") < 0.0 || col("norm_ent") > 1.0001).count() == 0,
+      "entropy bounds violated on the corpus")
+    assert(real.filter(col("keep") && (col("ent") < 2.5 || col("n_tokens") < 20)).count() == 0,
+      "keep gate violated")
+    assert(real.filter(col("keep")).count() > 0 && real.filter(!col("keep")).count() > 0,
+      "gate vacuous at sf0.001 — both regimes must be non-empty")
+  }
 }
