@@ -1964,10 +1964,19 @@ object Text {
     // WHICH line repeats; this scores HOW degenerate the whole
     // distribution is).
     //
-    // Determinism: H = -Σ p·ln p folded over the SORTED distinct
-    // vocabulary, so the double accumulation order is identical in
-    // both engines (the cosineSql left-fold contract); ln on both
-    // sides (the q87/q165 pattern). norm_ent = H / ln(n_distinct)
+    // Determinism: H = -Σ p·ln p with one term per distinct token in
+    // SORTED vocabulary order, so the double accumulation order is
+    // identical in both engines (the cosineSql left-fold contract);
+    // ln on both sides (the q87/q165 pattern). The engine computes it
+    // as a run-length fold over array_sort(tokens): each run of a
+    // repeated token ends by emitting exactly the oracle's
+    // `acc - p·ln p` term (p = run_length/n as the same int→double
+    // cast and divide), and sorted runs visit the distinct vocabulary
+    // in the same order the oracle's fold over
+    // list_sort(list_distinct(..)) does — bit-identical doubles at
+    // O(n log n) per row instead of the naive O(n_distinct·n_tokens)
+    // count-each-word-by-rescanning form (which benched 5.6 s at
+    // sf0.1, a top-2 suite face). norm_ent = H / ln(n_distinct)
     // ∈ [0,1] (Pielou evenness), 0 by definition for single-token
     // support. The keep gate compares the UNROUNDED entropy (both
     // engines fold bit-identical doubles, so the boundary cannot
@@ -1975,26 +1984,51 @@ object Text {
     // non-empty at every SF (36/464, 30/470, 408/4592 reject/keep).
     //
     // Scale: a narrow per-row map over the corpus scan — no shuffle,
-    // no driver state; per-row cost O(n_distinct · n_tokens) bounded
-    // by the document length, embarrassingly parallel at 100 TB.
+    // no driver state; per-row cost O(n_tokens · log n_tokens)
+    // bounded by the document length, embarrassingly parallel at
+    // 100 TB.
     QueryDef(
       "q168_entropy_gate",
       (s, dir) => {
-        val toks = split(col("text"), " ")
+        // ArrayAggregate is CodegenFallback — no common-subexpression
+        // elimination — so the fold (and split) MUST be materialized
+        // in their own projections; referencing `ent` from three
+        // output columns inline re-runs the whole fold 3× per row
+        // (CollapseProject keeps the boundary: a non-cheap expression
+        // referenced more than once is never inlined).
+        val toks = col("toks")
         val n = size(toks).cast("double")
-        val uq = array_sort(array_distinct(toks))
-        val ent = aggregate(uq, lit(0.0d), (acc, w) => {
-          val p = size(filter(toks, t => t === w)).cast("double") / n
+        def emit(acc: org.apache.spark.sql.Column,
+                 cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val p = cnt.cast("double") / n
           acc - p * log(p)
-        })
+        }
+        val z = struct(lit(null).cast("string").as("prev"),
+          lit(0).as("cnt"), lit(0.0d).as("acc"))
+        val ent = aggregate(array_sort(toks), z,
+          (a, t) => {
+            val prev = a.getField("prev")
+            val cnt = a.getField("cnt")
+            val s0 = a.getField("acc")
+            when(cnt > 0 && t === prev,
+              struct(prev.as("prev"), (cnt + 1).as("cnt"), s0.as("acc")))
+              .otherwise(struct(t.as("prev"), lit(1).as("cnt"),
+                when(cnt > 0, emit(s0, cnt)).otherwise(s0).as("acc")))
+          },
+          a => when(a.getField("cnt") > 0, emit(a.getField("acc"), a.getField("cnt")))
+            .otherwise(a.getField("acc")))
         Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"),
             size(toks).as("n_tokens"),
-            size(uq).as("n_distinct"),
-            Num.fround(ent, 4).as("ent"),
-            Num.fround(when(size(uq) <= 1, lit(0.0))
-              .otherwise(ent / log(size(uq).cast("double"))), 4).as("norm_ent"),
-            (ent >= 2.5 && size(toks) >= 20).as("keep"))
+            size(array_distinct(toks)).as("n_distinct"),
+            ent.as("ent0"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            Num.fround(col("ent0"), 4).as("ent"),
+            Num.fround(when(col("n_distinct") <= 1, lit(0.0))
+              .otherwise(col("ent0") / log(col("n_distinct").cast("double"))), 4)
+              .as("norm_ent"),
+            (col("ent0") >= 2.5 && col("n_tokens") >= 20).as("keep"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (
