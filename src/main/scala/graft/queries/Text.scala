@@ -290,6 +290,18 @@ object Text {
         pairs AS (SELECT doc_a, doc_b, jaccard FROM rawpairs WHERE jaccard >= $threshold)"""
   }
 
+  /** Staged (source, token, count) table — the corpus collapses ONCE
+    * per JVM; q146's diversity audit and q169's Zipf fit both read
+    * the stored vocab-bounded rows (the count table is orders of
+    * magnitude smaller than the corpus: |sources|·|vocab| rows). */
+  private def wordCounts(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Staged.parquet(s, s"q146wc|$dir") {
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Document fingerprinting (rolling-hash analog): raw + normalized
@@ -1790,12 +1802,9 @@ object Text {
       "q146_corpus_diversity",
       (s, dir) => {
         // staged (source, token, count) table — totals and the entropy
-        // pass both read the stored vocab-bounded rows
-        val wc = graft.operators.Staged.parquet(s, s"q146wc|$dir") {
-          Tables.documents(s, dir)
-            .select(col("source"), explode(split(col("text"), " ")).as("w"))
-            .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-        }
+        // pass both read the stored vocab-bounded rows (shared with
+        // q169's Zipf fit via wordCounts)
+        val wc = wordCounts(s, dir)
         val tot = wc.groupBy(col("source"))
           .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
         val p = col("c").cast("double") / col("n_tokens")
@@ -2048,6 +2057,179 @@ object Text {
                    "CASE WHEN n_distinct <= 1 THEN 0.0 ELSE ent0 / ln(n_distinct::DOUBLE) END", 4)} AS norm_ent,
                  (ent0 >= 2.5 AND n_tokens >= 20) AS keep
                FROM e ORDER BY doc_id"""),
+    ),
+
+    // Zipf rank-frequency fit per source — the corpus-health number
+    // next to q146's entropy/TTR dashboard: natural text follows
+    // freq ∝ rank^slope with slope ≈ -1 (Zipf's law); a collapsed or
+    // templated source bends the curve (flat head = boilerplate
+    // dominance, cliff = tiny effective vocabulary). OLS of
+    // ln(freq) ~ ln(rank) over each source's top-64 tokens, the
+    // standard log-log fit.
+    //
+    // Determinism: the five OLS moments are NOT plain float sums
+    // (shuffle-partial order would differ between engines) — each
+    // source's ≤64 (rank, count) pairs collect into a rank-sorted
+    // array and ONE left fold accumulates all five moments in rank
+    // order (the cosineSql contract), mirrored by DuckDB list_sum
+    // over `list(... ORDER BY r)` comprehensions; closed forms then
+    // run on identical doubles. Degenerate guards: varX = 0 (single
+    // point) and varY = 0 (all counts equal — a uniform source) pin
+    // slope/r2 to 0.0, CASE-mirrored.
+    //
+    // Scale shape: reads the SAME staged (source, token, count)
+    // artifact as q146 (one corpus collapse per JVM); the rank
+    // window runs over the vocab-bounded count table, never corpus
+    // rows; after the top-64 trim everything is a ≤64·|sources|-row
+    // aggregate.
+    QueryDef(
+      "q169_zipf_slope",
+      (s, dir) => {
+        val N = 64
+        val win = Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("w"))
+        val top = wordCounts(s, dir)
+          .withColumn("r", row_number().over(win)).filter(col("r") <= N)
+        val g = top.groupBy(col("source")).agg(
+          count(lit(1)).as("n_top"),
+          sort_array(collect_list(struct(col("r"), col("c")))).as("pts"))
+        val z = struct(lit(0.0d).as("sx"), lit(0.0d).as("sy"),
+          lit(0.0d).as("sxy"), lit(0.0d).as("sxx"), lit(0.0d).as("syy"))
+        val mom = aggregate(col("pts"), z, (a, p) => {
+          val xi = log(p.getField("r").cast("double"))
+          val yi = log(p.getField("c").cast("double"))
+          struct((a.getField("sx") + xi).as("sx"),
+            (a.getField("sy") + yi).as("sy"),
+            (a.getField("sxy") + xi * yi).as("sxy"),
+            (a.getField("sxx") + xi * xi).as("sxx"),
+            (a.getField("syy") + yi * yi).as("syy"))
+        })
+        val nD = col("n_top").cast("double")
+        val (sx, sy, sxy, sxx, syy) =
+          (col("m.sx"), col("m.sy"), col("m.sxy"), col("m.sxx"), col("m.syy"))
+        val cov = nD * sxy - sx * sy
+        val varX = nD * sxx - sx * sx
+        val varY = nD * syy - sy * sy
+        g.select(col("source"), col("n_top"), mom.as("m"))
+          .select(col("source"), col("n_top"),
+            Num.fround(when(varX === 0.0, 0.0).otherwise(cov / varX), 4)
+              .as("slope"),
+            Num.fround(when(varX === 0.0, 0.0)
+              .otherwise((sy - cov / varX * sx) / nD), 4).as("intercept"),
+            Num.fround(when(varX === 0.0 || varY === 0.0, 0.0)
+              .otherwise(cov * cov / (varX * varY)), 4).as("r2"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH wc AS (
+                 SELECT source, w, count(*)::BIGINT AS c FROM (
+                   SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+                 GROUP BY source, w),
+               top AS (
+                 SELECT source, w, c,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, w) AS r
+                 FROM wc QUALIFY r <= 64),
+               g AS (
+                 SELECT source, count(*)::BIGINT AS n_top,
+                   list_sum([ln(p.r::DOUBLE) for p in
+                     list(struct_pack(r := r, c := c) ORDER BY r)]) AS sx,
+                   list_sum([ln(p.c::DOUBLE) for p in
+                     list(struct_pack(r := r, c := c) ORDER BY r)]) AS sy,
+                   list_sum([ln(p.r::DOUBLE) * ln(p.c::DOUBLE) for p in
+                     list(struct_pack(r := r, c := c) ORDER BY r)]) AS sxy,
+                   list_sum([ln(p.r::DOUBLE) * ln(p.r::DOUBLE) for p in
+                     list(struct_pack(r := r, c := c) ORDER BY r)]) AS sxx,
+                   list_sum([ln(p.c::DOUBLE) * ln(p.c::DOUBLE) for p in
+                     list(struct_pack(r := r, c := c) ORDER BY r)]) AS syy
+                 FROM top GROUP BY source),
+               d AS (
+                 SELECT source, n_top, n_top::DOUBLE AS nd,
+                   sx, sy, sxy, sxx, syy,
+                   n_top::DOUBLE * sxy - sx * sy AS cov,
+                   n_top::DOUBLE * sxx - sx * sx AS varx,
+                   n_top::DOUBLE * syy - sy * sy AS vary
+                 FROM g)
+               SELECT source, n_top,
+                 ${Num.froundSql(
+                   "CASE WHEN varx = 0.0 THEN 0.0 ELSE cov / varx END", 4)} AS slope,
+                 ${Num.froundSql(
+                   """CASE WHEN varx = 0.0 THEN 0.0
+                      ELSE (sy - cov / varx * sx) / nd END""", 4)} AS intercept,
+                 ${Num.froundSql(
+                   """CASE WHEN varx = 0.0 OR vary = 0.0 THEN 0.0
+                      ELSE cov * cov / (varx * vary) END""", 4)} AS r2
+               FROM d ORDER BY source"""),
+    ),
+
+    // OOV rate under a truncated vocabulary — the tokenizer-budget
+    // twin of q137's fertility: fix the vocabulary to the corpus's
+    // top-K tokens by global frequency (what a budgeted word-level
+    // tokenizer would keep) and measure, per document, the fraction
+    // of token OCCURRENCES that fall outside it. High OOV = the doc
+    // is far from the corpus head distribution — rare-domain, noisy,
+    // or non-natural text; the keep gate is occurrence-weighted so a
+    // long doc stuffed with rare tokens fails even when its distinct
+    // vocabulary is small.
+    //
+    // Determinism: everything is exact integers — vocabulary
+    // membership (top-256 by (total DESC, token ASC), a total order
+    // so the boundary tie is pinned), per-doc token and OOV counts;
+    // the one ratio rounds last and the keep gate cross-multiplies
+    // integers (n_oov·100 ≤ n_tokens·45) so no float ever decides it.
+    // K = 16 because the budget must cut INSIDE the corpus head for
+    // the gate to bite (the q151 measure-before-pinning lesson: this
+    // templated synthetic corpus has 31 distinct words TOTAL, so any
+    // K ≥ 31 makes every doc trivially in-vocabulary); at K = 16 the
+    // per-doc OOV medians sit at 0.45/0.45/0.46 across the three SFs
+    // and the 45% gate keeps both regimes non-empty at each.
+    //
+    // Scale shape: the vocabulary is TakeOrdered(K) over the staged
+    // global count table and BROADCASTS to the corpus explode — the
+    // corpus-side join never shuffles; the per-doc reaggregate
+    // shuffles narrow (doc_id, flag) rows, the same linear shape as
+    // q69's TF-IDF. No driver state beyond the 256-row dim.
+    QueryDef(
+      "q170_oov_rate",
+      (s, dir) => {
+        val K = 16
+        val vocab = wordCounts(s, dir)
+          .groupBy(col("w")).agg(sum(col("c")).as("tot"))
+          .orderBy(col("tot").desc, col("w")).limit(K)
+          .select(col("w"), lit(1).as("in_vocab"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(vocab), Seq("w"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            Num.fround(col("n_oov").cast("double") / col("n_tokens"), 4)
+              .as("oov_rate"),
+            (col("n_oov") * 100 <= col("n_tokens") * 45).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH wc AS (
+                 SELECT source, w, count(*)::BIGINT AS c FROM (
+                   SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+                 GROUP BY source, w),
+               v AS (
+                 SELECT w FROM (
+                   SELECT w, sum(c)::BIGINT AS tot FROM wc GROUP BY w)
+                 ORDER BY tot DESC, w LIMIT 16),
+               t AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+               a AS (
+                 SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+                 FROM t LEFT JOIN v ON t.w = v.w
+                 GROUP BY doc_id)
+               SELECT doc_id, n_tokens, n_oov,
+                 ${Num.froundSql("n_oov::DOUBLE / n_tokens", 4)} AS oov_rate,
+                 (n_oov * 100 <= n_tokens * 45) AS keep
+               FROM a ORDER BY doc_id"""),
     ),
   )
 }

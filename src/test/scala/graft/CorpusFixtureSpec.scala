@@ -128,4 +128,55 @@ class CorpusFixtureSpec extends SparkSuite {
     assert(real.filter(col("keep")).count() > 0 && real.filter(!col("keep")).count() > 0,
       "gate vacuous at sf0.001 — both regimes must be non-empty")
   }
+
+  test("q169 zipf laws: perfect 1/r source fits slope -1 r2 1; degenerate sources guard to 0") {
+    val dir = docsDir(Seq(
+      // counts 12/r for ranks 1..4 (12, 6, 4, 3): ln c = ln 12 - ln r
+      // exactly, so OLS slope = -1, r2 = 1, intercept = ln 12
+      (1L, ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim, "srcZ"),
+      // uniform counts: varY = 0 -> slope 0 (cov = 0), r2 guard 0,
+      // intercept = mean(ln 2) = ln 2
+      (2L, "u1 u1 u2 u2 u3 u3", "srcU"),
+      // single distinct word: n_top = 1, varX = 0 -> all guards fire
+      (3L, "s s s", "srcS")))
+    val out = SparkEntry.queries("q169_zipf_slope")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("srcZ") == ((4L, -1.0, 2.4849, 1.0)), s"zipf: ${out("srcZ")}")
+    assert(out("srcU") == ((3L, 0.0, 0.6931, 0.0)), s"uniform: ${out("srcU")}")
+    assert(out("srcS") == ((1L, 0.0, 0.0, 0.0)), s"single: ${out("srcS")}")
+    // corpus-wide laws: r2 in [0,1]; a templated corpus still slopes
+    // DOWN (rank-1 count >= rank-64 count by construction of ranks)
+    val real = SparkEntry.queries("q169_zipf_slope")(spark, "/root/testdata/sf0.001")
+    assert(real.filter(col("r2") < 0.0 || col("r2") > 1.0001).count() == 0, "r2 out of [0,1]")
+    assert(real.filter(col("n_top") > 1 && col("slope") > 0.0).count() == 0,
+      "positive slope impossible: counts are non-increasing in rank")
+  }
+
+  test("q170 oov laws: head doc 0, tail doc 1, mixed docs straddle the 45% gate") {
+    // 16 head words at count >= 20 monopolize the top-16 vocabulary;
+    // tail words (counts 3..7) can never displace them, so the OOV
+    // set is stable by construction.
+    val head = (1 to 16).map(i => f"h$i%02d").flatMap(w => Seq.fill(20)(w))
+    val dir = docsDir(Seq(
+      (1L, head.mkString(" "), "srcT"),                       // all in-vocab
+      (2L, "t1 t1 t1 t2", "srcT"),                            // all OOV
+      (3L, "h01 h02 h03 t3 t3 t3 t3 t3 t3 t3", "srcT"),       // 7/10 = 0.70 > 45%
+      (4L, "h01 h02 h03 h04 h05 h06 t4 t4 t4 t4", "srcT")))   // 4/10 = 0.40 <= 45%
+    val out = SparkEntry.queries("q170_oov_rate")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((320L, 0L, 0.0, true)), s"head: ${out(1L)}")
+    assert(out(2L) == ((4L, 4L, 1.0, false)), s"tail: ${out(2L)}")
+    assert(out(3L) == ((10L, 7L, 0.7, false)), s"mix-reject: ${out(3L)}")
+    assert(out(4L) == ((10L, 4L, 0.4, true)), s"mix-keep: ${out(4L)}")
+    // corpus-wide laws: counts reconcile with the doc's own tokens,
+    // the gate is exactly the cross-multiplied inequality, and both
+    // regimes are non-empty at sf0.001
+    val real = SparkEntry.queries("q170_oov_rate")(spark, "/root/testdata/sf0.001")
+    assert(real.filter(col("n_oov") > col("n_tokens") || col("n_oov") < 0).count() == 0)
+    assert(real.filter(col("keep") =!= (col("n_oov") * 100 <= col("n_tokens") * 45)).count() == 0)
+    assert(real.filter(col("keep")).count() > 0 && real.filter(!col("keep")).count() > 0,
+      "gate vacuous at sf0.001 — both regimes must be non-empty")
+  }
 }
