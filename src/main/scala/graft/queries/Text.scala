@@ -2231,5 +2231,75 @@ object Text {
                  (n_oov * 100 <= n_tokens * 45) AS keep
                FROM a ORDER BY doc_id"""),
     ),
+
+    // Robust length outliers per source — median/MAD instead of
+    // q102's mean/σ z-score: one pathological document (a 10M-token
+    // concatenation bug, a truncation-to-empty bug) drags a mean far
+    // enough to mask ITSELF, while the median doesn't move; robust
+    // statistics are how production curation flags length anomalies
+    // without the outliers poisoning the threshold. Per-source median
+    // token count, MAD (median absolute deviation), and the standard
+    // |x − med| > 3·MAD flag.
+    //
+    // Determinism: ENTIRELY integer — both medians are discrete
+    // (quantile_disc semantics, the q108/q165-proven alignment:
+    // Spark's ceil(n·p) rank ≡ DuckDB's floor(p·(n−1)) index at
+    // p = 0.5 for even and odd n), deviations are integer
+    // differences, and the outlier gate compares dev > 3·mad in
+    // integers — no float ever decides anything; robust_z divides
+    // integers (mad = 0 pins the denominator to 1, CASE-mirrored)
+    // and rounds last.
+    //
+    // Scale shape: both order statistics run in count-of-counts form
+    // over the staged docLens table (token counts are value-domain-
+    // bounded, so the distinct-count table is tiny — the q165
+    // threshold trick); med and mad broadcast back as |sources|-row
+    // dims; the corpus text is never touched past the shared staged
+    // projection.
+    QueryDef(
+      "q171_robust_outliers",
+      (s, dir) => {
+        val dl = Tables.docLens(s, dir)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+        val med = graft.operators.ExactMedian.quantilesDiscSmallDomain(
+          dl.select(col("source"), col("n_tokens")),
+          "source", "n_tokens", Seq("med" -> 0.5))
+        val withDev = dl.join(broadcast(med), Seq("source"))
+          .withColumn("dev",
+            abs(col("n_tokens").cast("long") - col("med").cast("long")))
+        val mad = graft.operators.ExactMedian.quantilesDiscSmallDomain(
+          withDev.select(col("source"), col("dev")),
+          "source", "dev", Seq("mad" -> 0.5))
+        withDev.join(broadcast(mad), Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("med").cast("long").as("med"),
+            col("mad").cast("long").as("mad"),
+            Num.fround(col("dev").cast("double") /
+              when(col("mad") === 0, 1L).otherwise(col("mad")).cast("double"), 4)
+              .as("robust_z"),
+            (col("dev") > col("mad").cast("long") * 3L).as("is_outlier"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+                 SELECT doc_id, source,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens
+                 FROM documents),
+               m AS (
+                 SELECT source, quantile_disc(n_tokens, 0.5)::BIGINT AS med
+                 FROM t GROUP BY source),
+               d AS (
+                 SELECT t.doc_id, t.source, t.n_tokens, m.med,
+                   abs(t.n_tokens - m.med)::BIGINT AS dev
+                 FROM t JOIN m USING (source)),
+               md AS (
+                 SELECT source, quantile_disc(dev, 0.5)::BIGINT AS mad
+                 FROM d GROUP BY source)
+               SELECT d.doc_id, d.source, d.n_tokens, d.med, md.mad,
+                 ${Num.froundSql(
+                   "dev::DOUBLE / (CASE WHEN md.mad = 0 THEN 1 ELSE md.mad END)", 4)}
+                   AS robust_z,
+                 (d.dev > md.mad * 3) AS is_outlier
+               FROM d JOIN md USING (source) ORDER BY d.doc_id"""),
+    ),
   )
 }

@@ -179,4 +179,38 @@ class CorpusFixtureSpec extends SparkSuite {
     assert(real.filter(col("keep")).count() > 0 && real.filter(!col("keep")).count() > 0,
       "gate vacuous at sf0.001 — both regimes must be non-empty")
   }
+
+  test("q171 robust laws: median ignores the outlier that wrecks a mean; MAD=0 pins z-denominator") {
+    def doc(id: Long, n: Int, src: String) = (id, Seq.fill(n)("w").mkString(" "), src)
+    val dir = docsDir(Seq(
+      // srcA lengths 8,10,12,14,16: med=12, devs {4,2,0,2,4} -> mad=2,
+      // outlier iff dev > 6: none (the 16-token doc is NOT flagged)
+      doc(1L, 8, "srcA"), doc(2L, 10, "srcA"), doc(3L, 12, "srcA"),
+      doc(4L, 14, "srcA"), doc(5L, 16, "srcA"),
+      // srcB lengths 10,10,10,10,100: med=10 (a MEAN would be 28 and
+      // the z-denominator inflated by the outlier itself), devs
+      // {0,0,0,0,90} -> mad=0 -> z-denominator pins to 1; only the
+      // 100-token doc flags (90 > 0)
+      doc(6L, 10, "srcB"), doc(7L, 10, "srcB"), doc(8L, 10, "srcB"),
+      doc(9L, 10, "srcB"), doc(10L, 100, "srcB")))
+    val out = SparkEntry.queries("q171_robust_outliers")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out(3L) == ((12L, 2L, 0.0, false)), s"srcA median doc: ${out(3L)}")
+    assert(out(5L) == ((12L, 2L, 2.0, false)), s"srcA widest doc: ${out(5L)}")
+    assert(out(10L) == ((10L, 0L, 90.0, true)), s"srcB outlier: ${out(10L)}")
+    assert(out(6L) == ((10L, 0L, 0.0, false)), s"srcB normal doc: ${out(6L)}")
+    // corpus-wide laws: the flag is exactly the integer inequality,
+    // and at least half of every source sits within one MAD of its
+    // median (the defining property of the median of deviations)
+    val real = SparkEntry.queries("q171_robust_outliers")(spark, "/root/testdata/sf0.001")
+    assert(real.filter(col("is_outlier") =!=
+      (abs(col("n_tokens") - col("med")) > col("mad") * 3)).count() == 0)
+    val within = real.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(when(abs(col("n_tokens") - col("med")) <= col("mad"), 1L)
+        .otherwise(0L)).as("w"))
+    assert(within.filter(col("w") * 2 < col("n")).count() == 0,
+      "MAD law violated: fewer than half within one MAD of the median")
+  }
 }
