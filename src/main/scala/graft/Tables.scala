@@ -60,7 +60,26 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Embeddings load with CORPUS HYGIENE at the ingest boundary: a
+    * NULL vector or a vector with a NULL coordinate is a malformed
+    * row (a float can be NaN/Inf and still be data; a NULL coordinate
+    * is a serialization bug) and never enters the engine — the
+    * bronze→silver constraint any production pipeline enforces once
+    * at ingest rather than per-query. Without it the engines diverge
+    * on every unfiltered vector aggregate: Spark's array HOFs
+    * propagate the NULL element (NULL dot, row dropped by filters)
+    * while DuckDB's list aggregates IGNORE NULLs (row kept with a
+    * shifted value) — a null-coordinate fixture row split 15
+    * centroid/ANN queries before this filter. Oracle SQL mirrors via
+    * [[graft.functions.VectorFns.embeddingsSql]]; NaN/±Inf hygiene
+    * for fixed-point kernels stays the separate, narrower
+    * `finiteVec` filter at the encode/moment build. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, forall, lit}
+    table(s, d, "embeddings").filter(
+      coalesce(forall(col("embedding"), x => x.isNotNull), lit(false)))
+  }
 
   /** The `(doc_id, source, lang, n_tokens)` projection of `documents`,
     * STAGED once per input dir (operators/Staged): whitespace token

@@ -18,24 +18,36 @@ import org.apache.spark.sql.functions._
   * replacement (e.g. a half-away variant) must change the Scala, SQL,
   * and driver-side (Clustering/ClusteringSpec) copies together. */
 object Num {
-  /** Floors via `x - pmod(x, 1.0)` — an all-DOUBLE pipeline — not
+  /** Floors via the exact fmod `%` — an all-DOUBLE pipeline — not
     * Spark's `floor(double)`, which returns BIGINT and therefore
     * silently corrupts the tails DuckDB's libm floor handles:
     * NaN→long casts to 0 with NO error even under ANSI (fround(NaN)
     * became 0.0, re-ranking an ANN top-k on one engine only — caught
     * by the adversarial-fixture differential), and |x| ≥ 2^63 clamps
     * to Long.MaxValue where DuckDB keeps 1e300-grade magnitudes.
-    * The pmod form is bit-exact vs libm floor for every finite x
-    * (fmod is exact per IEEE-754, and subtracting the fractional part
-    * from x is exact), NaN propagates through it natively, and only
-    * ±Inf needs a branch (pmod(Inf,1) is NaN where DuckDB's
-    * floor(Inf) is Inf). So the DuckDB mirror needs no guard — the
-    * Scala side now reproduces double-floor semantics exactly. */
+    * `x % 1.0` (fmod) is exact per IEEE-754 and keeps the sign of x,
+    * so `x - (x % 1.0)` is trunc(x), exact; a negative non-integer
+    * then needs `- 1` (also exact — any double with a fractional part
+    * has |x| < 2^53, so trunc(x) - 1 is representable). NOT
+    * `pmod(x, 1.0)`: pmod's `(x % 1 + 1) % 1` rounds the intermediate
+    * `x%1 + 1.0` to exactly 1.0 for x%1 in (-2^-54, 0), returning 0
+    * where the true fractional part is nonzero — fround then yielded
+    * -0.0 where libm floor yields the next cent down (ADVICE r10).
+    * NaN propagates through `%` natively; only ±Inf needs a branch
+    * (Inf % 1 is NaN where DuckDB's floor(Inf) is Inf). The DuckDB
+    * mirror therefore needs no guard — this reproduces double-floor
+    * semantics exactly for every double. The integer branch returns x
+    * itself (`abs(r) === 0.0` catches the negative-zero remainder of a
+    * negative integer too), preserving floor(-0.0) = -0.0 bit-exactly
+    * as libm does. */
   def fround(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
     val x = c * p + 0.5
+    val r = x % lit(1.0)
     when(abs(x) === Double.PositiveInfinity, x)
-      .otherwise(x - pmod(x, lit(1.0))) / p
+      .when(abs(r) === lit(0.0), x)
+      .when(x > 0, x - r)
+      .otherwise(x - r - lit(1.0)) / p
   }
 
   /** SQL text of the same expression, for oracle queries. */
@@ -234,13 +246,46 @@ object VectorFns {
     * rows). The float-cosine family needs NO such filter — NaN sims
     * order identically in both engines. `abs(x) < Inf` is the whole
     * test: NaN compares greater than Inf in BOTH engines' ordering,
-    * so it excludes NaN and ±Inf in one branch-free comparison. */
+    * so it excludes NaN and ±Inf in one branch-free comparison.
+    * NULL semantics are pinned EXPLICITLY on both engines (ADVICE
+    * r10): a NULL vector or a NULL coordinate → FALSE (not NULL) —
+    * Spark's bare `forall` yields NULL for a NULL element (row
+    * dropped by a filter) while DuckDB's bool_and IGNORES NULLs (row
+    * kept), so without the coalesces a null-coordinate embedding
+    * split the engines on every finite-filtered query. */
   def finiteVec(emb: String): Column =
-    forall(col(emb), x => abs(x.cast("double")) < lit(Double.PositiveInfinity))
+    coalesce(
+      forall(col(emb), x =>
+        when(x.isNull, lit(false))
+          .otherwise(abs(x.cast("double")) < lit(Double.PositiveInfinity))),
+      lit(false))
 
-  /** DuckDB mirror of [[finiteVec]] (empty list → TRUE, as forall). */
+  /** DuckDB mirror of [[finiteVec]]: empty list → TRUE (as forall),
+    * NULL list → FALSE, NULL element → FALSE. */
   def finiteVecSql(emb: String): String =
-    s"coalesce(list_aggregate([isfinite(x::DOUBLE) for x in $emb], 'bool_and'), TRUE)"
+    s"($emb IS NOT NULL AND coalesce(list_aggregate(" +
+      s"[coalesce(isfinite(x::DOUBLE), FALSE) for x in $emb], 'bool_and'), TRUE))"
+
+  /** TRUE iff the vector is WELL-FORMED: non-NULL and free of NULL
+    * coordinates (NaN/±Inf are still data — see [[finiteVec]] for the
+    * stricter fixed-point-kernel filter). [[graft.Tables.embeddings]]
+    * applies this at the ingest boundary; oracle SQL mirrors with
+    * [[embeddingsSql]]. */
+  def wellFormedSql(emb: String): String =
+    s"($emb IS NOT NULL AND coalesce(list_aggregate(" +
+      s"[x IS NOT NULL for x in $emb], 'bool_and'), TRUE))"
+
+  /** The hygienic `embeddings` relation for oracle FROM clauses — the
+    * DuckDB mirror of [[graft.Tables.embeddings]]'s ingest filter.
+    * Splice as `FROM ${VectorFns.embeddingsSql}` (the subquery keeps
+    * the relation name `embeddings`, so downstream SQL is unchanged);
+    * use [[embeddingsSqlAs]] where the site binds its own alias. */
+  val embeddingsSql: String =
+    s"(SELECT * FROM embeddings WHERE ${wellFormedSql("embedding")}) embeddings"
+
+  /** [[embeddingsSql]] bound to a caller-chosen alias. */
+  def embeddingsSqlAs(alias: String): String =
+    s"(SELECT * FROM embeddings WHERE ${wellFormedSql("embedding")}) $alias"
 
   /** Deterministic hyperplane weights, md5-derived per (plane, coord):
     * the first 16 bits of md5("hp|j|i") minus 2^15 — INDEPENDENT

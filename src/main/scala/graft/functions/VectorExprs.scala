@@ -154,7 +154,12 @@ object SqDistI {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val d = (a.getInt(i) - b.getInt(i)).toLong
+      // widen BEFORE subtracting: sqdist_i is registered as a public
+      // SQL function over general ARRAY<INT>, and (Int.MaxValue - -1)
+      // in 32-bit silently wraps to 0 — the long diff is exact for the
+      // full int domain (accumulator overflow needs ~2^62/diff^2
+      // elements, beyond any real vector)
+      val d = a.getInt(i).toLong - b.getInt(i).toLong
       acc += d * d
       i += 1
     }

@@ -69,7 +69,23 @@ object MergeInto {
     * at `dir` for epoch `epochId`. Only buckets present in `updates`
     * are read and rewritten; re-running with the same (updates,
     * epochId) — Spark's at-least-once batch retry — overwrites
-    * `v=epochId` from pre-epoch state, never double-counts. */
+    * `v=epochId` from pre-epoch state, never double-counts.
+    *
+    * SINGLE GLOBAL EPOCH SEQUENCE, ENFORCED: every epoch a layout ever
+    * sees must come from ONE monotone sequence, even when several
+    * maintenance paths (insert stream, delete stream, batch repair)
+    * write the same directory — two independent batch-id counters that
+    * collide on an epoch would have the second writer overwrite the
+    * first's `v=` directory for shared buckets while merging from
+    * pre-epoch state that EXCLUDES it, silently dropping that batch.
+    * `writer` names the path; the first write of an epoch claims it
+    * (atomic create of `_epochs/e=<epoch>`), a re-write by the SAME
+    * writer is the legitimate at-least-once replay, and a write by a
+    * DIFFERENT writer fails loudly instead of losing rows. Paths with
+    * independent counters allocate collision-free epochs via
+    * [[epochFor]]. Writes must still be serialized (one in-flight
+    * merge per layout) — plain parquet has no cross-process commit
+    * log; that is the documented single-writer-at-a-time contract. */
   def mergeBucketed(
       spark: SparkSession,
       dir: String,
@@ -78,11 +94,13 @@ object MergeInto {
       aggs: Seq[Column],
       epochId: Long,
       bucketOn: Column,
-      numBuckets: Int): Unit = {
+      numBuckets: Int,
+      writer: String = ""): Unit = {
     val contrib = updates.withColumn("bucket", pmod(hash(bucketOn), lit(numBuckets)))
     val touched = contrib.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded: <= numBuckets values
     if (touched.nonEmpty) {
+      claimEpoch(spark, dir, epochId, writer)
       // Prior state read is DIRECTORY-pruned to the touched buckets
       // (readVersions opens only those bucket= dirs) — a batch's IO
       // really is proportional to the buckets it touches; a row-level
@@ -94,6 +112,87 @@ object MergeInto {
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/v=$epochId")
     }
+  }
+
+  // ------- epoch log: dir/_epochs (claims + per-writer batch map) ----
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeUtf8(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      s: String, overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite) // overwrite=false is the atomic claim
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Claim `v=<epochId>` for `writer`, or verify an existing claim.
+    * Same writer → legitimate at-least-once replay, proceed. Different
+    * writer → the silent-overwrite hazard; fail. The create-no-
+    * overwrite is atomic on HDFS/local, so a concurrent double-claim
+    * resolves to exactly one owner. */
+  private[graft] def claimEpoch(spark: SparkSession, dir: String,
+      epochId: Long, writer: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val claim = new Path(dir, s"_epochs/e=$epochId")
+    def refuse(owner: String): Nothing = sys.error(
+      s"epoch $epochId at $dir is owned by writer '$owner'; refusing the " +
+        s"write from '$writer' — all maintenance paths of one layout must " +
+        "share a single global epoch sequence (allocate via MergeInto.epochFor)")
+    if (fs.exists(claim)) {
+      val owner = readUtf8(fs, claim)
+      if (owner != writer) refuse(owner)
+    } else {
+      fs.mkdirs(claim.getParent)
+      try writeUtf8(fs, claim, writer, overwrite = false)
+      catch { case _: java.io.IOException => // lost a concurrent claim race
+        val owner = readUtf8(fs, claim)
+        if (owner != writer) refuse(owner)
+      }
+    }
+  }
+
+  /** Allocate (or recover, on replay) the GLOBAL epoch for `writer`'s
+    * local `batchId` — the bridge from N independent streaming
+    * checkpoints (each with its own batch-id counter) to the one
+    * monotone epoch sequence [[mergeBucketed]] requires. The
+    * (writer, batchId) → epoch map is durable in `_epochs/`, so a
+    * replayed micro-batch gets ITS epoch back and overwrites its own
+    * `v=` directory; a fresh batch claims max+1 (atomically — a
+    * concurrent allocator loses the create race and probes upward). */
+  def epochFor(spark: SparkSession, dir: String, writer: String,
+      batchId: Long): Long = {
+    require(writer.nonEmpty, "epochFor needs a non-empty writer id")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val epochs = new Path(dir, "_epochs")
+    val mapping = new Path(epochs, s"w=$writer,b=$batchId")
+    if (fs.exists(mapping)) return readUtf8(fs, mapping).toLong
+    fs.mkdirs(epochs)
+    // floor = every epoch ever claimed or written (covers pre-log
+    // layouts whose v= dirs predate the _epochs map)
+    val claimed =
+      fs.listStatus(epochs).map(_.getPath.getName)
+        .collect { case n if n.startsWith("e=") => n.drop(2).toLong } ++
+      fs.listStatus(new Path(dir)).filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    var next = if (claimed.isEmpty) 0L else claimed.max + 1
+    var won = false
+    while (!won) {
+      try { writeUtf8(fs, new Path(epochs, s"e=$next"), writer, overwrite = false); won = true }
+      catch { case _: java.io.IOException => next += 1 }
+    }
+    // mapping write is non-atomic on purpose: a crash between claim and
+    // map leaves an orphan e= with no data, and the replay allocates
+    // the next number — nothing ever merges from an orphan
+    writeUtf8(fs, mapping, next.toString, overwrite = true)
+    next
   }
 
   /** Current merged table: newest COMPLETE (`_SUCCESS`) version of each

@@ -272,7 +272,7 @@ object Clustering {
   private def twoLevelSqlCtes: String = {
     def dist(tbl: String, c: String) =
       s"list_sum([($tbl.emb[i] - $c[i]) * ($tbl.emb[i] - $c[i]) for i in generate_series(1, $DIM)])"
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM ${VectorFns.embeddingsSql}),
         prm AS (SELECT greatest(1, count(*) // ${MinK * 32}) AS m FROM e),
         smp AS (SELECT e.* FROM e, prm WHERE e.vec_id % prm.m = 0),
         c0 AS (SELECT s.vec_id AS cid, s.emb AS c FROM smp s, prm
@@ -610,7 +610,7 @@ object Clustering {
                meml AS (SELECT fa2.vec_id, fa2.fcid, e.emb,
                           ${VectorFns.normSqSql("e.emb")} AS nsq, emb0.label
                         FROM fa2 JOIN e USING (vec_id)
-                          JOIN embeddings emb0 ON emb0.vec_id = fa2.vec_id),
+                          JOIN ${VectorFns.embeddingsSqlAs("emb0")} ON emb0.vec_id = fa2.vec_id),
                sims AS (SELECT a.vec_id AS anchor, a.label AS anchor_label,
                           b.vec_id AS negative, b.label AS negative_label,
                           ${VectorFns.cosineSql(VectorFns.dotSql("a.emb", "b.emb"), "a.nsq", "b.nsq")} AS sim
@@ -668,7 +668,7 @@ object Clustering {
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH $knnSqlCtes,
-               lab AS (SELECT vec_id, label FROM embeddings),
+               lab AS (SELECT vec_id, label FROM ${VectorFns.embeddingsSql}),
                l0 AS MATERIALIZED (
                  SELECT vec_id,
                    CASE WHEN vec_id % 5 = 0 THEN label END AS lbl,

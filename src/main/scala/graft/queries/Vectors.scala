@@ -189,7 +189,7 @@ object Vectors {
           .orderBy(col("label")),
       Some(s"""WITH t AS (
                  SELECT label, sqrt(${VectorFns.normSqSql("embedding::DOUBLE[]")}) AS nrm
-                 FROM embeddings)
+                 FROM ${VectorFns.embeddingsSql})
                SELECT label, count(*) AS n,
                  ${Num.froundSql("avg(nrm)", 4)} AS avg_norm
                FROM t GROUP BY label ORDER BY label"""),
@@ -217,7 +217,7 @@ object Vectors {
       Some(s"""WITH c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id < $N_PROBES),
                sims AS (
                  SELECT probe_id, vec_id,
@@ -258,7 +258,7 @@ object Vectors {
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
                         ${VectorFns.lshBucketSql("(embedding::DOUBLE[])", 8)} AS bucket
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, bucket
                      FROM c WHERE vec_id < $N_PROBES),
                sims AS (
@@ -315,7 +315,7 @@ object Vectors {
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
                         ${VectorFns.lshBucketRangeSql("(embedding::DOUBLE[])", 0, 16)} AS b0,
                         ${VectorFns.lshBucketRangeSql("(embedding::DOUBLE[])", 16, 16)} AS b1
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                banded AS (
                  SELECT vec_id, band FROM c,
                  UNNEST(['0:' || b0, '1:' || b1]) AS u(band)),
@@ -366,7 +366,7 @@ object Vectors {
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
                         ${VectorFns.lshBucketSql("(embedding::DOUBLE[])", 8)} AS bucket
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq, bucket AS home
                      FROM c WHERE vec_id < $N_PROBES),
                pk AS (
@@ -420,7 +420,7 @@ object Vectors {
       Some(s"""WITH c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
                          WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // 16) = 0),
                assigned AS (
@@ -598,7 +598,7 @@ object Vectors {
       Some(s"""WITH c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
                          WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // 16) = 0),
                assigned AS (
@@ -820,7 +820,7 @@ object Vectors {
       Some(s"""WITH c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq FROM c
                      WHERE vec_id < $N_PROBES),
                esims AS (
@@ -957,7 +957,7 @@ object Vectors {
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
                         ${VectorFns.lshBucketRangeSql("(embedding::DOUBLE[])", 0, 8)} AS b0,
                         ${VectorFns.lshBucketRangeSql("(embedding::DOUBLE[])", 8, 8)} AS b1
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq FROM c
                      WHERE vec_id < $N_PROBES),
                esims AS (
@@ -1100,7 +1100,7 @@ object Vectors {
                c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id = 0),
                dense_top AS (
                  SELECT vec_id AS id,
@@ -1213,7 +1213,7 @@ object Vectors {
                c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id = 0),
                dense_top AS (
                  SELECT vec_id AS id,
@@ -1573,7 +1573,7 @@ object Vectors {
       Some(s"""WITH c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
                          WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // $IVF_K) = 0),
                assigned AS MATERIALIZED (
@@ -1697,7 +1697,7 @@ object Vectors {
       Some(s"""WITH c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
                          WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // $IVF_K) = 0),
                assigned AS MATERIALIZED (
@@ -1828,7 +1828,7 @@ object Vectors {
                c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT emb AS p_emb, nsq AS p_nsq FROM c WHERE vec_id = 0),
                rr AS (
                  SELECT lex.id, lex.lex_rank, lex.s_lex,
@@ -1889,7 +1889,7 @@ object Vectors {
       Some(s"""WITH c AS (
                  SELECT vec_id, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                nb AS (SELECT count(*)::BIGINT AS n_base FROM c WHERE vec_id % 10 <> 0),
                cents AS (
                  SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c, nb
@@ -2021,7 +2021,7 @@ object Vectors {
         s"""WITH e AS MATERIALIZED (
                  SELECT vec_id,
                    [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS e
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                p AS (SELECT vec_id AS probe_id, e AS p_e FROM e
                      WHERE vec_id < $N_PROBES),
                pr AS ($branches),
@@ -2135,7 +2135,7 @@ object Vectors {
         s"""WITH c AS (
                  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
                         ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq
-                 FROM embeddings),
+                 FROM ${VectorFns.embeddingsSql}),
                cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
                          WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // $IVF_K) = 0),
                assigned AS MATERIALIZED (
@@ -2296,7 +2296,7 @@ object Vectors {
     s"""e AS MATERIALIZED (
             SELECT vec_id,
               [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS e
-            FROM embeddings),
+            FROM ${VectorFns.embeddingsSql}),
           prm AS (SELECT greatest(1, count(*) // ${PqK * 32}) AS m FROM e),
           smp AS (SELECT e.* FROM e, prm WHERE e.vec_id % prm.m = 0),
           $perSub"""
@@ -2378,7 +2378,7 @@ object Vectors {
         s"""WITH e AS MATERIALIZED (
                 SELECT vec_id,
                   [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS e
-                FROM embeddings),
+                FROM ${VectorFns.embeddingsSql}),
               prm AS (SELECT greatest(1, count(*) // ${K * 32}) AS m FROM e),
               smp AS (SELECT e.* FROM e, prm WHERE e.vec_id % prm.m = 0),
               $perSub

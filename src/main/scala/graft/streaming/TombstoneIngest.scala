@@ -29,6 +29,21 @@ import graft.operators.MergeInto
   * event stream is watermark-bounded exactly like [[Incremental]]'s
   * ingest; the only driver-side materialization is the bounded
   * touched-bucket list.
+  *
+  * EPOCH DISCIPLINE (the two-writer hazard): inserts and deletes are
+  * maintenance paths of the SAME versioned layout, so their epochs
+  * must come from ONE global monotone sequence — two independent
+  * batch-id counters colliding on an epoch would have the second
+  * path overwrite the first's `v=` directory for shared buckets
+  * while merging from pre-epoch state that excludes it. Each path
+  * writes under its own writer id ("inserts"/"deletes"), MergeInto
+  * REFUSES a cross-writer epoch collision instead of losing rows,
+  * and streaming callers map their private batch ids into the shared
+  * sequence with [[graft.operators.MergeInto.epochFor]] (see
+  * [[runOnce]]). Batch callers passing explicit epochs own the
+  * sequence: interleave the paths, never reuse a number across them.
+  * Merges must be serialized (one in flight per layout) — plain
+  * parquet has no cross-process commit log.
   */
 object TombstoneIngest {
 
@@ -57,7 +72,8 @@ object TombstoneIngest {
       aggs = mergeAggs(cols),
       epochId = 0L,
       bucketOn = col("vec_id"),
-      numBuckets = NumBuckets)
+      numBuckets = NumBuckets,
+      writer = "seed")
   }
 
   /** Apply one insert batch (full payload rows, `vec_id` + the
@@ -91,7 +107,8 @@ object TombstoneIngest {
       aggs = mergeAggs(cols),
       epochId = epochId,
       bucketOn = col("vec_id"),
-      numBuckets = NumBuckets)
+      numBuckets = NumBuckets,
+      writer = "inserts")
   }
 
   /** Apply one delete batch (a `vec_id` column; extra columns are
@@ -116,7 +133,8 @@ object TombstoneIngest {
       aggs = mergeAggs(payloadCols),
       epochId = epochId,
       bucketOn = col("vec_id"),
-      numBuckets = NumBuckets)
+      numBuckets = NumBuckets,
+      writer = "deletes")
   }
 
   /** One streaming pass over the delete-event backlog
@@ -124,8 +142,13 @@ object TombstoneIngest {
     * (duplicate deliveries within the horizon collapse before the
     * merge — the [[Incremental.runOnce]] ingest discipline; the merge
     * itself is an OR, so a duplicate past the horizon is still
-    * harmless), then one [[applyDeletes]] per micro-batch. Events
-    * need (vec_id, timestamp) with WRITE-time stamps — see
+    * harmless), then one [[applyDeletes]] per micro-batch. The
+    * micro-batch's PRIVATE id is mapped into the layout's global
+    * epoch sequence with `MergeInto.epochFor` — a replayed batch gets
+    * its original epoch back (idempotent overwrite), a fresh batch
+    * gets max+1, and an insert stream running its own checkpoint
+    * against the same index can never collide with it. Events need
+    * (vec_id, timestamp) with WRITE-time stamps — see
     * [[Incremental.runOnce]] for the late-data contract. */
   def runOnce(spark: SparkSession, deletesDir: String, indexDir: String,
       checkpointDir: String): StreamingQuery = {
@@ -136,8 +159,8 @@ object TombstoneIngest {
     events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         if (!batch.isEmpty)
-          // epoch 0 seeds the layout, so stream epochs start at 1
-          applyDeletes(spark, indexDir, batch.toDF(), epochId + 1)
+          applyDeletes(spark, indexDir, batch.toDF(),
+            MergeInto.epochFor(spark, indexDir, "deletes", epochId))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -242,6 +242,29 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
+  test("finiteVec pins NULL semantics: null vector / null coordinate → false, not NULL") {
+    import graft.functions.VectorFns
+    // Spark forall yields NULL for a null element (silently dropped by
+    // a filter) while DuckDB's bool_and IGNORES NULLs (row kept) — the
+    // coalesced forms make both engines return literal FALSE (ADVICE
+    // r10). A NULL result here would split every finite-filtered query.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+           (1, array(1.0D, 2.0D)),
+           (2, array()),
+           (3, array(cast('NaN' AS DOUBLE))),
+           (4, array(cast('Infinity' AS DOUBLE))),
+           (5, array(CAST(NULL AS DOUBLE), 1.0D)),
+           (6, CAST(NULL AS ARRAY<DOUBLE>))
+         AS t(id, embedding)""")
+      .select(col("id"), VectorFns.finiteVec("embedding").as("ok"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    assert(df(1) == true && df(2) == true)
+    assert(df(3) == false && df(4) == false)
+    assert(df(5) == false, "null coordinate must be literal false")
+    assert(df(6) == false, "null vector must be literal false")
+  }
+
   test("SqDistI == higher-order aggregate/zip_with int fold, value-identical") {
     import graft.functions.SqDistI
     SqDistI.register(spark)
@@ -273,6 +296,14 @@ class ExtensionOpsSpec extends SparkSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT sqdist_i(array(1.0D), array(1.0D))").collect()
     }
+    // full-int-domain exactness (ADVICE r10): the per-element diff is
+    // widened to long BEFORE subtracting — (MaxValue - -1) in 32-bit
+    // silently wraps to 0; the true squared diff is (2^31)^2 = 2^62
+    val wide = spark.sql(
+      "SELECT sqdist_i(array(2147483647), array(-1)) AS a, " +
+        "sqdist_i(array(-2147483648), array(0)) AS b").collect().head
+    assert(wide.getLong(0) == (1L << 62), s"got ${wide.getLong(0)}")
+    assert(wide.getLong(1) == (1L << 62), s"got ${wide.getLong(1)}")
   }
 }
 

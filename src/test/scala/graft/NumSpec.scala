@@ -20,7 +20,18 @@ class NumSpec extends SparkSuite {
     123.4567891, -123.4567891, 1e-20, -1e-20, Double.MinPositiveValue,
     4.9e15, 9.3e15, -9.3e15, 1.1e18, 9.3e18, -9.3e18, 1e300, -1e300,
     1.5e308, -1.5e308, Double.MaxValue, Double.MinValue,
-    Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+    // tiny-negative-residue neighborhood (ADVICE r10): inputs whose
+    // x = c*p + 0.5 lands as close to -0.0 as doubles allow. (Analysis
+    // note: x here is Sterbenz-exact on a >= 2^-54 grid, so the
+    // pmod-collapsing open interval (-2^-54, 0) is UNREACHABLE from
+    // this construction — but the replacement %-based floor doesn't
+    // need that argument: it is true floor for EVERY double.)
+    -0.005 - math.ulp(0.005), -0.005 + math.ulp(0.005),
+    -0.0050000000000000001, -0.00005 - math.ulp(0.00005),
+    (-0.5 - math.pow(2, -53)) / 100.0, (-0.5 - math.pow(2, -52)) / 1e6,
+    -math.pow(2, -54), -math.pow(2, -53), -math.pow(2, -30),
+    -1.0 - math.pow(2, -52), -2.0 + math.pow(2, -51))
 
   private def oracle(x: Double, digits: Int): Double = {
     val p = math.pow(10, digits)
@@ -38,6 +49,31 @@ class NumSpec extends SparkSuite {
         val expect = oracle(x, digits)
         val actual = got(java.lang.Double.doubleToLongBits(x))
         // bit-compare so NaN==NaN and -0.0 != 0.0 mismatches surface
+        assert(
+          java.lang.Double.doubleToLongBits(actual) ==
+            java.lang.Double.doubleToLongBits(expect),
+          s"fround($x, $digits): got $actual, expect $expect")
+      }
+    }
+  }
+
+  test("fround equals the plain-double oracle on a seeded random sweep") {
+    val rng = new scala.util.Random(0xC0FFEE)
+    val xs = Seq.fill(20000) {
+      // mix magnitudes: uniform (-1,1), scaled, and raw-bits doubles
+      rng.nextInt(3) match {
+        case 0 => rng.nextDouble() * 2 - 1
+        case 1 => (rng.nextDouble() * 2 - 1) * math.pow(10, rng.nextInt(20) - 10)
+        case _ =>
+          val d = java.lang.Double.longBitsToDouble(rng.nextLong())
+          if (d.isNaN) 0.5 else d
+      }
+    }
+    for (digits <- Seq(2, 6)) {
+      val got = xs.toDF("x").select(Num.fround(col("x"), digits).as("r"))
+        .collect().map(_.getDouble(0))
+      xs.zip(got).foreach { case (x, actual) =>
+        val expect = oracle(x, digits)
         assert(
           java.lang.Double.doubleToLongBits(actual) ==
             java.lang.Double.doubleToLongBits(expect),

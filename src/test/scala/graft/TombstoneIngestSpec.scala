@@ -85,6 +85,48 @@ class TombstoneIngestSpec extends SparkSuite {
     assert(live2 == live, "replayed insert epoch changed the index")
   }
 
+  test("epoch discipline: a cross-writer epoch collision refuses instead of losing rows") {
+    val dir = Files.createTempDirectory("graft_tomb_epoch").toString
+    TombstoneIngest.seed(spark, dir, baseIndex)
+    TombstoneIngest.applyInserts(spark, dir,
+      (40L until 50L).map(i => (i, i % 4, 1.0 + i)).toDF("vec_id", "cell", "nsq"),
+      epochId = 1)
+    // the r10 hazard: a second maintenance path (its own batch-id
+    // counter) re-uses epoch 1 — it would overwrite the inserts' v=1
+    // for shared buckets while merging from pre-epoch state that
+    // excludes them. Must fail loudly, and leave the index intact.
+    val e = intercept[RuntimeException] {
+      TombstoneIngest.applyDeletes(spark, dir, Seq(41L).toDF("vec_id"), epochId = 1)
+    }
+    assert(e.getMessage.contains("single global epoch sequence"), e.getMessage)
+    val live = TombstoneIngest.serveLive(spark, dir).get
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live == (0L until 50L).toSet, "refused write must not mutate the index")
+    // the same writer replaying its own epoch stays legal
+    TombstoneIngest.applyInserts(spark, dir,
+      (40L until 50L).map(i => (i, i % 4, 1.0 + i)).toDF("vec_id", "cell", "nsq"),
+      epochId = 1)
+  }
+
+  test("epochFor: stable on replay, collision-free across writers, above pre-log layouts") {
+    import graft.operators.MergeInto
+    val dir = Files.createTempDirectory("graft_tomb_alloc").toString
+    TombstoneIngest.seed(spark, dir, baseIndex) // claims e=0
+    val d0 = MergeInto.epochFor(spark, dir, "deletes", batchId = 0)
+    val i0 = MergeInto.epochFor(spark, dir, "inserts", batchId = 0)
+    val d1 = MergeInto.epochFor(spark, dir, "deletes", batchId = 1)
+    assert(Set(d0, i0, d1).size == 3, "two checkpoints' batch ids collided on an epoch")
+    assert(Seq(d0, i0, d1).forall(_ > 0), "allocations must sit above the seed epoch")
+    // replay recovery: the same (writer, batchId) gets ITS epoch back
+    assert(MergeInto.epochFor(spark, dir, "deletes", batchId = 0) == d0)
+    assert(MergeInto.epochFor(spark, dir, "inserts", batchId = 0) == i0)
+    // allocated epochs are merge-usable end to end under their writer
+    TombstoneIngest.applyDeletes(spark, dir, Seq(7L).toDF("vec_id"), epochId = d0)
+    val live = TombstoneIngest.serveLive(spark, dir).get
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live == (0L until 40L).toSet - 7L)
+  }
+
   test("streaming wrapper: two event files, restart between passes, equals batch truth") {
     val root = Files.createTempDirectory("graft_tomb_stream")
     val idxDir = root.resolve("idx").toString

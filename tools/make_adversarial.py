@@ -4,7 +4,8 @@ edge-case rows a REAL corpus contains but the clean generator never
 emits — empty documents, single tokens, consecutive spaces, unicode
 (NFKC forms, CJK, ligatures), exact-duplicate text, a very long doc,
 punctuation-only text, a duplicated embedding, an all-zeros embedding,
-a denormal-norm embedding, a NaN-coordinate embedding, and a NaN-valued
+a denormal-norm embedding, a NaN-coordinate embedding, a NULL-coordinate
+embedding, and a NaN-valued
 event.
 
 Round-10 findings from running `graft.Verify <out>` + `tools/compare.py
@@ -113,6 +114,10 @@ con.execute(f"""
     SELECT {v0 + 3}::BIGINT,
       [CASE WHEN i = 7 THEN 'nan'::FLOAT ELSE 0.5::FLOAT END
        for i in generate_series(1,64)], 1::INT
+    UNION ALL
+    SELECT {v0 + 4}::BIGINT,
+      [CASE WHEN i = 11 THEN NULL ELSE 0.25::FLOAT END
+       for i in generate_series(1,64)], 2::INT
     ORDER BY vec_id
   ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 
