@@ -552,5 +552,50 @@ object Core {
               QUALIFY rnk <= 3
               ORDER BY o_custkey, rnk"""),
     ),
+
+    // C6 — NFKC normalize + casefold + trim, END-TO-END with an oracle
+    // (closes the one §2 operator without a green CORRECTNESS row, per
+    // VERDICT r10). Reference: transformer_loader/main.py:62-73 (norm),
+    // utils/check_rank.py:76 (accent-tolerant name match). The oracle
+    // restriction: DuckDB has no NFKC, but on inputs free of
+    // COMPATIBILITY characters NFKC ≡ NFC, and nfc_normalize mirrors
+    // the composition exactly — so the query dirties each customer
+    // identity two independent ways that agree only under
+    // normalize+casefold+trim (uppercase + padding + DECOMPOSED accent
+    // `e`+U+0301 vs lowercase + PRECOMPOSED `é`) and joins the two
+    // spellings back into entity pairs. A broken normalizer (no
+    // composition, locale-sensitive case, missed trim) empties or
+    // mis-keys the join on one engine only. Fullwidth/ligature/
+    // compatibility cases stay pinned engine-side in NormalizeNFKCSpec
+    // (the documented oracle gap, SURVEY §5.3, now narrowed to the
+    // compatibility subset). Scale: norm_nfkc is a codegen'd
+    // UnaryExpression, the join is a broadcast on the dim table.
+    QueryDef(
+      "q172_nfkc_entity_match",
+      (s, dir) => {
+        graft.functions.NormalizeNFKC.register(s)
+        val nrm = graft.functions.NormalizeNFKC.normCol _
+        val dirty = Tables.customer(s, dir).select(col("c_custkey").as("k1"),
+          nrm(concat(lit("  "), upper(col("c_name")), lit(" cafe\u0301"))).as("nkey"))
+        val clean = Tables.customer(s, dir).select(col("c_custkey").as("k2"),
+          nrm(concat(lower(col("c_name")), lit(" caf\u00e9"))).as("nkey"))
+        dirty.join(broadcast(clean), Seq("nkey"))
+          .filter(col("k1") === col("k2"))
+          .select(col("k1").as("c_custkey"), col("nkey").as("norm_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""WITH dirty AS (
+                 SELECT c_custkey AS k1,
+                   lower(trim(nfc_normalize('  ' || upper(c_name) || ' cafe' || chr(769)))) AS nkey
+                 FROM customer),
+               clean AS (
+                 SELECT c_custkey AS k2,
+                   lower(trim(nfc_normalize(lower(c_name) || ' caf' || chr(233)))) AS nkey
+                 FROM customer)
+               SELECT k1 AS c_custkey, nkey AS norm_name
+               FROM dirty JOIN clean USING (nkey)
+               WHERE k1 = k2
+               ORDER BY c_custkey"""),
+    ),
   )
 }
