@@ -23,6 +23,14 @@ object Verify {
       // entity-resolution aggregates (sorts every candidate). 64k keys
       // x ~1KB buffers caps the map at ~64MB/partition: hash stays hash.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // AQE's partition coalescing is byte-driven (parallelismFirst is
+      // still floored by minPartitionSize = 1MB), so a CPU-dense
+      // small-byte shuffle — candidate-pair scoring, md5 explodes —
+      // coalesces to a handful of tasks and serializes on a 32-core
+      // executor (q34 ran its whole tail on 4 of 32 slots). A 64k
+      // floor keeps small hot shuffles at full parallelism and is
+      // invisible at scale, where partitions are GB-sized.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -563,14 +563,31 @@ object Text {
             && col("sz_b").cast("double") >= lit(0.8) * col("sz_a"))
           .select(col("lang"), col("source"), col("doc_a"), col("doc_b"))
           .distinct()
-        val inter = size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
-        val uni = (size(col("ts_a")) + size(col("ts_b"))).cast("double") - inter
-        pairs
+        // The threshold test runs on the RAW set sizes, not the rounded
+        // ratio: Catalyst substitutes a filter on an aliased column
+        // through deterministic projections with no cost guard, so
+        // `fround(i/u) >= 0.8` lands in the payload-join CONDITION with
+        // array_intersect expanded ~12× per candidate inside the fround
+        // CASE. `i >= 0.79995·u` is the same predicate — floor(x) >= n
+        // ⟺ x >= n for integer n, so fround(j,4) >= 0.8 ⟺ j >= 0.79995
+        // — and keeps the pushed condition at ONE intersect per pair;
+        // the multi-reference jaccard projection stays above it,
+        // uncollapsed, because its inputs are non-cheap (CollapseProject
+        // cost guard). The float boundary of the two forms differs only
+        // for |j − 0.79995| ≲ 1e-12, i.e. union sizes ≥ ~1e7 distinct
+        // tokens in one document pair — outside any document contract —
+        // and the ORACLE applies the identical raw-size WHERE, so the
+        // engines agree bit-exactly regardless.
+        val scored = pairs
           .join(docs.select(col("doc_id").as("doc_a"), col("tokset").as("ts_a")), Seq("doc_a"))
           .join(docs.select(col("doc_id").as("doc_b"), col("tokset").as("ts_b")), Seq("doc_b"))
           .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-            Num.fround(inter / uni, 4).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
+            size(array_intersect(col("ts_a"), col("ts_b"))).cast("double").as("inter"),
+            (size(col("ts_a")) + size(col("ts_b"))).cast("double").as("tot"))
+        scored
+          .filter(col("inter") >= lit(0.79995) * (col("tot") - col("inter")))
+          .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+            Num.fround(col("inter") / (col("tot") - col("inter")), 4).as("jaccard"))
           .orderBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH t AS (
@@ -597,10 +614,9 @@ object Text {
                FROM pairs p
                JOIN t ta ON ta.doc_id = p.doc_a
                JOIN t tb ON tb.doc_id = p.doc_b
-               WHERE ${Num.froundSql(
-          """len(list_filter(ta.tokset, x -> list_contains(tb.tokset, x)))
-                    / (len(ta.tokset) + len(tb.tokset)
-                       - len(list_filter(ta.tokset, x -> list_contains(tb.tokset, x))))::DOUBLE""", 4)} >= 0.8
+               WHERE len(list_filter(ta.tokset, x -> list_contains(tb.tokset, x)))::DOUBLE
+                 >= 0.79995 * ((len(ta.tokset) + len(tb.tokset))::DOUBLE
+                               - len(list_filter(ta.tokset, x -> list_contains(tb.tokset, x)))::DOUBLE)
                ORDER BY p.lang, p.source, p.doc_a, p.doc_b"""),
     ),
 
