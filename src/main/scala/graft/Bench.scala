@@ -190,6 +190,72 @@ object Bench {
       val ts = samples(name)
       name -> (if (ts.exists(_._1 < 0)) (-1.0, -1.0) else ts.minBy(_._1))
     }
+    // ---- streaming micro-bench (one AvailableNow pass per path) ----
+    // rows/sec for each streaming maintenance path over sf-derived
+    // backlogs: the batch queries above never exercise the
+    // foreachBatch + versioned-merge machinery, so without this block
+    // the bench says nothing about ingest throughput. Skipped for
+    // subset runs (the driver's full invocation always records it).
+    val streaming = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (only.isEmpty) {
+      import org.apache.spark.sql.functions._
+      def rate(name: String, rows: Long)(run: => Unit): Unit =
+        try {
+          val t0 = System.nanoTime()
+          run
+          streaming += name -> rows / ((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable => errors += s"streaming:$name" -> e.toString.take(200) }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+      // 1. match-ingest -> silver -> bucketed gold (Incremental)
+      val bronze = graft.queries.Domain.bronzeFromOrders(Tables.orders(spark, sfDir))
+        .withColumn("timestamp", to_timestamp(lit(1700000000L)))
+      val nBronze = bronze.count()
+      bronze.write.parquet(s"$tmp/bronze")
+      val summoners = graft.queries.Domain.dimFromCustomer(Tables.customer(spark, sfDir))
+      rate("incremental_gold", nBronze) {
+        graft.streaming.Incremental.runOnce(spark, s"$tmp/bronze", summoners,
+          s"$tmp/silver", s"$tmp/gold", s"$tmp/ckpt_inc").awaitTermination()
+      }
+      // 2. corpus curation ingest (Gopher gate + fingerprint dedup)
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), to_timestamp(lit(1700000000L)).as("ingest_ts"),
+          col("lang"), col("text"))
+      val nDocs = docs.count()
+      docs.write.parquet(s"$tmp/docs")
+      rate("corpus_ingest", nDocs) {
+        val schema = spark.read.parquet(s"$tmp/docs").schema
+        val in = spark.readStream.schema(schema).parquet(s"$tmp/docs")
+        graft.streaming.CorpusIngest.curatedStream(in)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/curated")
+          .option("checkpointLocation", s"$tmp/ckpt_corpus")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      // 3. ANN-index tombstone stream (seed excluded from the rate)
+      val baseIdx = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), pmod(col("vec_id"), lit(64)).cast("int").as("cell"))
+      graft.streaming.TombstoneIngest.seed(spark, s"$tmp/idx", baseIdx)
+      val deletes = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), to_timestamp(lit(1700000000L)).as("timestamp"))
+      val nDel = deletes.count()
+      deletes.write.parquet(s"$tmp/deletes")
+      rate("tombstone_ingest", nDel) {
+        graft.streaming.TombstoneIngest.runOnce(spark, s"$tmp/deletes",
+          s"$tmp/idx", s"$tmp/ckpt_tomb").awaitTermination()
+      }
+      // 4. streaming quantile sketch serving (events backlog)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value"))
+      val nEv = ev.count()
+      ev.write.parquet(s"$tmp/events")
+      rate("quantile_serve", nEv) {
+        graft.streaming.QuantileServe.runOnce(spark, s"$tmp/events",
+          Seq("event_type"), "value", s"$tmp/sketch", s"$tmp/ckpt_q").awaitTermination()
+      }
+    }
+
     // 3dp is below measurement noise; keeping the line short matters
     // because the driver captures the TAIL of the output — the
     // wall-time map goes LAST so truncation from the front can never
@@ -211,8 +277,16 @@ object Bench {
       .mkString("{", ",", "}")
     val rpq = samples.map { case (k, ss) => "\"" + k + "\":" + ss.size }
       .mkString("{", ",", "}")
+    // rows/sec per streaming path (VERDICT r10 #5) and per-stage build
+    // seconds (#6: stage builds are engine work the min-of-runs
+    // per-query numbers exclude — this map itemizes the wall/total gap).
+    val strm = streaming.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val stages = graft.operators.Staged.buildTimings.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + jstr(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"wall_sec":${r3(spentSec)},"n_errors":${errors.size},"errors":$errs,"runs_per_query":$rpq,"gc_sec":$gcs,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"wall_sec":${r3(spentSec)},"n_errors":${errors.size},"errors":$errs,"streaming":$strm,"stage_build_sec":$stages,"runs_per_query":$rpq,"gc_sec":$gcs,"queries":$qs}""")
     // Belt-and-braces tail: the driver captures the END of stdout, so
     // a second, compact summary line goes LAST — if front-truncation
     // ever eats into the full line above, this one still parses.

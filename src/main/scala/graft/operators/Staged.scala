@@ -64,8 +64,32 @@ object Staged {
     try holder.value
     catch { case e: Throwable => memo.remove(key, holder); throw e }
 
+  // Per-key build wall-clock, for the bench's `stage_build_sec` map:
+  // stage builds are REAL engine work that the per-query minimums
+  // exclude by design (a stage builds once per JVM, on whichever query
+  // touches it first), so without this map the bench wall/total gap
+  // reads as unexplained harness overhead.
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Snapshot of (stage key → build seconds) for every stage built so
+    * far in this JVM. A stage that builds other stages inside its own
+    * build (q136's kNN graph over the clustering chain) reports its
+    * INCLUSIVE time — subtract the inner keys when attributing. */
+  def buildTimings: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+  }
+
+  private def timed[T](key: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   def parquet(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val holder = memo.computeIfAbsent(key, k => new Holder(() => {
+    val holder = memo.computeIfAbsent(key, k => new Holder(() => timed(k) {
       val p = stagePath(k)
       build.write.mode("overwrite").parquet(p)
       p
@@ -96,7 +120,7 @@ object Staged {
     // namespace also makes the partition column part of the identity,
     // so the same table staged under two layouts stays two stages.
     val nsKey = s"partitioned[$partCol]|$key"
-    val holder = memo.computeIfAbsent(nsKey, k => new Holder(() => {
+    val holder = memo.computeIfAbsent(nsKey, k => new Holder(() => timed(k) {
       val p = stagePath(k)
       val df = build
       schemaMemo.put(k, df.schema)
