@@ -10,12 +10,15 @@ import org.apache.spark.sql.{Dataset, Encoders}
   *
   * The codec boundary: `kind == "image"` payloads are REALLY decoded
   * via `javax.imageio` (PNG/BMP/GIF/JPEG readers ship in the JDK)
-  * into row-major luminance samples, and `kind == "audio"` payloads
-  * via `javax.sound.sampled` (WAV/AIFF/AU) into 8-bit mono samples —
-  * no external libs needed for either. Video (genuinely no JDK codec)
-  * falls back to [[decodeStub]], a deterministic pass-through that
-  * keeps the rest of the pipeline — batching, histogram, resize,
-  * frame sampling — fully exercisable.
+  * into row-major luminance samples, `kind == "audio"` payloads via
+  * `javax.sound.sampled` (WAV/AIFF/AU) into 8-bit mono samples, and
+  * `kind == "video"` payloads per-frame via [[decodeVideoFrames]]
+  * when the container is an animated GIF (the one multi-frame format
+  * with a JDK codec) — no external libs needed for any of them.
+  * MP4/WebM/AVI video (genuinely no JDK codec) falls back to
+  * [[decodeStub]], a deterministic pass-through that keeps the rest
+  * of the pipeline — batching, histogram, resize, frame sampling —
+  * fully exercisable.
   *
   * Scale: this is a narrow per-partition map. Content bytes never
   * leave their partition, batches bound peak memory (`batchSize` plays
@@ -46,34 +49,66 @@ object Multimodal {
     * fully exercisable and reproducible. */
   def decodeStub(meta: MediaMeta, content: Array[Byte]): Array[Byte] = content
 
+  /** Row-major 8-bit luminance of a decoded image (integer Rec.601:
+    * (299 R + 587 G + 114 B) / 1000 — deterministic, no float rounding
+    * ambiguity). */
+  private def luminance(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        out(y * w + x) = luma.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decode an image payload (PNG/BMP/GIF/JPEG — whatever the JDK's
-    * ImageIO readers accept) into row-major 8-bit luminance samples
-    * (integer Rec.601: (299 R + 587 G + 114 B) / 1000 — deterministic,
-    * no float rounding ambiguity). Undecodable bytes fall back to the
-    * stub rather than poisoning the partition — the reference's
-    * poison-pill tolerance (transformer_loader/main.py:95-97) applied
-    * at the codec boundary. */
+    * ImageIO readers accept) into row-major 8-bit luminance samples.
+    * Undecodable bytes fall back to the stub rather than poisoning the
+    * partition — the reference's poison-pill tolerance
+    * (transformer_loader/main.py:95-97) applied at the codec
+    * boundary. */
   def decodeImage(content: Array[Byte]): Array[Byte] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      if (img == null) content
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val out = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            out(y * w + x) = luma.toByte
-            x += 1
-          }
-          y += 1
-        }
-        out
-      }
+      if (img == null) content else luminance(img)
     } catch { case _: java.io.IOException => content }
+
+  /** Decode a VIDEO payload into per-frame luminance planes when the
+    * container is one the JDK can actually read — an animated GIF
+    * (ImageIO's GIF reader exposes every frame via
+    * `getNumImages`/`read(i)`). Returns None for any other container
+    * (MP4/WebM/AVI have no JDK codec — those keep honest stub
+    * semantics). Frames are decoded AS STORED: GIF inter-frame
+    * compression may store a smaller changed-region image per frame;
+    * feature extraction hashes content, not composited screens, so no
+    * disposal-method compositing is performed. */
+  def decodeVideoFrames(content: Array[Byte]): Option[Array[Array[Byte]]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          if (!r.getFormatName.equalsIgnoreCase("gif")) None
+          else {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) None
+            else Some(Array.tabulate(n)(i => luminance(r.read(i))))
+          }
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode an audio payload (WAV/AIFF/AU — whatever the JDK's
     * `javax.sound.sampled` readers accept; no external libs) into
@@ -135,13 +170,17 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => content }
 
   /** Codec dispatch: real ImageIO decode for images, real
-    * javax.sound.sampled decode for audio, stub otherwise (video has
-    * no JDK codec). */
+    * javax.sound.sampled decode for audio; video decodes per-frame
+    * when the container is an animated GIF (the one video container
+    * with a JDK codec) and stubs otherwise. */
   def decode(meta: MediaMeta, content: Array[Byte]): Array[Byte] =
     meta.kind match {
       case "image" => decodeImage(content)
       case "audio" => decodeAudio(content)
-      case _       => decodeStub(meta, content)
+      case "video" =>
+        decodeVideoFrames(content).map(_.flatten.toArray)
+          .getOrElse(decodeStub(meta, content))
+      case _ => decodeStub(meta, content)
     }
 
   /** "Resize": stride-resample the decoded samples to `n` bytes. */
@@ -153,6 +192,13 @@ object Multimodal {
       Array.tabulate(m)(i => decoded(i * stride))
     }
 
+  private def fnv(bytes: Array[Byte], start: Int, end: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = start
+    while (i < end) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** "Frame sampling": split the payload into `n` equal frames and
     * fingerprint each (rolling FNV-1a). */
   def frameHashes(decoded: Array[Byte], n: Int): Array[Long] = {
@@ -161,19 +207,33 @@ object Multimodal {
     Array.tabulate(n) { f =>
       val start = math.min(f * frameLen, decoded.length - 1)
       val end = math.min(start + frameLen, decoded.length)
-      var h = 0xcbf29ce484222325L
-      var i = start
-      while (i < end) { h = (h ^ (decoded(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-      h
+      fnv(decoded, start, end)
     }
   }
 
+  /** Frame sampling over REAL decoded frames (GIF video): `n` frames
+    * sampled evenly across the sequence, each fingerprinted whole. */
+  def sampledFrameHashes(frames: Array[Array[Byte]], n: Int): Array[Long] =
+    if (frames.isEmpty) Array.fill(n)(0L)
+    else Array.tabulate(n) { f =>
+      val fr = frames(f * frames.length / n)
+      fnv(fr, 0, fr.length)
+    }
+
   def extractOne(row: MediaRow): MediaFeatures = {
-    val decoded = decode(row.meta, row.content)
+    // A GIF video keeps its REAL frame boundaries for the frame
+    // hashes; every other payload decodes flat and frame-samples by
+    // equal split (the stub contract).
+    val videoFrames =
+      if (row.meta.kind == "video") decodeVideoFrames(row.content) else None
+    val decoded = videoFrames.map(_.flatten.toArray)
+      .getOrElse(decode(row.meta, row.content))
     val hist = new Array[Long](16)
     decoded.foreach(b => hist((b & 0xf0) >> 4) += 1)
+    val fh = videoFrames.map(sampledFrameHashes(_, NFrames))
+      .getOrElse(frameHashes(decoded, NFrames))
     MediaFeatures(row.media_id, row.meta.kind, decoded.length, hist,
-      resizeStub(decoded, ThumbBytes), frameHashes(decoded, NFrames))
+      resizeStub(decoded, ThumbBytes), fh)
   }
 
   /** The pipeline stage: partition-local, batch-at-a-time feature

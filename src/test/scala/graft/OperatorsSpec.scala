@@ -102,6 +102,58 @@ class OperatorsSpec extends SparkSuite {
     assert(f.histogram.toSeq == hist.toSeq)
   }
 
+  test("multimodal: real animated-GIF video decode yields per-frame luminance + hashes") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 3-frame animated GIF, each frame a solid GRAY (r=g=b=v, so the
+    // integer Rec.601 luminance is exactly v and GIF palette
+    // quantization is lossless).
+    val (w, h) = (5, 4)
+    val grays = Seq(16, 112, 224)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { v =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    val gif = bos.toByteArray
+
+    // frame-level decode: 3 frames, each w*h samples of its gray value
+    val frames = Multimodal.decodeVideoFrames(gif).get
+    assert(frames.length == 3)
+    frames.zip(grays).foreach { case (fr, v) =>
+      assert(fr.length == w * h && fr.forall(_ == v.toByte), s"frame of gray $v")
+    }
+
+    // pipeline features: flat sample count = 3 frames, and the frame
+    // hashes are REAL per-frame fingerprints (4 sampled from 3 frames
+    // -> frame 0 twice, then 1 and 2: exactly 3 distinct hashes)
+    val f = Multimodal.extractFeatures(
+      spark.createDataset(Seq(MediaRow(11L, MediaMeta("video", w, h, 0), gif))))
+      .collect().head
+    assert(f.n_bytes == 3 * w * h && f.n_bytes != gif.length)
+    assert(f.frame_hashes.length == Multimodal.NFrames)
+    assert(f.frame_hashes(0) == f.frame_hashes(1))
+    assert(f.frame_hashes.distinct.length == 3)
+
+    // a container with no JDK video codec path (PNG bytes tagged
+    // video) keeps honest stub semantics: payload passes through
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val pbos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", pbos))
+    val png = pbos.toByteArray
+    val f2 = Multimodal.extractFeatures(
+      spark.createDataset(Seq(MediaRow(12L, MediaMeta("video", w, h, 0), png))))
+      .collect().head
+    assert(f2.n_bytes == png.length)
+  }
+
   test("connected components: min-label propagation clusters an undirected edge list") {
     // three components: a path, a pair, a triangle-with-extra-edge
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
