@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle differential check.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json <path>]
+
+With --json, also writes a machine-readable per-query artifact (the
+ADVERSARIAL_r{N}.json round gate).
 
 Reads <verifyOutDir>/oracle_sql.json (dumped by graft.Verify), runs each
 SQL in DuckDB over the parquet tables in <sfDir>, loads the Spark result
@@ -70,6 +73,10 @@ def frame_rows(df: pd.DataFrame):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if len(sys.argv) > 4 and sys.argv[3] == "--json":
+        json_out = sys.argv[4]
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -80,12 +87,14 @@ def main():
         spark_dir = Path(out_dir, name)
         if not spark_dir.exists():
             print(f"MISSING  {name} (no spark output)")
+            results[name] = "missing"
             n_fail += 1
             continue
         try:
             duck = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"ORAFAIL  {name}: {str(e)[:200]}")
+            results[name] = "orafail: " + str(e)[:200]
             n_fail += 1
             continue
         files = sorted(spark_dir.glob("*.parquet"))
@@ -115,11 +124,17 @@ def main():
                         break
         if ok:
             n_pass += 1
+            results[name] = f"pass ({len(spark)} rows)"
             print(f"PASS     {name} ({len(spark)} rows)")
         else:
             n_fail += 1
+            results[name] = "fail: " + " | ".join(reasons[:4])[:300]
             print(f"FAIL     {name}: " + " | ".join(reasons[:4]))
     print(f"\n{n_pass} pass / {n_fail} fail of {n_pass + n_fail}")
+    if json_out:
+        Path(json_out).write_text(json.dumps(
+            {"sf": sf_dir, "out": out_dir, "pass": n_pass, "fail": n_fail,
+             "queries": results}, indent=0) + "\n")
     sys.exit(1 if n_fail else 0)
 
 
