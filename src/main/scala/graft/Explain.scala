@@ -13,7 +13,12 @@ object Explain {
   private val Headline = Seq(
     "q01_flagship_customer_stats", "q03_derived_projection",
     "q05_latest_orders", "q09_region_revenue", "q24_domain_transform",
-    "q33_minhash_lsh_pairs", "q37_cosine_topk_bruteforce", "q51_asof_join",
+    "q33_minhash_lsh_pairs",
+    // round 11: q34's tail changed (raw-size threshold keeps the
+    // fround CASE out of the payload-join condition) — dump the new
+    // shape next to its q33 sibling.
+    "q34_ngram_jaccard_blocked",
+    "q37_cosine_topk_bruteforce", "q51_asof_join",
     "q54_simhash_hamming_pairs", "q58_session_window_native",
     // q68/q70 are excluded: ConnectedComponents runs eager actions
     // during DataFrame construction, so "explaining" them would run
@@ -161,7 +166,19 @@ object Explain {
     val sb = new StringBuilder
     sb.append(s"# Physical plans (headline queries, $sfDir)\n\n")
     sb.append("Generated by `graft.Explain`; the properties these plans are\n")
-    sb.append("expected to show are asserted in `PlanSpec`.\n")
+    sb.append("expected to show are asserted in `PlanSpec`.\n\n")
+    sb.append("SELECTION RULE: one representative per PHYSICAL PATTERN\n")
+    sb.append("FAMILY, chosen when the pattern first ships (the inline\n")
+    sb.append("comments in `Explain.Headline` name each family). Queries\n")
+    sb.append("sharing a dumped representative's shape (e.g. the ~40\n")
+    sb.append("broadcast-dim + hash-agg relational queries shaped like q01/\n")
+    sb.append("q09) are not duplicated here; EVERY query's plan is still\n")
+    sb.append("machine-checked by the enforced PlanHygieneSpec sweep over\n")
+    sb.append("the full registry (Expand / CartesianProduct / ScalaUDF /\n")
+    sb.append("shuffled joins / whole-group percentiles, allowlist with\n")
+    sb.append("rationale per by-design flag) plus the per-pattern PlanSpec\n")
+    sb.append("asserts. Queries whose QUERY plan is a staged-parquet read\n")
+    sb.append("dump their stage BUILD plan separately below.\n")
     Headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
