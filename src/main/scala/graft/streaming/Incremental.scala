@@ -48,6 +48,14 @@ object Incremental {
     * real deployment tunes (buckets ≈ executors × small constant). */
   val NumBuckets = 16
 
+  /** Epoch-claim writer id for the gold layout (see
+    * [[graft.operators.MergeInto.mergeBucketed]]'s single-global-
+    * sequence contract): the gold table has exactly one maintenance
+    * path, and claiming its epochs under a named writer means any
+    * FUTURE second path (a batch repair job, a second stream) fails
+    * loudly on collision instead of silently dropping a batch. */
+  private val Writer = "gold"
+
   /** Duplicate-arrival horizon for ingest dedup state. */
   val DedupDelay = "24 hours"
 
@@ -87,7 +95,11 @@ object Incremental {
     val query = bronze.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         if (!batch.isEmpty)
-          processBatch(spark, batch.toDF(), summoners, silverDir, goldDir, epochId)
+          // the checkpoint's private batch id maps into the layout's
+          // global epoch sequence (stable on replay) — the
+          // TombstoneIngest.runOnce discipline
+          processBatch(spark, batch.toDF(), summoners, silverDir, goldDir,
+            MergeInto.epochFor(spark, goldDir, Writer, epochId))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -122,7 +134,8 @@ object Incremental {
           sum(col("kda_sum")).as("kda_sum")),
         epochId = epochId,
         bucketOn = col("puuid"),
-        numBuckets = NumBuckets)
+        numBuckets = NumBuckets,
+        writer = Writer)
     } finally silver.unpersist()
   }
 

@@ -35,6 +35,11 @@ object QuantileServe {
     * [[Incremental.NumBuckets]]). */
   val NumBuckets = 8
 
+  /** Epoch-claim writer id for the sketch layout (the
+    * [[Incremental.Writer]] rationale: one named path today, loud
+    * failure on any future second path's epoch collision). */
+  private val Writer = "sketch"
+
   /** One pass over the bronze backlog (`Trigger.AvailableNow`):
     * sketch each micro-batch and merge it into `sketchDir`. Each call
     * is a fresh query resumed from `checkpointDir` — calling it per
@@ -51,7 +56,9 @@ object QuantileServe {
     bronze.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         if (!batch.isEmpty)
-          processBatch(spark, batch.toDF(), keys, valueCol, sketchDir, epochId)
+          // private batch id -> global layout epoch (stable on replay)
+          processBatch(spark, batch.toDF(), keys, valueCol, sketchDir,
+            MergeInto.epochFor(spark, sketchDir, Writer, epochId))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -79,7 +86,8 @@ object QuantileServe {
         aggs = Seq(sum(col("__lq_c")).as("__lq_c")),
         epochId = epochId,
         bucketOn = concat_ws("|", keys.map(col): _*),
-        numBuckets = NumBuckets)
+        numBuckets = NumBuckets,
+        writer = Writer)
   }
 
   /** Current served sketch: per-(keys, __lq_b) counts. None before the

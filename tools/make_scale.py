@@ -48,9 +48,15 @@ def replicate(table, sql_tmpl, id_col):
     n = con.execute(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows ({K}x)")
 
+# source salting keeps the generator's `srcN` shape (queries like the
+# mixture rebalancer parse the numeric suffix): replica k's sources are
+# srcN+k*1000 when the base matches, `-rK`-suffixed otherwise.
 replicate('documents', """
   SELECT doc_id + {k} * {step} AS doc_id, text, lang,
-         source || '-r{k}' AS source, n_chars FROM base""", 'doc_id')
+         CASE WHEN regexp_matches(source, '^src[0-9]+$')
+              THEN 'src' || (substring(source, 4)::INT + {k} * 1000)
+              ELSE source || '-r{k}' END AS source,
+         n_chars FROM base""", 'doc_id')
 
 replicate('embeddings', """
   SELECT vec_id + {k} * {step} AS vec_id, embedding, label FROM base""", 'vec_id')
