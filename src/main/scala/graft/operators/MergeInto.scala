@@ -261,16 +261,39 @@ object MergeInto {
       }
       .sortBy { case (v, _) => -v }
     val keptPerBucket = scala.collection.mutable.Map.empty[String, Int]
-    versions.foreach { case (_, vp) =>
+    val keptEpochs = scala.collection.mutable.Set.empty[Long]
+    versions.foreach { case (v, vp) =>
       val complete = fs.exists(new Path(vp, "_SUCCESS"))
       fs.listStatus(vp).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("bucket="))
         .foreach { bp =>
           val kept = keptPerBucket.getOrElse(bp.getName, 0)
-          if (complete && kept < 2) keptPerBucket(bp.getName) = kept + 1 // newest + parent — keep
-          else fs.delete(bp, true)
+          if (complete && kept < 2) { // newest + parent — keep
+            keptPerBucket(bp.getName) = kept + 1
+            keptEpochs += v
+          } else fs.delete(bp, true)
         }
       if (fs.listStatus(vp).forall(!_.isDirectory)) fs.delete(vp, true)
+    }
+    // Prune the epoch log with the SAME replay horizon as the data:
+    // a claim or batch mapping strictly below every kept version can
+    // never be replayed (the caller's checkpoint advanced past it
+    // before the parent epoch started), so keeping it would only grow
+    // the log one tiny file per epoch forever. Claims at or above the
+    // horizon survive — including orphan claims from a crashed
+    // allocate, which a replay must still observe to allocate PAST.
+    val epochs = new Path(root, "_epochs")
+    if (keptEpochs.nonEmpty && fs.exists(epochs)) {
+      val horizon = keptEpochs.min
+      fs.listStatus(epochs).map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n.startsWith("e=")) {
+          if (n.drop(2).toLong < horizon) fs.delete(p, false): Unit
+        } else if (n.startsWith("w=")) {
+          val mapped = scala.util.Try(readUtf8(fs, p).toLong).toOption
+          if (mapped.exists(_ < horizon)) fs.delete(p, false): Unit
+        }
+      }
     }
   }
 }

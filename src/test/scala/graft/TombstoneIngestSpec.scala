@@ -127,6 +127,42 @@ class TombstoneIngestSpec extends SparkSuite {
     assert(live == (0L until 40L).toSet - 7L)
   }
 
+  test("compact prunes the epoch log to the replay horizon, allocations stay monotone") {
+    import graft.operators.MergeInto
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_tomb_prune").toString
+    TombstoneIngest.seed(spark, dir, baseIndex) // e=0
+    (0 to 4).foreach { b =>
+      val e = MergeInto.epochFor(spark, dir, "deletes", batchId = b.toLong)
+      TombstoneIngest.applyDeletes(spark, dir, Seq(b.toLong).toDF("vec_id"), epochId = e)
+    }
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def logNames() = fs.listStatus(new Path(dir, "_epochs")).map(_.getPath.getName).toSet
+    assert(logNames().count(_.startsWith("e=")) == 6) // seed + 5 deletes
+
+    MergeInto.compact(spark, dir)
+    val names = logNames()
+    // data horizon: each bucket keeps its newest 2 versions; claims and
+    // batch mappings strictly below the oldest kept epoch are gone,
+    // those at/above survive (the newest epoch may still be replayed)
+    val keptEpochs = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    val horizon = keptEpochs.min
+    assert(names.collect { case n if n.startsWith("e=") => n.drop(2).toLong }
+      .forall(_ >= horizon), s"stale claims survived: $names")
+    assert(names.exists(_.startsWith("w=")), "live batch mappings must survive")
+    // a replayed batch at/above the horizon recovers ITS epoch
+    val eReplay = MergeInto.epochFor(spark, dir, "deletes", batchId = 4L)
+    assert(eReplay == 5L, s"replay of the newest batch must map to its epoch, got $eReplay")
+    // fresh allocations stay strictly above everything ever claimed
+    val eNext = MergeInto.epochFor(spark, dir, "deletes", batchId = 99L)
+    assert(eNext == 6L, s"allocation after pruning must be monotone, got $eNext")
+    // serving state is untouched by the sweep
+    val live = TombstoneIngest.serveLive(spark, dir).get
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live == (0L until 40L).toSet -- (0L to 4L).toSet)
+  }
+
   test("streaming wrapper: two event files, restart between passes, equals batch truth") {
     val root = Files.createTempDirectory("graft_tomb_stream")
     val idxDir = root.resolve("idx").toString
