@@ -205,7 +205,14 @@ object Bench {
           run
           streaming += name -> rows / ((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable => errors += s"streaming:$name" -> e.toString.take(200) }
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+        }
+        del(tmpPath.toFile)
+      }))
+      val tmp = tmpPath.toString
       // 1. match-ingest -> silver -> bucketed gold (Incremental)
       val bronze = graft.queries.Domain.bronzeFromOrders(Tables.orders(spark, sfDir))
         .withColumn("timestamp", to_timestamp(lit(1700000000L)))

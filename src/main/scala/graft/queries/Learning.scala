@@ -603,5 +603,49 @@ object Learning {
                  (c.cum_tokens <= bud.budget) AS kept
                FROM c JOIN bud USING (source) ORDER BY c.source, c.doc_id"""),
     ),
+
+    // Temperature-based mixture sampling — the mT5/XLM-R/LLaMA recipe
+    // that sits NEXT TO the learned DoReMi weights (q134): sampling
+    // probability p_i ∝ n_i^τ flattens the source distribution toward
+    // uniform (τ<1 upsamples low-resource sources without learning a
+    // proxy model). τ = 0.5 deliberately: sqrt is CORRECTLY ROUNDED
+    // per IEEE-754 in both engines, where a general pow(x, 0.3) is
+    // libm-dependent in the last ulp and would make the differential
+    // flaky at fround boundaries. `boost` = p_i / natural-share is the
+    // standard diagnostic (low-resource boost > 1). Scale: one
+    // |sources|-row aggregate off the staged docLens table + a
+    // broadcast scalar — the corpus is never rescanned or shuffled.
+    // The |sources|-term double sum `z` follows the q134 zden
+    // contract: ≤ ~20 terms, ordering noise « the fround grid.
+    QueryDef(
+      "q173_temperature_mixture",
+      (s, dir) => {
+        val src = Tables.docLens(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("n_tokens"))
+        val w = src.withColumn("w", sqrt(col("n_tokens").cast("double")))
+        val z = w.agg(sum(col("w")).as("z"),
+          sum(col("n_tokens")).cast("double").as("tt"))
+        w.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            Num.fround(col("w") / col("z"), 6).as("p_tau"),
+            Num.fround(col("w") / col("z") * 10000, 2).as("exp_docs_10k"),
+            Num.fround((col("w") / col("z"))
+              / (col("n_tokens").cast("double") / col("tt")), 4).as("boost"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH src AS (
+                 SELECT source, count(*)::BIGINT AS n_docs,
+                        sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+                 FROM documents GROUP BY source),
+               w AS (SELECT *, sqrt(n_tokens::DOUBLE) AS w FROM src),
+               z AS (SELECT sum(w) AS z, sum(n_tokens)::DOUBLE AS tt FROM w)
+               SELECT source, n_docs, n_tokens,
+                 ${Num.froundSql("w / z", 6)} AS p_tau,
+                 ${Num.froundSql("w / z * 10000", 2)} AS exp_docs_10k,
+                 ${Num.froundSql("(w / z) / (n_tokens::DOUBLE / tt)", 4)} AS boost
+               FROM w CROSS JOIN z ORDER BY source"""),
+    ),
   )
 }

@@ -213,4 +213,33 @@ class CorpusFixtureSpec extends SparkSuite {
     assert(within.filter(col("w") * 2 < col("n")).count() == 0,
       "MAD law violated: fewer than half within one MAD of the median")
   }
+
+  test("q173 temperature law: sqrt flattening boosts the low-resource source") {
+    // src-small: 1 doc x 100 tokens; src-big: 1 doc x 10000 tokens.
+    // Natural shares 1/101 vs 100/101; tau=0.5 shares sqrt(100):
+    // sqrt(10000) = 10:100 -> 1/11 vs 10/11. Exact closed forms:
+    // p_small = 1/11, boost_small = (1/11)/(100/10100) = 9.1818...,
+    // boost_big = (10/11)/(10000/10100) = 0.9181...
+    val dir = docsDir(Seq(
+      (1L, Seq.fill(100)("w").mkString(" "), "src-small"),
+      (2L, Seq.fill(10000)("w").mkString(" "), "src-big")))
+    val out = SparkEntry.queries("q173_temperature_mixture")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    val (ntS, pS, bS) = out("src-small")
+    val (ntB, pB, bB) = out("src-big")
+    assert(ntS == 100L && ntB == 10000L)
+    assert(math.abs(pS - 1.0 / 11) < 1e-6 && math.abs(pB - 10.0 / 11) < 1e-6)
+    assert(math.abs(bS - (1.0 / 11) / (100.0 / 10100)) < 1e-3, s"small boost $bS")
+    assert(math.abs(bB - (10.0 / 11) / (10000.0 / 10100)) < 1e-3, s"big boost $bB")
+    assert(bS > 1 && bB < 1, "tau<1 must upsample the low-resource source")
+    // conservation laws on the real corpus: probabilities sum to ~1,
+    // expected docs sum to ~the 10k budget, and token-weighted boost
+    // averages to ~1
+    val real = SparkEntry.queries("q173_temperature_mixture")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val psum = real.map(_.getDouble(3)).sum
+    val dsum = real.map(_.getDouble(4)).sum
+    assert(math.abs(psum - 1.0) < 1e-3, s"sum p = $psum")
+    assert(math.abs(dsum - 10000.0) < 1.0, s"sum expected docs = $dsum")
+  }
 }
