@@ -49,7 +49,8 @@ for p in glob.glob(src + '/*.parquet'):
 # events edge rows: duplicate timestamp (window/order tie), a replayed
 # event_id (at-least-once delivery), malformed + empty JSON props, an
 # event type outside the known set, an exact hour-boundary timestamp,
-# a negative value, and a user with exactly one event.
+# a negative value, ±Inf and NULL values (round 11), a NULL props, and
+# a user with exactly one event.
 e0 = con.execute(
     f"SELECT max(event_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
 u0 = con.execute(
@@ -64,7 +65,10 @@ con.execute(f"""
       ({e0 + 2}, TIMESTAMP '2024-01-15 00:00:00.000000', {u0}, 'purchase', -5.5, '{{"k": 3}}'),
       ({e0 + 3}, TIMESTAMP '2024-01-16 12:00:00.000000', {u0}, 'mystery_type', 0.0, '{{bad json'),
       ({e0 + 4}, TIMESTAMP '2024-01-17 23:59:59.999999', {u0} + 1, 'view', 7.25, '{{}}'),
-      ({e0 + 5}, TIMESTAMP '2024-01-18 09:15:30.500000', {u0} + 1, 'click', 'nan'::DOUBLE, '{{"k": 4}}')
+      ({e0 + 5}, TIMESTAMP '2024-01-18 09:15:30.500000', {u0} + 1, 'click', 'nan'::DOUBLE, '{{"k": 4}}'),
+      ({e0 + 6}, TIMESTAMP '2024-01-18 10:00:00.000000', {u0} + 1, 'view',  'infinity'::DOUBLE,  '{{"k": 5}}'),
+      ({e0 + 7}, TIMESTAMP '2024-01-18 11:00:00.000000', {u0} + 1, 'view',  '-infinity'::DOUBLE, '{{"k": 6}}'),
+      ({e0 + 8}, TIMESTAMP '2024-01-18 12:00:00.000000', {u0} + 1, 'click', NULL::DOUBLE, NULL::VARCHAR)
     ) v(event_id, ts, user_id, event_type, value, props)
     UNION ALL
     SELECT * FROM '{src}/events.parquet' WHERE event_id = 5
@@ -88,6 +92,8 @@ adv_docs = [
     (d0 + 4, dup_text, 'en', 'src1'),                    # exact duplicate text
     (d0 + 5, long_text, 'en', 'src0'),                   # very long doc
     (d0 + 6, '!!! ??? ... ---', 'de', 'src2'),           # punctuation only
+    (d0 + 7, '   ', 'en', 'src1'),                       # whitespace-only text
+    (d0 + 8, ' leading and trailing  ', 'en', 'src2'),   # boundary spaces
 ]
 vals = ", ".join(
     f"({i}, {t!r}, {l!r}, {s!r}, length({t!r}))" for i, t, l, s in adv_docs)
