@@ -95,6 +95,10 @@ object Explain {
     // bounded per-vector window).
     "q133_quality_classifier", "q134_domain_mixture", "q135_bigram_lm",
     "q136_knn_graph",
+    // round 11: plan-unrolled greedy beam search over the navigable
+    // graph (fixed hops — no driver iteration; bounded frontier joins
+    // against the symmetrized kNN + hub adjacency).
+    "q174_ann_graph_search",
     // tokenizer fertility (type-level joins only after the one corpus
     // collapse) and hard-negative mining (cluster-mate self-join,
     // label-filtered).

@@ -345,7 +345,7 @@ object Clustering {
     * chain per reference). */
   private def knnSqlCtes: String =
     s"""$hierSqlCtes,
-        memf AS (SELECT fa2.vec_id, fa2.fcid, e.emb,
+        memf AS MATERIALIZED (SELECT fa2.vec_id, fa2.fcid, e.emb,
                    ${VectorFns.normSqSql("e.emb")} AS nsq
                  FROM fa2 JOIN e USING (vec_id)),
         sims AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.fcid,
@@ -407,7 +407,7 @@ object Clustering {
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH $hierSqlCtes,
-               memf AS (SELECT fa2.vec_id, fa2.fcid, e.emb,
+               memf AS MATERIALIZED (SELECT fa2.vec_id, fa2.fcid, e.emb,
                           ${VectorFns.normSqSql("e.emb")} AS nsq
                         FROM fa2 JOIN e USING (vec_id)),
                drops AS (
@@ -571,6 +571,236 @@ object Clustering {
                SELECT va AS vec_id, rank, vb AS neighbor, fcid AS cluster_id,
                  ${Num.froundSql("sim", 6)} AS sim
                FROM knn ORDER BY vec_id, rank"""),
+    ),
+
+    // GRAPH-BASED ANN SEARCH — the HNSW/DiskANN serving family, the
+    // one ANN taxonomy member the IVF/LSH/PQ suite lacked: greedy
+    // BEAM SEARCH over a NAVIGABLE graph built from the q136 kNN
+    // edges. Navigability needed two standard augmentations, both
+    // measured in, not assumed: (1) the cluster-mate kNN edges alone
+    // are one disconnected component per fine cluster — a walk can
+    // never leave the entry cluster (measured 0 recall) — so a HUB
+    // routing layer (per-cluster min-vec_id hub, hub→top-R nearest
+    // hubs, symmetric) plays HNSW's upper layer, and every NODE
+    // carries 2 directed long edges to its nearest hubs (the DiskANN
+    // long-edge rule — hub-only long edges still measured ~3%: after
+    // one hop the beam is non-hub nodes with cluster-internal edges
+    // only); (2) kNN edges are SYMMETRIZED (in-links too), the
+    // standard graph-ANN degree rule against local optima. Search:
+    // entries = the 4 smallest hub ids, H=5 hops of candidates =
+    // beam ∪ neighbors(beam), top-B=16 per probe kept on the
+    // 4dp-frounded cosine (monotone — the beam re-enters the
+    // candidate set). Output: the top-8 found per probe with a `hit`
+    // flag against the exact top-20 (top 4% of the corpus).
+    //
+    // WHY hit@top-20 and not top-4: these synthetic embeddings are
+    // near-isotropic (exact best cosine ≈ 0.32–0.49 vs rank-20 ≈
+    // 0.22 — a nearly flat landscape), so greedy descent has no
+    // gradient to the exact head; even the q112 IVF reaches only
+    // 27–37% recall@10 by brute-scanning ~17% of the corpus. The
+    // walk visits O(B·deg·H) nodes — ~2 orders less at scale — and
+    // still lands ~27% of its head picks inside the global top-4%
+    // (probes with no structure at all land none; both engines
+    // agree on exactly which). The LEARNABLE framing, per the q133
+    // lesson: navigation quality is what this data can measure.
+    //
+    // FULLY DIFFERENTIAL, not a literal-1 tripwire: hops are FIXED,
+    // so the oracle unrolls them as plain CTEs (MATERIALIZED where
+    // re-referenced — DuckDB inlines plain CTEs per reference and
+    // re-ran the whole hierarchical chain per hop without the hint) —
+    // two independent implementations must agree on every beam
+    // member at every rank.
+    //
+    // Scale shape: after the staged graph build, a hop is a bounded
+    // (P·B)-row frontier joined against the key-partitioned adjacency
+    // plus a broadcast of the P probe payloads — the corpus is never
+    // rescanned and the driver never iterates over data (hops are
+    // plan-unrolled, the q140 fixed-rounds discipline). Degree is
+    // constant (≤3 kNN out + ≤3 in + 2 node→hub; hubs +2R), so hop
+    // expansion is bounded. The node→hub scoring pass is the coarse-
+    // assignment O(n·#hubs) shape; at production scale the hub layer
+    // recurses (hubs-of-hubs), each level adding constant work. The
+    // exact side is the recall harness, bounded by P probes (the
+    // q112 contract).
+    QueryDef(
+      "q174_ann_graph_search",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (p, e, b, hops, k, r) = (8, 4, 16, 5, 20, 3)
+        val nodes = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        // NAVIGABILITY: the cluster-mate kNN edges alone are a
+        // DISCONNECTED graph (one component per fine cluster — a walk
+        // can never leave the entry cluster; measured 0 recall). The
+        // routing layer HNSW's hierarchy / DiskANN's long edges exist
+        // for: one HUB per cluster (min vec_id — deterministic), each
+        // hub linked to its top-R nearest hubs by cosine, symmetric.
+        // Hub count = clusters ≈ n/TargetClusterSize; the hub-pair
+        // scan is (n/150)² — at production scale the hub layer
+        // recurses (hubs-of-hubs), each level adding constant work.
+        val hubs = nodes.groupBy(col("fcid")).agg(min(col("vec_id")).as("vec_id"))
+          .join(nodes, Seq("vec_id", "fcid"))
+          .select(col("vec_id"), col("embedding"), col("nsq"))
+        val ha = hubs.select(col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nsq").as("na"))
+        val hb = hubs.select(col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nsq").as("nb"))
+        val hw = Window.partitionBy(col("va")).orderBy(col("hsim").desc, col("vb"))
+        val hubLinks = ha.join(broadcast(hb), col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            Num.fround(VectorFns.cosine(VectorFns.dotF("ea", "eb"),
+              col("na"), col("nb")), 4).as("hsim"))
+          .withColumn("hrk", row_number().over(hw))
+          .filter(col("hrk") <= r)
+          .select(col("va"), col("vb"))
+        // every NODE also carries 2 long edges to its nearest hubs —
+        // the DiskANN long-edge rule. Hub-only long edges measured 3%
+        // recall: after one hop the beam is non-hub nodes whose edges
+        // are all cluster-internal, and exploration dies. Node→hub
+        // degree is constant (2); the scoring pass is the same
+        // O(n·#hubs) shape as coarse assignment. Directed on purpose:
+        // the reverse edge would give hubs O(cluster) out-degree and
+        // blow the hop expansion bound.
+        val nw = Window.partitionBy(col("va")).orderBy(col("hsim").desc, col("vb"))
+        val nodeHub = nodes.select(col("vec_id").as("va"),
+            col("embedding").as("ea"), col("nsq").as("na"))
+          .join(broadcast(hb), col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            Num.fround(VectorFns.cosine(VectorFns.dotF("ea", "eb"),
+              col("na"), col("nb")), 4).as("hsim"))
+          .withColumn("nrk", row_number().over(nw))
+          .filter(col("nrk") <= 2)
+          .select(col("va"), col("vb"))
+        // SYMMETRIC kNN (in-links too — the standard graph-ANN edge
+        // rule): out-only top-3 edges strand the walk in local optima.
+        val knnE = knnRanked(s, dir).select(col("va"), col("vb"))
+        val g = knnE
+          .unionByName(knnE.select(col("vb").as("va"), col("va").as("vb")))
+          .unionByName(hubLinks)
+          .unionByName(hubLinks.select(col("vb").as("va"), col("va").as("vb")))
+          .unionByName(nodeHub)
+          .distinct()
+        val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
+        val probes = nodesP.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val entries = hubs.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val sim = Num.fround(
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+            col("p_nsq"), col("nsq")), 4)
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        // the candidate/beam side is P·B·deg-bounded at ANY corpus
+        // size — broadcasting the frontier against the big node table
+        // is the scale-correct serving lookup (initial-plan-asserted:
+        // no SortMergeJoin anywhere in the walk)
+        def score(cand: DataFrame): DataFrame = nodesP
+          .join(broadcast(cand), Seq("vec_id"))
+          .join(broadcast(probes), Seq("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+        var beam = probes.select(col("probe_id")).crossJoin(broadcast(entries))
+          .filter(col("vec_id") =!= col("probe_id"))
+        for (_ <- 1 to hops) {
+          val expanded = g.join(broadcast(beam), beam("vec_id") === g("va"))
+            .select(col("probe_id"), col("vb").as("vec_id"))
+          val cand = beam.unionByName(expanded)
+            .filter(col("vec_id") =!= col("probe_id")).distinct()
+          beam = score(cand)
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= b)
+            .select(col("probe_id"), col("vec_id"))
+        }
+        val found = score(beam)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 8)
+        // exact harness: one pass of corpus × broadcast probes (the
+        // q112 shape) — no corpus self-join
+        val exact = nodesP.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+        found.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"),
+            coalesce(col("hit"), lit(0)).as("hit"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some {
+        val (p, e, b, hops, k, r) = (8, 4, 16, 5, 20, 3)
+        val simOf = Num.froundSql(
+          VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
+        def scoreCte(cand: String) =
+          s"""SELECT c.probe_id, c.vec_id, $simOf AS sim
+              FROM $cand c JOIN memf m ON m.vec_id = c.vec_id
+              JOIN p ON p.probe_id = c.probe_id"""
+        val hopCtes = (1 to hops).map { h =>
+          s"""gc$h AS (SELECT DISTINCT probe_id, vec_id FROM (
+                        SELECT probe_id, vec_id FROM gb${h - 1}
+                        UNION ALL
+                        SELECT t.probe_id, adj.vb AS vec_id
+                        FROM gb${h - 1} t JOIN adj ON adj.va = t.vec_id)
+                      WHERE vec_id <> probe_id),
+              gs$h AS (${scoreCte(s"gc$h")}),
+              gb$h AS (SELECT probe_id, vec_id FROM (
+                        SELECT probe_id, vec_id,
+                          row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, vec_id) AS rk
+                        FROM gs$h) WHERE rk <= $b)"""
+        }.mkString(",\n")
+        s"""WITH $knnSqlCtes,
+            hub AS MATERIALIZED (SELECT m.vec_id, m.emb, m.nsq
+                    FROM (SELECT fcid, min(vec_id) AS vec_id FROM memf
+                          GROUP BY fcid) h JOIN memf m ON m.vec_id = h.vec_id),
+            hsims AS (SELECT a.vec_id AS va, bb.vec_id AS vb,
+                        ${Num.froundSql(VectorFns.cosineSql(
+                          VectorFns.dotSql("a.emb", "bb.emb"), "a.nsq", "bb.nsq"), 4)} AS hsim
+                      FROM hub a JOIN hub bb ON a.vec_id <> bb.vec_id),
+            hlinks AS (SELECT va, vb FROM (
+                         SELECT va, vb,
+                           row_number() OVER (PARTITION BY va
+                             ORDER BY hsim DESC, vb) AS hrk
+                         FROM hsims) WHERE hrk <= $r),
+            nhsims AS (SELECT m.vec_id AS va, h.vec_id AS vb,
+                         ${Num.froundSql(VectorFns.cosineSql(
+                           VectorFns.dotSql("m.emb", "h.emb"), "m.nsq", "h.nsq"), 4)} AS hsim
+                       FROM memf m JOIN hub h ON m.vec_id <> h.vec_id),
+            nodehub AS (SELECT va, vb FROM (
+                          SELECT va, vb,
+                            row_number() OVER (PARTITION BY va
+                              ORDER BY hsim DESC, vb) AS nrk
+                          FROM nhsims) WHERE nrk <= 2),
+            adj AS MATERIALIZED (SELECT DISTINCT va, vb FROM (
+                      SELECT va, vb FROM knn
+                      UNION ALL SELECT vb AS va, va AS vb FROM knn
+                      UNION ALL SELECT va, vb FROM hlinks
+                      UNION ALL SELECT vb AS va, va AS vb FROM hlinks
+                      UNION ALL SELECT va, vb FROM nodehub) u),
+            p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
+                  FROM memf WHERE vec_id < $p),
+            entry AS (SELECT vec_id FROM hub ORDER BY vec_id LIMIT $e),
+            gb0 AS (SELECT probe_id, vec_id FROM p CROSS JOIN entry
+                   WHERE vec_id <> probe_id),
+            $hopCtes,
+            found AS (
+              SELECT probe_id, vec_id, sim, rank FROM (
+                SELECT probe_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, vec_id)::BIGINT AS rank
+                FROM (${scoreCte(s"gb$hops")}) fs) fr WHERE rank <= 8),
+            exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
+                    FROM memf m CROSS JOIN p WHERE m.vec_id <> p.probe_id),
+            ex AS (SELECT probe_id, vec_id FROM (
+                     SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY sim DESC, vec_id) AS rk
+                     FROM exs) WHERE rk <= $k)
+            SELECT f.probe_id, f.rank, f.vec_id, f.sim,
+              CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+            FROM found f LEFT JOIN ex
+              ON ex.probe_id = f.probe_id AND ex.vec_id = f.vec_id
+            ORDER BY f.probe_id, f.rank"""
+      },
     ),
 
     // HARD-NEGATIVE mining for contrastive embedding training: for

@@ -217,4 +217,34 @@ class ClusteringSpec extends SparkSuite {
       col("prio") === col("next_prio")).count() == 0, "uncompressed adjacent versions")
     out.unpersist()
   }
+
+  test("q174 graph search: shape laws, hit-prefix law, non-vacuous navigation") {
+    val out = SparkEntry.queries("q174_ann_graph_search")(spark, "/root/testdata/sf0.001")
+      .collect()
+    // 8 probes x top-8 found, dense ranks, sims non-increasing
+    assert(out.length == 64, s"got ${out.length} rows")
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.size == 8)
+    byProbe.foreach { case (pid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 8L), s"probe $pid ranks not dense")
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"probe $pid found sims not ranked: $sims")
+      // hit = membership in the exact top-20 = a per-probe sim cutoff,
+      // so hits must form a PREFIX of the ranked list: no hit=1 row may
+      // sit strictly below a hit=0 row
+      val hitSims = sorted.filter(_.getInt(4) == 1).map(_.getDouble(3)).toSeq
+      val missSims = sorted.filter(_.getInt(4) == 0).map(_.getDouble(3)).toSeq
+      val minHitSim = if (hitSims.isEmpty) Double.NegativeInfinity else hitSims.min
+      val maxMissSim = if (missSims.isEmpty) Double.NegativeInfinity else missSims.max
+      assert(hitSims.isEmpty || missSims.isEmpty || minHitSim >= maxMissSim,
+        s"probe $pid: hit=1 at sim $minHitSim below a hit=0 at $maxMissSim")
+    }
+    // non-vacuity (q151 lesson: measured before pinning — 19 hits at
+    // sf0.001, 17 at sf0.01, 14 at sf0.1): the walk must land a
+    // meaningful share of its head picks in the global top-4%
+    val hits = out.map(_.getInt(4)).sum
+    assert(hits >= 5, s"graph walk degenerated: only $hits/64 head hits")
+  }
 }
