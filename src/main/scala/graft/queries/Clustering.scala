@@ -674,12 +674,19 @@ object Clustering {
         // SYMMETRIC kNN (in-links too — the standard graph-ANN edge
         // rule): out-only top-3 edges strand the walk in local optima.
         val knnE = knnRanked(s, dir).select(col("va"), col("vb"))
-        val g = knnE
-          .unionByName(knnE.select(col("vb").as("va"), col("va").as("vb")))
-          .unionByName(hubLinks)
-          .unionByName(hubLinks.select(col("vb").as("va"), col("va").as("vb")))
-          .unionByName(nodeHub)
-          .distinct()
+        // the navigable graph is the INDEX ARTIFACT a deployment
+        // persists (staged once per input dir): without it every hop
+        // re-derived the hub layer per reference, and the 5-hop
+        // lineage doubled per hop (measured 15 s at sf0.1; staged +
+        // checkpointed beams: ~1 s)
+        val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+          knnE
+            .unionByName(knnE.select(col("vb").as("va"), col("va").as("vb")))
+            .unionByName(hubLinks)
+            .unionByName(hubLinks.select(col("vb").as("va"), col("va").as("vb")))
+            .unionByName(nodeHub)
+            .distinct()
+        }
         val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
         val probes = nodesP.filter(col("vec_id") < p)
           .select(col("vec_id").as("probe_id"),
@@ -705,10 +712,14 @@ object Clustering {
             .select(col("probe_id"), col("vb").as("vec_id"))
           val cand = beam.unionByName(expanded)
             .filter(col("vec_id") =!= col("probe_id")).distinct()
+          // lineage truncation per hop (the ConnectedComponents
+          // device): the beam is referenced twice next hop, and
+          // without the checkpoint the plan doubles per hop
           beam = score(cand)
             .withColumn("rk", row_number().over(w))
             .filter(col("rk") <= b)
             .select(col("probe_id"), col("vec_id"))
+            .localCheckpoint(true)
         }
         val found = score(beam)
           .withColumn("rank", row_number().over(w).cast("long"))
