@@ -133,6 +133,27 @@ object MergeInto {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Read a claim's owner, tolerating the winner's create/write/close
+    * not being atomic AS A UNIT: a reader who just lost the create
+    * race can observe the claim file exist while still empty and would
+    * spuriously refuse a legitimate same-writer retry. An empty read
+    * that does NOT already match `expect` is retried briefly (the
+    * winner's write is a handful of bytes away); after the window the
+    * last read stands — a still-empty claim then fails loud in the
+    * caller's owner check, which is an availability error, not data
+    * loss. */
+  private def readOwner(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      expect: String): String = {
+    var owner = readUtf8(fs, p)
+    var tries = 0
+    while (owner.isEmpty && owner != expect && tries < 50) {
+      Thread.sleep(10)
+      owner = readUtf8(fs, p)
+      tries += 1
+    }
+    owner
+  }
+
   /** Claim `v=<epochId>` for `writer`, or verify an existing claim.
     * Same writer → legitimate at-least-once replay, proceed. Different
     * writer → the silent-overwrite hazard; fail. The create-no-
@@ -147,13 +168,13 @@ object MergeInto {
         s"write from '$writer' — all maintenance paths of one layout must " +
         "share a single global epoch sequence (allocate via MergeInto.epochFor)")
     if (fs.exists(claim)) {
-      val owner = readUtf8(fs, claim)
+      val owner = readOwner(fs, claim, writer)
       if (owner != writer) refuse(owner)
     } else {
       fs.mkdirs(claim.getParent)
       try writeUtf8(fs, claim, writer, overwrite = false)
       catch { case _: java.io.IOException => // lost a concurrent claim race
-        val owner = readUtf8(fs, claim)
+        val owner = readOwner(fs, claim, writer)
         if (owner != writer) refuse(owner)
       }
     }
@@ -185,8 +206,18 @@ object MergeInto {
     var next = if (claimed.isEmpty) 0L else claimed.max + 1
     var won = false
     while (!won) {
-      try { writeUtf8(fs, new Path(epochs, s"e=$next"), writer, overwrite = false); won = true }
-      catch { case _: java.io.IOException => next += 1 }
+      val p = new Path(epochs, s"e=$next")
+      try { writeUtf8(fs, p, writer, overwrite = false); won = true }
+      catch {
+        // ONLY a lost create race advances the probe. A blanket
+        // IOException retry would turn a persistent failure
+        // (permissions, quota, filesystem outage) into an infinite
+        // busy loop that silently burns epoch numbers.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
+        case e: java.io.IOException =>
+          if (fs.exists(p)) next += 1 // local FS reports the race as plain IOException
+          else throw e
+      }
     }
     // mapping write is non-atomic on purpose: a crash between claim and
     // map leaves an orphan e= with no data, and the replay allocates
@@ -248,7 +279,13 @@ object MergeInto {
     * advanced past it before the parent's epoch started) and is
     * deleted, as are `v=` directories left without buckets. Run
     * between pipeline passes, never concurrently with an in-flight
-    * batch. */
+    * batch. Epoch-LOG pruning below carries a per-writer horizon so a
+    * crashed writer's replay always recovers its own epoch; the
+    * keep-2 DATA retention, however, is per-layout, not per-writer —
+    * with multiple interleaved writers, run compact only when every
+    * writer's checkpoint has committed through its newest epoch, or a
+    * replaying writer may find its pre-epoch bucket state already
+    * swept. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -275,23 +312,48 @@ object MergeInto {
         }
       if (fs.listStatus(vp).forall(!_.isDirectory)) fs.delete(vp, true)
     }
-    // Prune the epoch log with the SAME replay horizon as the data:
-    // a claim or batch mapping strictly below every kept version can
-    // never be replayed (the caller's checkpoint advanced past it
-    // before the parent epoch started), so keeping it would only grow
-    // the log one tiny file per epoch forever. Claims at or above the
-    // horizon survive — including orphan claims from a crashed
-    // allocate, which a replay must still observe to allocate PAST.
+    // Prune the epoch log with the data's replay horizon AND a
+    // PER-WRITER horizon. The data horizon alone is a single-writer
+    // view: with two epochFor writers on one layout, writer A can
+    // merge epoch E and crash BEFORE its checkpoint commits, writer B
+    // then advances the versions past E, and a global-horizon prune
+    // would delete A's `e=E` claim and `w=A,b=N` mapping — A's replay
+    // would allocate a FRESH epoch and re-merge a batch the state
+    // already contains (double-count for sum-style aggregates). So a
+    // writer's newest mapped epoch is always kept: mappings and
+    // owned claims are pruned only strictly below BOTH the data
+    // horizon and that writer's own newest epoch. Claims whose owner
+    // never wrote a mapping (explicit-epoch callers, or an orphan
+    // from a crash between claim and mapping — whose batch never
+    // merged, so a fresh epoch on replay is correct) prune on the
+    // data horizon alone, as before.
     val epochs = new Path(root, "_epochs")
     if (keptEpochs.nonEmpty && fs.exists(epochs)) {
       val horizon = keptEpochs.min
-      fs.listStatus(epochs).map(_.getPath).foreach { p =>
+      val entries = fs.listStatus(epochs).map(_.getPath)
+      val mappings = entries.flatMap { p =>
+        val n = p.getName
+        if (!n.startsWith("w=")) None
+        else {
+          val i = n.lastIndexOf(",b=")
+          if (i < 0) None
+          else scala.util.Try(readUtf8(fs, p).toLong).toOption
+            .map(e => (p, n.substring(2, i), e))
+        }
+      }
+      val newestOf: Map[String, Long] =
+        mappings.groupBy(_._2).map { case (w, ms) => w -> ms.map(_._3).max }
+      mappings.foreach { case (p, w, mapped) =>
+        if (mapped < horizon && mapped < newestOf(w)) fs.delete(p, false): Unit
+      }
+      entries.foreach { p =>
         val n = p.getName
         if (n.startsWith("e=")) {
-          if (n.drop(2).toLong < horizon) fs.delete(p, false): Unit
-        } else if (n.startsWith("w=")) {
-          val mapped = scala.util.Try(readUtf8(fs, p).toLong).toOption
-          if (mapped.exists(_ < horizon)) fs.delete(p, false): Unit
+          val e = n.drop(2).toLong
+          if (e < horizon) {
+            val owner = readUtf8(fs, p)
+            if (newestOf.get(owner).forall(e < _)) fs.delete(p, false): Unit
+          }
         }
       }
     }

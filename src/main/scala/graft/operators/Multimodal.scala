@@ -226,8 +226,14 @@ object Multimodal {
     // equal split (the stub contract).
     val videoFrames =
       if (row.meta.kind == "video") decodeVideoFrames(row.content) else None
-    val decoded = videoFrames.map(_.flatten.toArray)
-      .getOrElse(decode(row.meta, row.content))
+    // videoFrames == None for kind=="video" already means "no JDK
+    // codec for this container" — go straight to the stub instead of
+    // routing through decode(), whose video arm would parse the same
+    // payload a second time just to reach the same conclusion.
+    val decoded = videoFrames.map(_.flatten.toArray).getOrElse {
+      if (row.meta.kind == "video") decodeStub(row.meta, row.content)
+      else decode(row.meta, row.content)
+    }
     val hist = new Array[Long](16)
     decoded.foreach(b => hist((b & 0xf0) >> 4) += 1)
     val fh = videoFrames.map(sampledFrameHashes(_, NFrames))

@@ -163,6 +163,39 @@ class TombstoneIngestSpec extends SparkSuite {
     assert(live == (0L until 40L).toSet -- (0L to 4L).toSet)
   }
 
+  test("compact keeps a lagging writer's newest epoch (per-writer replay horizon)") {
+    import graft.operators.MergeInto
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_tomb_lag").toString
+    def merge(writer: String, epoch: Long, ids: Seq[Long]): Unit =
+      MergeInto.mergeBucketed(spark, dir,
+        ids.toDF("k").withColumn("c", lit(1L)),
+        keys = Seq("k"), aggs = Seq(sum(col("c")).as("c")), epochId = epoch,
+        bucketOn = col("k"), numBuckets = 4, writer = writer)
+    // writer A merges its batch 0 but its checkpoint never commits
+    // (crash before commit) — its replay must recover THIS epoch
+    val eA = MergeInto.epochFor(spark, dir, "laggard", batchId = 0L)
+    merge("laggard", eA, Seq(1L))
+    // writer B advances EVERY bucket well past A's epoch (full-range
+    // batches rewrite all buckets, so the keep-2 data horizon moves)
+    (0 to 2).foreach { b =>
+      val e = MergeInto.epochFor(spark, dir, "busy", batchId = b.toLong)
+      merge("busy", e, 0L until 40L)
+    }
+    MergeInto.compact(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new Path(dir, "_epochs")).map(_.getPath.getName).toSet
+    // A's claim and mapping survive even though the data horizon moved
+    // past them — a global-horizon prune would hand A's replay a fresh
+    // epoch and double-merge its batch (the r11 ADVICE scenario)
+    assert(names.contains(s"e=$eA"), s"laggard's claim swept: $names")
+    assert(names.contains("w=laggard,b=0"), s"laggard's mapping swept: $names")
+    assert(MergeInto.epochFor(spark, dir, "laggard", batchId = 0L) == eA,
+      "replay after compact must recover the laggard's own epoch")
+    // B's superseded history still prunes (the log does not grow forever)
+    assert(!names.contains("w=busy,b=0"), s"busy writer's stale mapping survived: $names")
+  }
+
   test("streaming wrapper: two event files, restart between passes, equals batch truth") {
     val root = Files.createTempDirectory("graft_tomb_stream")
     val idxDir = root.resolve("idx").toString
