@@ -293,14 +293,22 @@ object Bench {
       .map { case (k, v) => "\"" + jstr(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"wall_sec":${r3(spentSec)},"n_errors":${errors.size},"errors":$errs,"streaming":$strm,"stage_build_sec":$stages,"runs_per_query":$rpq,"gc_sec":$gcs,"queries":$qs}""")
-    // Belt-and-braces tail: the driver captures the END of stdout, so
-    // a second, compact summary line goes LAST — if front-truncation
-    // ever eats into the full line above, this one still parses.
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"wall_sec":${r3(spentSec)},"n_errors":${errors.size},"errors":$errs,"streaming":$strm,"stage_build_sec":$stages,"runs_per_query":$rpq,"gc_sec":$gcs,"queries":$qs}"""
+    println(full)
+    // The driver snapshot keeps only a stdout TAIL, which amputated
+    // the per-query map from the r11 artifact — so the LOSSLESS line
+    // also lands in a file (committed per round as BENCH_full_r<N>),
+    // and the compact last line folds in the small streaming/stage
+    // maps so the tail alone still carries them.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8")): Unit
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: could not write $outPath: $e") }
     val top10 = results.sortBy { case (_, (v, _)) => -v }.take(10)
       .map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"wall_sec":${r3(spentSec)},"n_errors":${errors.size},"top10":$top10}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"wall_sec":${r3(spentSec)},"n_errors":${errors.size},"top10":$top10,"streaming":$strm,"stage_build_sec":$stages}""")
     spark.stop()
   }
 }

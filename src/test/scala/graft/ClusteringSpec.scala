@@ -247,4 +247,38 @@ class ClusteringSpec extends SparkSuite {
     val hits = out.map(_.getInt(4)).sum
     assert(hits >= 5, s"graph walk degenerated: only $hits/64 head hits")
   }
+
+  test("q175 delta attach: provenance exact, deltas reachable, base graph delta-free") {
+    val out = SparkEntry.queries("q175_ann_graph_delta")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // provenance is analytic: delta iff an endpoint is a delta id
+    out.foreach { case (va, vb, batch) =>
+      val expected = if (va % 10 == 0 || vb % 10 == 0) "delta" else "base"
+      assert(batch == expected, s"($va,$vb) tagged $batch, expected $expected")
+    }
+    val base = out.filter(_._3 == "base")
+    val delta = out.filter(_._3 == "delta")
+    assert(base.nonEmpty && delta.nonEmpty, "both regimes must be non-empty")
+    // no duplicate edges across the merged structure
+    assert(out.distinct.length == out.length, "duplicate edges in merged graph")
+    // every delta vector is REACHABLE (has in-edges) and can EXIT
+    // (out-edges): the whole point of the in-link attach rule. Holds
+    // whenever a delta's cluster has >= 1 base mate — true for every
+    // delta at the test SFs (asserted, not assumed).
+    val deltaIds = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+      .collect().map(_.getLong(0))
+    val outDeg = delta.groupBy(_._1).view.mapValues(_.size).toMap
+    val inDeg = delta.groupBy(_._2).view.mapValues(_.size).toMap
+    deltaIds.foreach { d =>
+      assert(outDeg.getOrElse(d, 0) > 0, s"delta $d has no out-edges")
+      assert(inDeg.getOrElse(d, 0) > 0, s"delta $d unreachable (no in-edges)")
+    }
+    // nothing about the base subgraph may touch a delta id (the
+    // frozen-index contract: base edges are exactly the base build)
+    assert(base.forall { case (va, vb, _) => va % 10 != 0 && vb % 10 != 0 })
+  }
 }
