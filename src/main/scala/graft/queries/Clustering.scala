@@ -600,6 +600,172 @@ object Clustering {
                   UNION ALL SELECT va, vb FROM ${p}nsh) u)"""
   }
 
+  /** The greedy beam SERVING walk over a staged navigable graph,
+    * shared by q174 (full index), q176 (maintained index) and q177
+    * (tombstone-masked serving) so all three provably run the SAME
+    * search. Returns the FINAL beam scored — (probe_id, vec_id, sim),
+    * ≤`b` rows per probe — so each caller applies its own result
+    * policy (top-8, tombstone mask) without re-walking.
+    *
+    * Scale shape (the q174 contract): each hop joins the broadcast
+    * (P·B)-row frontier against the key-partitioned adjacency and the
+    * broadcast P probe payloads — the corpus is never rescanned, hops
+    * are plan-unrolled (q140 fixed-rounds discipline), and the beam is
+    * localCheckpoint'ed per hop (it is referenced twice next hop; the
+    * plan doubled per hop without it — measured 15.2→3.2 s at sf0.1).
+    */
+  private def beamWalkScored(nodesP: DataFrame, g: DataFrame,
+      probes: DataFrame, entries: DataFrame, b: Int, hops: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sim = Num.fround(
+      VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+        col("p_nsq"), col("nsq")), 4)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    def score(cand: DataFrame): DataFrame = nodesP
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+    var beam = probes.select(col("probe_id")).crossJoin(broadcast(entries))
+      .filter(col("vec_id") =!= col("probe_id"))
+    for (_ <- 1 to hops) {
+      val expanded = g.join(broadcast(beam), beam("vec_id") === g("va"))
+        .select(col("probe_id"), col("vb").as("vec_id"))
+      val cand = beam.unionByName(expanded)
+        .filter(col("vec_id") =!= col("probe_id")).distinct()
+      beam = score(cand)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= b)
+        .select(col("probe_id"), col("vec_id"))
+        .localCheckpoint(true)
+    }
+    score(beam)
+  }
+
+  /** DuckDB mirror of [[beamWalkScored]] as CTEs (no leading WITH):
+    * expects `$mem(vec_id, emb, nsq)` as the scoring corpus, `$adj(va,
+    * vb)` as the adjacency, `p(probe_id, p_emb, p_nsq)` as the probes
+    * and `entry(vec_id)` as the entry points; emits `gb0..gb$hops` and
+    * the final scored beam `fbeam(probe_id, vec_id, sim)`. */
+  private def beamWalkSqlCtes(mem: String, adj: String,
+      b: Int, hops: Int): String = {
+    val simOf = Num.froundSql(
+      VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
+    def scoreCte(cand: String) =
+      s"""SELECT c.probe_id, c.vec_id, $simOf AS sim
+          FROM $cand c JOIN $mem m ON m.vec_id = c.vec_id
+          JOIN p ON p.probe_id = c.probe_id"""
+    val hopCtes = (1 to hops).map { h =>
+      s"""gc$h AS (SELECT DISTINCT probe_id, vec_id FROM (
+                    SELECT probe_id, vec_id FROM gb${h - 1}
+                    UNION ALL
+                    SELECT t.probe_id, $adj.vb AS vec_id
+                    FROM gb${h - 1} t JOIN $adj ON $adj.va = t.vec_id)
+                  WHERE vec_id <> probe_id),
+          gs$h AS (${scoreCte(s"gc$h")}),
+          gb$h AS (SELECT probe_id, vec_id FROM (
+                    SELECT probe_id, vec_id,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY sim DESC, vec_id) AS rk
+                    FROM gs$h) WHERE rk <= $b)"""
+    }.mkString(",\n")
+    s"""gb0 AS (SELECT probe_id, vec_id FROM p CROSS JOIN entry
+               WHERE vec_id <> probe_id),
+        $hopCtes,
+        fbeam AS (${scoreCte(s"gb$hops")})"""
+  }
+
+  /** The q175 maintained-index pieces, shared with q176's serving:
+    * (base members, delta members, STAGED base graph, frozen base hub
+    * table, attach edges). Attach = delta↔top-3 base cluster-mates
+    * both directions + delta→own base hub (scoring-free) + delta→
+    * top-2 frozen super-hubs — every edge a function of (delta vector,
+    * frozen layers) only. */
+  private def maintained(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = hierMembers(s, dir)
+      .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+    val baseM = nodes.filter(col("vec_id") % 10 =!= 0)
+    val delta = nodes.filter(col("vec_id") % 10 === 0)
+    val baseG = graft.operators.Staged.parquet(s, s"q175base|$dir") {
+      navGraphBuild(baseM, knnTopEdges(baseM))
+    }
+    val bHub = hubTable(baseM)
+    val bSH = superHubTable(hubRankTable(baseM))
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    val akn = delta.select(col("fcid"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nsq").as("na"))
+      .join(baseM.select(col("fcid"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nsq").as("nb")), Seq("fcid"))
+      .select(col("va"), col("vb"),
+        (VectorFns.cosine(VectorFns.dotF("ea", "eb"), col("na"), col("nb"))).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("va"), col("vb"))
+    val aOwn = delta.select(col("vec_id").as("va"), col("fcid"))
+      .join(bHub.select(col("fcid"), col("vec_id").as("vb")), Seq("fcid"))
+      .select(col("va"), col("vb"))
+    val shw = Window.partitionBy(col("va")).orderBy(col("hsim").desc, col("vb"))
+    val aSH = delta.select(col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nsq").as("na"))
+      .join(broadcast(bSH.select(col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nsq").as("nb"))),
+        col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), hubSim.as("hsim"))
+      .withColumn("rk", row_number().over(shw))
+      .filter(col("rk") <= 2)
+      .select(col("va"), col("vb"))
+    val attach = akn
+      .unionByName(akn.select(col("vb").as("va"), col("va").as("vb")))
+      .unionByName(aOwn)
+      .unionByName(aSH)
+      .distinct()
+    (baseM, delta, baseG, bHub, attach)
+  }
+
+  /** DuckDB mirror of [[maintained]] as CTEs (no leading WITH;
+    * extends [[knnSqlCtes]]'s `memf`): emits `memb` (base members),
+    * `dlt` (delta members), the base graph `badj` (+ its `bhub`/
+    * `bshh` frozen layers via [[navGraphSqlCtes]]) and `attach`. */
+  private def maintainedSqlCtes: String =
+    s"""memb AS MATERIALIZED (SELECT * FROM memf WHERE vec_id % 10 <> 0),
+        bsims AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                    ${VectorFns.cosineSql(VectorFns.dotSql("a.emb", "b.emb"), "a.nsq", "b.nsq")} AS sim
+                  FROM memb a JOIN memb b
+                    ON a.fcid = b.fcid AND a.vec_id <> b.vec_id),
+        bknn AS (SELECT va, vb FROM (
+                   SELECT va, vb,
+                     row_number() OVER (PARTITION BY va
+                       ORDER BY sim DESC, vb) AS rank
+                   FROM bsims) WHERE rank <= 3),
+        ${navGraphSqlCtes("memb", "bknn", "b")},
+        dlt AS MATERIALIZED (SELECT * FROM memf WHERE vec_id % 10 = 0),
+        asims AS (SELECT d.vec_id AS va, m.vec_id AS vb,
+                    ${VectorFns.cosineSql(VectorFns.dotSql("d.emb", "m.emb"), "d.nsq", "m.nsq")} AS sim
+                  FROM dlt d JOIN memb m ON m.fcid = d.fcid),
+        akn AS (SELECT va, vb FROM (
+                  SELECT va, vb,
+                    row_number() OVER (PARTITION BY va
+                      ORDER BY sim DESC, vb) AS rk
+                  FROM asims) WHERE rk <= 3),
+        aown AS (SELECT d.vec_id AS va, h.vec_id AS vb
+                 FROM dlt d JOIN bhub h ON h.fcid = d.fcid),
+        ash AS (SELECT va, vb FROM (
+                  SELECT va, vb,
+                    row_number() OVER (PARTITION BY va
+                      ORDER BY hsim DESC, vb) AS rk
+                  FROM (SELECT d.vec_id AS va, sb.vec_id AS vb,
+                          ${Num.froundSql(VectorFns.cosineSql(
+                            VectorFns.dotSql("d.emb", "sb.emb"), "d.nsq", "sb.nsq"), 4)} AS hsim
+                        FROM dlt d JOIN bshh sb ON d.vec_id <> sb.vec_id) z)
+                WHERE rk <= 2),
+        attach AS (SELECT DISTINCT va, vb FROM (
+                     SELECT va, vb FROM akn
+                     UNION ALL SELECT vb AS va, va AS vb FROM akn
+                     UNION ALL SELECT va, vb FROM aown
+                     UNION ALL SELECT va, vb FROM ash) u)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Hierarchical k-means assignment: constant-k sample-trained
@@ -902,28 +1068,9 @@ object Clustering {
         // the candidate/beam side is P·B·deg-bounded at ANY corpus
         // size — broadcasting the frontier against the big node table
         // is the scale-correct serving lookup (initial-plan-asserted:
-        // no SortMergeJoin anywhere in the walk)
-        def score(cand: DataFrame): DataFrame = nodesP
-          .join(broadcast(cand), Seq("vec_id"))
-          .join(broadcast(probes), Seq("probe_id"))
-          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
-        var beam = probes.select(col("probe_id")).crossJoin(broadcast(entries))
-          .filter(col("vec_id") =!= col("probe_id"))
-        for (_ <- 1 to hops) {
-          val expanded = g.join(broadcast(beam), beam("vec_id") === g("va"))
-            .select(col("probe_id"), col("vb").as("vec_id"))
-          val cand = beam.unionByName(expanded)
-            .filter(col("vec_id") =!= col("probe_id")).distinct()
-          // lineage truncation per hop (the ConnectedComponents
-          // device): the beam is referenced twice next hop, and
-          // without the checkpoint the plan doubles per hop
-          beam = score(cand)
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") <= b)
-            .select(col("probe_id"), col("vec_id"))
-            .localCheckpoint(true)
-        }
-        val found = score(beam)
+        // no SortMergeJoin anywhere in the walk); the walk itself is
+        // [[beamWalkScored]], shared with q176/q177
+        val found = beamWalkScored(nodesP, g, probes, entries, b, hops)
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 8)
         // exact harness: one pass of corpus × broadcast probes (the
@@ -943,38 +1090,18 @@ object Clustering {
         val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
         val simOf = Num.froundSql(
           VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
-        def scoreCte(cand: String) =
-          s"""SELECT c.probe_id, c.vec_id, $simOf AS sim
-              FROM $cand c JOIN memf m ON m.vec_id = c.vec_id
-              JOIN p ON p.probe_id = c.probe_id"""
-        val hopCtes = (1 to hops).map { h =>
-          s"""gc$h AS (SELECT DISTINCT probe_id, vec_id FROM (
-                        SELECT probe_id, vec_id FROM gb${h - 1}
-                        UNION ALL
-                        SELECT t.probe_id, adj.vb AS vec_id
-                        FROM gb${h - 1} t JOIN adj ON adj.va = t.vec_id)
-                      WHERE vec_id <> probe_id),
-              gs$h AS (${scoreCte(s"gc$h")}),
-              gb$h AS (SELECT probe_id, vec_id FROM (
-                        SELECT probe_id, vec_id,
-                          row_number() OVER (PARTITION BY probe_id
-                            ORDER BY sim DESC, vec_id) AS rk
-                        FROM gs$h) WHERE rk <= $b)"""
-        }.mkString(",\n")
         s"""WITH $knnSqlCtes,
             ${navGraphSqlCtes("memf", "knn", "")},
             p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
                   FROM memf WHERE vec_id < $p),
             entry AS (SELECT vec_id FROM hub ORDER BY vec_id LIMIT $e),
-            gb0 AS (SELECT probe_id, vec_id FROM p CROSS JOIN entry
-                   WHERE vec_id <> probe_id),
-            $hopCtes,
+            ${beamWalkSqlCtes("memf", "adj", b, hops)},
             found AS (
               SELECT probe_id, vec_id, sim, rank FROM (
                 SELECT probe_id, vec_id, sim,
                   row_number() OVER (PARTITION BY probe_id
                     ORDER BY sim DESC, vec_id)::BIGINT AS rank
-                FROM (${scoreCte(s"gb$hops")}) fs) fr WHERE rank <= 8),
+                FROM fbeam fs) fr WHERE rank <= 8),
             exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
                     FROM memf m CROSS JOIN p WHERE m.vec_id <> p.probe_id),
             ex AS (SELECT probe_id, vec_id FROM (
@@ -1027,45 +1154,7 @@ object Clustering {
     QueryDef(
       "q175_ann_graph_delta",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val nodes = hierMembers(s, dir)
-          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
-        val baseM = nodes.filter(col("vec_id") % 10 =!= 0)
-        val delta = nodes.filter(col("vec_id") % 10 === 0)
-        val baseG = graft.operators.Staged.parquet(s, s"q175base|$dir") {
-          navGraphBuild(baseM, knnTopEdges(baseM))
-        }
-        // frozen layers the attach rules score against
-        val bHub = hubTable(baseM)
-        val bSH = superHubTable(hubRankTable(baseM))
-        val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
-        val akn = delta.select(col("fcid"), col("vec_id").as("va"),
-            col("embedding").as("ea"), col("nsq").as("na"))
-          .join(baseM.select(col("fcid"), col("vec_id").as("vb"),
-            col("embedding").as("eb"), col("nsq").as("nb")), Seq("fcid"))
-          .select(col("va"), col("vb"),
-            (VectorFns.cosine(VectorFns.dotF("ea", "eb"), col("na"), col("nb"))).as("sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("va"), col("vb"))
-        val aOwn = delta.select(col("vec_id").as("va"), col("fcid"))
-          .join(bHub.select(col("fcid"), col("vec_id").as("vb")), Seq("fcid"))
-          .select(col("va"), col("vb"))
-        val shw = Window.partitionBy(col("va")).orderBy(col("hsim").desc, col("vb"))
-        val aSH = delta.select(col("vec_id").as("va"),
-            col("embedding").as("ea"), col("nsq").as("na"))
-          .join(broadcast(bSH.select(col("vec_id").as("vb"),
-            col("embedding").as("eb"), col("nsq").as("nb"))),
-            col("va") =!= col("vb"))
-          .select(col("va"), col("vb"), hubSim.as("hsim"))
-          .withColumn("rk", row_number().over(shw))
-          .filter(col("rk") <= 2)
-          .select(col("va"), col("vb"))
-        val attach = akn
-          .unionByName(akn.select(col("vb").as("va"), col("va").as("vb")))
-          .unionByName(aOwn)
-          .unionByName(aSH)
-          .distinct()
+        val (_, _, baseG, _, attach) = maintained(s, dir)
         baseG.unionByName(attach)
           .withColumn("batch",
             when(col("va") % 10 === 0 || col("vb") % 10 === 0, lit("delta"))
@@ -1073,48 +1162,185 @@ object Clustering {
           .orderBy(col("va"), col("vb"))
       },
       Some(s"""WITH $knnSqlCtes,
-               memb AS MATERIALIZED (SELECT * FROM memf WHERE vec_id % 10 <> 0),
-               bsims AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-                           ${VectorFns.cosineSql(VectorFns.dotSql("a.emb", "b.emb"), "a.nsq", "b.nsq")} AS sim
-                         FROM memb a JOIN memb b
-                           ON a.fcid = b.fcid AND a.vec_id <> b.vec_id),
-               bknn AS (SELECT va, vb FROM (
-                          SELECT va, vb,
-                            row_number() OVER (PARTITION BY va
-                              ORDER BY sim DESC, vb) AS rank
-                          FROM bsims) WHERE rank <= 3),
-               ${navGraphSqlCtes("memb", "bknn", "b")},
-               dlt AS MATERIALIZED (SELECT * FROM memf WHERE vec_id % 10 = 0),
-               asims AS (SELECT d.vec_id AS va, m.vec_id AS vb,
-                           ${VectorFns.cosineSql(VectorFns.dotSql("d.emb", "m.emb"), "d.nsq", "m.nsq")} AS sim
-                         FROM dlt d JOIN memb m ON m.fcid = d.fcid),
-               akn AS (SELECT va, vb FROM (
-                         SELECT va, vb,
-                           row_number() OVER (PARTITION BY va
-                             ORDER BY sim DESC, vb) AS rk
-                         FROM asims) WHERE rk <= 3),
-               aown AS (SELECT d.vec_id AS va, h.vec_id AS vb
-                        FROM dlt d JOIN bhub h ON h.fcid = d.fcid),
-               ash AS (SELECT va, vb FROM (
-                         SELECT va, vb,
-                           row_number() OVER (PARTITION BY va
-                             ORDER BY hsim DESC, vb) AS rk
-                         FROM (SELECT d.vec_id AS va, sb.vec_id AS vb,
-                                 ${Num.froundSql(VectorFns.cosineSql(
-                                   VectorFns.dotSql("d.emb", "sb.emb"), "d.nsq", "sb.nsq"), 4)} AS hsim
-                               FROM dlt d JOIN bshh sb ON d.vec_id <> sb.vec_id) z)
-                       WHERE rk <= 2),
-               attach AS (SELECT DISTINCT va, vb FROM (
-                            SELECT va, vb FROM akn
-                            UNION ALL SELECT vb AS va, va AS vb FROM akn
-                            UNION ALL SELECT va, vb FROM aown
-                            UNION ALL SELECT va, vb FROM ash) u)
+               $maintainedSqlCtes
                SELECT va, vb,
                  CASE WHEN va % 10 = 0 OR vb % 10 = 0
                       THEN 'delta' ELSE 'base' END AS batch
                FROM (SELECT va, vb FROM badj
                      UNION ALL SELECT va, vb FROM attach) m
                ORDER BY va, vb"""),
+    ),
+
+    // SERVING over the MAINTAINED index — the piece that makes q175's
+    // maintenance claim operational: an index you can update but not
+    // search from is dead weight. Probes are DELTA vectors (the newly
+    // attached batch: vec_id % 10 = 0, first 8), the walk is the SAME
+    // [[beamWalkScored]] as q174, the graph is q175's base ∪ attach
+    // (staged once — the maintained artifact a deployment persists),
+    // and entries are the FROZEN base hubs (a maintenance cycle never
+    // moves the entry points — the HNSW entry-point stability rule).
+    // The exact harness ranks against the FULL corpus (base + delta),
+    // so the hit flags measure whether attach edges actually made the
+    // new batch's neighborhoods reachable — search-after-maintenance
+    // quality, not just edge-set equality.
+    //
+    // Scale shape: inherits q174's serving contract (P·B·deg-bounded
+    // frontier, corpus never rescanned) and q175's attach bounds; the
+    // only new work is one staged union of two edge lists.
+    QueryDef(
+      "q176_ann_graph_serve_delta",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (p, e, b, hops, k) = (80, 4, 16, 5, 20)
+        val nodes = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val (_, _, baseG, bHub, attach) = maintained(s, dir)
+        val g = graft.operators.Staged.parquet(s, s"q176m|$dir") {
+          baseG.unionByName(attach)
+        }
+        val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
+        val probes = nodesP
+          .filter(col("vec_id") % 10 === 0 && col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val entries = bHub.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val sim = Num.fround(
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+            col("p_nsq"), col("nsq")), 4)
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val found = beamWalkScored(nodesP, g, probes, entries, b, hops)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 8)
+        val exact = nodesP.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+        found.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"),
+            coalesce(col("hit"), lit(0)).as("hit"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some {
+        val (p, e, b, hops, k) = (80, 4, 16, 5, 20)
+        val simOf = Num.froundSql(
+          VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
+        s"""WITH $knnSqlCtes,
+            $maintainedSqlCtes,
+            madj AS MATERIALIZED (SELECT va, vb FROM badj
+                                  UNION ALL SELECT va, vb FROM attach),
+            p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
+                  FROM memf WHERE vec_id % 10 = 0 AND vec_id < $p),
+            entry AS (SELECT vec_id FROM bhub ORDER BY vec_id LIMIT $e),
+            ${beamWalkSqlCtes("memf", "madj", b, hops)},
+            found AS (
+              SELECT probe_id, vec_id, sim, rank FROM (
+                SELECT probe_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, vec_id)::BIGINT AS rank
+                FROM fbeam fs) fr WHERE rank <= 8),
+            exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
+                    FROM memf m CROSS JOIN p WHERE m.vec_id <> p.probe_id),
+            ex AS (SELECT probe_id, vec_id FROM (
+                     SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY sim DESC, vec_id) AS rk
+                     FROM exs) WHERE rk <= $k)
+            SELECT f.probe_id, f.rank, f.vec_id, f.sim,
+              CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+            FROM found f LEFT JOIN ex
+              ON ex.probe_id = f.probe_id AND ex.vec_id = f.vec_id
+            ORDER BY f.probe_id, f.rank"""
+      },
+    ),
+
+    // TOMBSTONE-masked serving — DiskANN/FreshDiskANN lazy DELETE
+    // applied to q174's graph, completing the index lifecycle (build
+    // q174 / incremental add q175+q176 / delete q177): deleted vectors
+    // (vec_id % 7 = 3, ~14%) stay in the graph as ROUTING waypoints —
+    // the beam traverses them exactly as before, because cutting them
+    // out immediately would disconnect their neighborhoods — but are
+    // MASKED from results; a later compaction (the q167 stance)
+    // rewrites edges and drops them physically. The walk is the SAME
+    // [[beamWalkScored]] over the SAME staged q174 graph (zero extra
+    // build work — the mask is serve-time metadata, which is the whole
+    // point of lazy deletion); the exact harness ranks over the LIVE
+    // corpus only, so hit flags measure post-delete serving quality.
+    //
+    // Scale shape: identical to q174's serving contract; the mask is
+    // one narrow filter on the final beam and on the harness side.
+    QueryDef(
+      "q177_ann_graph_tombstone_serve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val nodes = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+          navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
+        }
+        val hubs = hubTable(nodes)
+        val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
+        val probes = nodesP.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val entries = hubs.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val sim = Num.fround(
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+            col("p_nsq"), col("nsq")), 4)
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        // the mask: applied AFTER the walk (tombstoned nodes routed
+        // the beam), BEFORE result ranking — ranks stay dense over
+        // live results
+        val found = beamWalkScored(nodesP, g, probes, entries, b, hops)
+          .filter(col("vec_id") % 7 =!= 3)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 8)
+        val exact = nodesP.filter(col("vec_id") % 7 =!= 3)
+          .crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+        found.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"),
+            coalesce(col("hit"), lit(0)).as("hit"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some {
+        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val simOf = Num.froundSql(
+          VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
+        s"""WITH $knnSqlCtes,
+            ${navGraphSqlCtes("memf", "knn", "")},
+            p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
+                  FROM memf WHERE vec_id < $p),
+            entry AS (SELECT vec_id FROM hub ORDER BY vec_id LIMIT $e),
+            ${beamWalkSqlCtes("memf", "adj", b, hops)},
+            found AS (
+              SELECT probe_id, vec_id, sim, rank FROM (
+                SELECT probe_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, vec_id)::BIGINT AS rank
+                FROM fbeam fs WHERE vec_id % 7 <> 3) fr WHERE rank <= 8),
+            exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
+                    FROM memf m CROSS JOIN p
+                    WHERE m.vec_id <> p.probe_id AND m.vec_id % 7 <> 3),
+            ex AS (SELECT probe_id, vec_id FROM (
+                     SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY sim DESC, vec_id) AS rk
+                     FROM exs) WHERE rk <= $k)
+            SELECT f.probe_id, f.rank, f.vec_id, f.sim,
+              CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+            FROM found f LEFT JOIN ex
+              ON ex.probe_id = f.probe_id AND ex.vec_id = f.vec_id
+            ORDER BY f.probe_id, f.rank"""
+      },
     ),
 
     // HARD-NEGATIVE mining for contrastive embedding training: for

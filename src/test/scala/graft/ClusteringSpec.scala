@@ -281,4 +281,51 @@ class ClusteringSpec extends SparkSuite {
     // frozen-index contract: base edges are exactly the base build)
     assert(base.forall { case (va, vb, _) => va % 10 != 0 && vb % 10 != 0 })
   }
+
+  test("q176 maintained-index serving: delta probes, shape laws, non-vacuous hits") {
+    val out = SparkEntry.queries("q176_ann_graph_serve_delta")(spark, "/root/testdata/sf0.001")
+      .collect()
+    // probes are the first 8 DELTA ids (0,10,...,70), top-8 each
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 80L by 10L).toSet,
+      s"probe set ${byProbe.keySet}")
+    assert(out.length == 64, s"got ${out.length} rows")
+    byProbe.foreach { case (pid, rows) =>
+      assert(pid % 10 == 0, s"non-delta probe $pid")
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 8L), s"probe $pid ranks not dense")
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"probe $pid sims not ranked")
+    }
+    // search-after-maintenance non-vacuity: the frozen-entry walk over
+    // base ∪ attach must still land head picks in the full-corpus
+    // top-20 (measured 2025-08: 22 hits at sf0.001 — floor well below)
+    val hits = out.map(_.getInt(4)).sum
+    assert(hits >= 5, s"maintained-index walk degenerated: only $hits/64 hits")
+  }
+
+  test("q177 tombstone serving: no deleted results, dense live ranks, non-vacuous hits") {
+    val out = SparkEntry.queries("q177_ann_graph_tombstone_serve")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // the lazy-delete contract: deleted vectors may ROUTE but never
+    // appear in results
+    out.foreach { r =>
+      assert(r.getLong(2) % 7 != 3, s"tombstoned ${r.getLong(2)} served to probe ${r.getLong(0)}")
+    }
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.size == 8)
+    byProbe.foreach { case (pid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // ranks dense over the LIVE results (mask applied before ranking)
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length.toLong),
+        s"probe $pid ranks not dense after mask")
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"probe $pid sims not ranked")
+    }
+    val hits = out.map(_.getInt(4)).sum
+    assert(hits >= 5, s"post-delete walk degenerated: only $hits hits")
+  }
 }
