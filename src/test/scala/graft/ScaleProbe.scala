@@ -44,7 +44,7 @@ object ScaleProbe {
     faces.foreach { name =>
       val (s1, r1) = warmSecAndRows(name, base)
       val (s10, r10) = warmSecAndRows(name, scaled)
-      println(f"""SCALE {"{"}"query":"$name","sec_1x":$s1%.3f,"sec_10x":$s10%.3f,"ratio":${s10 / s1}%.2f,"rows_1x":$r1,"rows_10x":$r10,"rows_ratio":${r10.toDouble / math.max(1, r1)}%.2f${"}"}""")
+      println(f"""SCALE {"query":"$name","sec_1x":$s1%.3f,"sec_10x":$s10%.3f,"ratio":${s10 / s1}%.2f,"rows_1x":$r1,"rows_10x":$r10,"rows_ratio":${r10.toDouble / math.max(1, r1)}%.2f}""")
     }
     spark.stop()
   }
