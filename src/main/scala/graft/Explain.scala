@@ -99,6 +99,10 @@ object Explain {
     // graph (fixed hops — no driver iteration; bounded frontier joins
     // against the symmetrized kNN + hub adjacency).
     "q174_ann_graph_search",
+    // round 12: the same walk over the MAINTAINED graph (staged base
+    // ∪ frozen-layer attach) and the tombstone-masked serve (mask is
+    // one narrow filter on the final beam).
+    "q176_ann_graph_serve_delta", "q177_ann_graph_tombstone_serve",
     // tokenizer fertility (type-level joins only after the one corpus
     // collapse) and hard-negative mining (cluster-mate self-join,
     // label-filtered).
