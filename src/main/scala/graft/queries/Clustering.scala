@@ -1343,6 +1343,87 @@ object Clustering {
       },
     ),
 
+    // GRAPH COMPACTION — the FreshDiskANN eager-delete rewrite that
+    // eventually follows q177's lazy tombstones, closing the index
+    // lifecycle (build q174 / add q175+q176 / lazy-delete q177 /
+    // compact q178): drop every edge touching a deleted node and
+    // REPAIR connectivity through it with the DiskANN delete rule —
+    // for each live in-neighbor `a` of a deleted node `d`, reconnect
+    // `a` to `d`'s live out-neighbors (top-2 by routing cosine, ties
+    // by id), skipping pairs the kept graph already links. Liveness is
+    // ANALYTIC (vec_id % 7 = 3, q177's tombstone set) — no join needed
+    // to classify an edge; provenance (kept/repair) is exact by
+    // construction and (va, vb) is unique across the union (repair
+    // anti-joins kept).
+    //
+    // Scale shape: the repair candidate join is keyed on the deleted
+    // node — per-dead work is in-degree × out-degree, both
+    // constant-bounded by the graph's degree contract, so repair is
+    // LINEAR in the corpus; scoring is two key-partitioned equi-joins
+    // against the node payloads; the per-`a` top-2 window sees ≤ deg²
+    // candidate rows. Nothing broadcasts, nothing self-joins the
+    // corpus. Output is the compacted edge list a deployment persists
+    // in place of the tombstoned artifact.
+    QueryDef(
+      "q178_ann_graph_compaction",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nodes = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+          navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
+        }
+        val kept = g.filter(col("va") % 7 =!= 3 && col("vb") % 7 =!= 3)
+        val aToD = g.filter(col("va") % 7 =!= 3 && col("vb") % 7 === 3)
+        val dToB = g.filter(col("va") % 7 === 3 && col("vb") % 7 =!= 3)
+          .select(col("va").as("d"), col("vb").as("b"))
+        val cand = aToD.join(dToB, aToD("vb") === dToB("d"))
+          .select(col("va"), col("b").as("vb"))
+          .filter(col("va") =!= col("vb")).distinct()
+          .join(kept, Seq("va", "vb"), "left_anti")
+        val w = Window.partitionBy(col("va")).orderBy(col("hsim").desc, col("vb"))
+        val repair = cand
+          .join(nodes.select(col("vec_id").as("va"),
+            col("embedding").as("ea"), col("nsq").as("na")), Seq("va"))
+          .join(nodes.select(col("vec_id").as("vb"),
+            col("embedding").as("eb"), col("nsq").as("nb")), Seq("vb"))
+          .select(col("va"), col("vb"), hubSim.as("hsim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+          .select(col("va"), col("vb"))
+        kept.withColumn("kind", lit("kept"))
+          .unionByName(repair.withColumn("kind", lit("repair")))
+          .orderBy(col("va"), col("vb"))
+      },
+      Some(s"""WITH $knnSqlCtes,
+               ${navGraphSqlCtes("memf", "knn", "")},
+               kept AS (SELECT va, vb FROM adj
+                        WHERE va % 7 <> 3 AND vb % 7 <> 3),
+               a2d AS (SELECT va, vb FROM adj
+                       WHERE va % 7 <> 3 AND vb % 7 = 3),
+               d2b AS (SELECT va AS d, vb AS b FROM adj
+                       WHERE va % 7 = 3 AND vb % 7 <> 3),
+               cand AS (SELECT DISTINCT x.va, y.b AS vb
+                        FROM a2d x JOIN d2b y ON y.d = x.vb
+                        WHERE x.va <> y.b
+                          AND NOT EXISTS (SELECT 1 FROM kept k
+                                          WHERE k.va = x.va AND k.vb = y.b)),
+               cs AS (SELECT c.va, c.vb,
+                        ${Num.froundSql(VectorFns.cosineSql(
+                          VectorFns.dotSql("ma.emb", "mb.emb"), "ma.nsq", "mb.nsq"), 4)} AS hsim
+                      FROM cand c JOIN memf ma ON ma.vec_id = c.va
+                        JOIN memf mb ON mb.vec_id = c.vb),
+               rep AS (SELECT va, vb FROM (
+                         SELECT va, vb,
+                           row_number() OVER (PARTITION BY va
+                             ORDER BY hsim DESC, vb) AS rk
+                         FROM cs) WHERE rk <= 2)
+               SELECT va, vb, kind FROM (
+                 SELECT va, vb, 'kept' AS kind FROM kept
+                 UNION ALL SELECT va, vb, 'repair' FROM rep) u
+               ORDER BY va, vb"""),
+    ),
+
     // HARD-NEGATIVE mining for contrastive embedding training: for
     // each anchor vector, the top-2 most-similar cluster-mates with a
     // DIFFERENT class label — the highest-value negatives (similar

@@ -328,4 +328,40 @@ class ClusteringSpec extends SparkSuite {
     val hits = out.map(_.getInt(4)).sum
     assert(hits >= 5, s"post-delete walk degenerated: only $hits hits")
   }
+
+  test("q178 compaction: dead-free, repair provenance exact, out-degree preserved") {
+    val out = SparkEntry.queries("q178_ann_graph_compaction")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // the eager-delete contract: NOTHING in the compacted graph
+    // touches a tombstoned id
+    out.foreach { case (va, vb, kind) =>
+      assert(va % 7 != 3 && vb % 7 != 3, s"dead id in compacted edge ($va,$vb,$kind)")
+    }
+    val kept = out.filter(_._3 == "kept").map(e => (e._1, e._2)).toSet
+    val repair = out.filter(_._3 == "repair").map(e => (e._1, e._2))
+    assert(kept.nonEmpty && repair.nonEmpty, "both kinds must be non-empty")
+    // a repair edge never duplicates a kept edge, and (va, vb) is
+    // unique across the whole output
+    repair.foreach { e => assert(!kept.contains(e), s"repair duplicates kept $e") }
+    assert(out.map(e => (e._1, e._2)).distinct.length == out.length, "duplicate edges")
+    // connectivity repair works: every live node that had out-edges
+    // before compaction still has out-edges after (its dead
+    // out-neighbors had live out-neighbors to reconnect through —
+    // true at the test SFs because routing nodes link both ways).
+    // Constructing q174 first guarantees the staged graph exists, so
+    // the read below never evaluates its build closure.
+    SparkEntry.queries("q174_ann_graph_search")(spark, "/root/testdata/sf0.001")
+      .count(): Unit
+    val orig = graft.operators.Staged
+      .parquet(spark, s"q174graph|/root/testdata/sf0.001") {
+        throw new IllegalStateException("stage must already exist")
+      }
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val liveWithOut = orig.filter { case (va, _) => va % 7 != 3 }.map(_._1).toSet
+    val postOut = out.map(_._1).toSet
+    val lost = liveWithOut -- postOut
+    assert(lost.isEmpty, s"live nodes lost all out-edges after compaction: $lost")
+  }
 }
