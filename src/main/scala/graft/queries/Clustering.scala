@@ -675,24 +675,44 @@ object Clustering {
         fbeam AS (${scoreCte(s"gb$hops")})"""
   }
 
-  /** The q175 maintained-index pieces, shared with q176's serving:
-    * (base members, delta members, STAGED base graph, frozen base hub
-    * table, attach edges). Attach = delta↔top-3 base cluster-mates
-    * both directions + delta→own base hub (scoring-free) + delta→
-    * top-2 frozen super-hubs — every edge a function of (delta vector,
-    * frozen layers) only. */
-  private def maintained(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  /** Base/delta populations of the maintained index (the q162 split:
+    * vec_id % 10 = 0 is the arriving batch). Package-visible so the
+    * streaming maintenance path ([[graft.streaming.GraphIngest]]) and
+    * its spec wire the SAME populations the q175/q176 oracles prove. */
+  private[graft] def navPopulations(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val nodes = hierMembers(s, dir)
       .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
-    val baseM = nodes.filter(col("vec_id") % 10 =!= 0)
-    val delta = nodes.filter(col("vec_id") % 10 === 0)
-    val baseG = graft.operators.Staged.parquet(s, s"q175base|$dir") {
+    (nodes.filter(col("vec_id") % 10 =!= 0),
+      nodes.filter(col("vec_id") % 10 === 0))
+  }
+
+  /** The frozen routing layers a delta batch attaches against:
+    * (base hub table, base super-hub sample). */
+  private[graft] def navFrozenLayers(baseM: DataFrame)
+      : (DataFrame, DataFrame) =
+    (hubTable(baseM), superHubTable(hubRankTable(baseM)))
+
+  /** The STAGED base navigable graph (the pre-existing index artifact
+    * a delta merge reads, not recomputes). */
+  private[graft] def navBaseGraph(s: SparkSession, dir: String,
+      baseM: DataFrame): DataFrame =
+    graft.operators.Staged.parquet(s, s"q175base|$dir") {
       navGraphBuild(baseM, knnTopEdges(baseM))
     }
-    val bHub = hubTable(baseM)
-    val bSH = superHubTable(hubRankTable(baseM))
+
+  /** Attach edges for `delta` (vec_id, fcid, embedding, nsq) against
+    * the FROZEN base layers — the HNSW-insert discipline: delta↔top-3
+    * base cluster-mates BOTH directions (in-links make the new vector
+    * reachable), delta→own base hub (scoring-free fcid equi-join),
+    * delta→top-2 frozen super-hubs (constant broadcast). Every edge is
+    * a function of (delta vector, frozen layers) only — per-vector
+    * independent, so batch-at-a-time maintenance ≡ one-shot attach
+    * (proven stream-vs-batch in GraphIngestSpec, cross-engine by the
+    * q175 oracle). */
+  private[graft] def attachEdges(delta: DataFrame, baseM: DataFrame,
+      bHub: DataFrame, bSH: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
     val akn = delta.select(col("fcid"), col("vec_id").as("va"),
         col("embedding").as("ea"), col("nsq").as("na"))
@@ -716,12 +736,22 @@ object Clustering {
       .withColumn("rk", row_number().over(shw))
       .filter(col("rk") <= 2)
       .select(col("va"), col("vb"))
-    val attach = akn
+    akn
       .unionByName(akn.select(col("vb").as("va"), col("va").as("vb")))
       .unionByName(aOwn)
       .unionByName(aSH)
       .distinct()
-    (baseM, delta, baseG, bHub, attach)
+  }
+
+  /** The q175 maintained-index pieces, shared with q176's serving:
+    * (base members, delta members, STAGED base graph, frozen base hub
+    * table, attach edges). */
+  private def maintained(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (baseM, delta) = navPopulations(s, dir)
+    val baseG = navBaseGraph(s, dir, baseM)
+    val (bHub, bSH) = navFrozenLayers(baseM)
+    (baseM, delta, baseG, bHub, attachEdges(delta, baseM, bHub, bSH))
   }
 
   /** DuckDB mirror of [[maintained]] as CTEs (no leading WITH;
