@@ -796,6 +796,83 @@ object Clustering {
                      UNION ALL SELECT va, vb FROM aown
                      UNION ALL SELECT va, vb FROM ash) u)"""
 
+  /** The COMPACTED navigable graph (va, vb, kind) — q178's
+    * FreshDiskANN eager-delete rewrite of the staged q174 graph,
+    * staged once per dir because it is itself a persisted index
+    * artifact (q178 lists it, q179 serves from it): kept = every edge
+    * with both endpoints live; repair = for each (live in-neighbor
+    * `a`, deleted node `d`) pair, `a` reconnects to `d`'s live
+    * out-neighbors, top-2 by 4dp routing cosine (vb ties) PER DELETED
+    * NEIGHBOR — the FreshDiskANN per-deleted rule (r12 advice: a node
+    * adjacent to k deleted nodes gets up to 2k repair edges, one
+    * top-2 per severed path, not 2 total), deduped on (va, vb) across
+    * deleted nodes and anti-joined against kept so the union is
+    * unique with exact provenance.
+    *
+    * Scale shape: repair candidates come from two key-partitioned
+    * equi-joins through the deleted node — per-dead work is in-degree
+    * × out-degree, both constant-bounded by the graph's degree
+    * contract, so repair is LINEAR in the corpus; the per-(a, d)
+    * top-2 window sees ≤ deg² rows. Nothing broadcasts, nothing
+    * self-joins the corpus. */
+  private def compactedGraph(s: SparkSession, dir: String,
+      nodes: DataFrame, g: DataFrame): DataFrame =
+    graft.operators.Staged.parquet(s, s"q178compact|$dir") {
+      import org.apache.spark.sql.expressions.Window
+      val kept = g.filter(col("va") % 7 =!= 3 && col("vb") % 7 =!= 3)
+      val aToD = g.filter(col("va") % 7 =!= 3 && col("vb") % 7 === 3)
+        .select(col("va"), col("vb").as("d"))
+      val dToB = g.filter(col("va") % 7 === 3 && col("vb") % 7 =!= 3)
+        .select(col("va").as("d"), col("vb").as("b"))
+      val cand = aToD.join(dToB, Seq("d"))
+        .select(col("va"), col("d"), col("b").as("vb"))
+        .filter(col("va") =!= col("vb")).distinct()
+        .join(kept, Seq("va", "vb"), "left_anti")
+      val w = Window.partitionBy(col("va"), col("d"))
+        .orderBy(col("hsim").desc, col("vb"))
+      val repair = cand
+        .join(nodes.select(col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nsq").as("na")), Seq("va"))
+        .join(nodes.select(col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nsq").as("nb")), Seq("vb"))
+        .select(col("va"), col("d"), col("vb"), hubSim.as("hsim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("va"), col("vb")).distinct()
+      kept.withColumn("kind", lit("kept"))
+        .unionByName(repair.withColumn("kind", lit("repair")))
+    }
+
+  /** DuckDB mirror of [[compactedGraph]] as CTEs (no leading WITH):
+    * expects the full adjacency `adj(va, vb)` and the member table
+    * `memf` from [[navGraphSqlCtes]]/[[knnSqlCtes]]; emits the
+    * compacted edge set `cadj(va, vb, kind)`. */
+  private def compactSqlCtes: String =
+    s"""ckept AS (SELECT va, vb FROM adj
+                  WHERE va % 7 <> 3 AND vb % 7 <> 3),
+        ca2d AS (SELECT va, vb AS d FROM adj
+                 WHERE va % 7 <> 3 AND vb % 7 = 3),
+        cd2b AS (SELECT va AS d, vb AS b FROM adj
+                 WHERE va % 7 = 3 AND vb % 7 <> 3),
+        ccand AS (SELECT DISTINCT x.va, x.d, y.b AS vb
+                  FROM ca2d x JOIN cd2b y USING (d)
+                  WHERE x.va <> y.b
+                    AND NOT EXISTS (SELECT 1 FROM ckept k
+                                    WHERE k.va = x.va AND k.vb = y.b)),
+        ccs AS (SELECT c.va, c.d, c.vb,
+                  ${Num.froundSql(VectorFns.cosineSql(
+                    VectorFns.dotSql("ma.emb", "mb.emb"), "ma.nsq", "mb.nsq"), 4)} AS hsim
+                FROM ccand c JOIN memf ma ON ma.vec_id = c.va
+                  JOIN memf mb ON mb.vec_id = c.vb),
+        crep AS (SELECT DISTINCT va, vb FROM (
+                   SELECT va, vb,
+                     row_number() OVER (PARTITION BY va, d
+                       ORDER BY hsim DESC, vb) AS rk
+                   FROM ccs) WHERE rk <= 2),
+        cadj AS MATERIALIZED (
+          SELECT va, vb, 'kept' AS kind FROM ckept
+          UNION ALL SELECT va, vb, 'repair' FROM crep)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Hierarchical k-means assignment: constant-k sample-trained
@@ -1313,7 +1390,11 @@ object Clustering {
         }
         val hubs = hubTable(nodes)
         val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
-        val probes = nodesP.filter(col("vec_id") < p)
+        // probes are LIVE ids only (r12 advice): a deleted vector
+        // stops issuing queries the moment it is tombstoned, so
+        // post-delete serving quality is measured from the population
+        // that still searches
+        val probes = nodesP.filter(col("vec_id") < p && col("vec_id") % 7 =!= 3)
           .select(col("vec_id").as("probe_id"),
             col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
         val entries = hubs.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
@@ -1348,7 +1429,7 @@ object Clustering {
         s"""WITH $knnSqlCtes,
             ${navGraphSqlCtes("memf", "knn", "")},
             p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
-                  FROM memf WHERE vec_id < $p),
+                  FROM memf WHERE vec_id < $p AND vec_id % 7 <> 3),
             entry AS (SELECT vec_id FROM hub ORDER BY vec_id LIMIT $e),
             ${beamWalkSqlCtes("memf", "adj", b, hops)},
             found AS (
@@ -1374,84 +1455,133 @@ object Clustering {
     ),
 
     // GRAPH COMPACTION — the FreshDiskANN eager-delete rewrite that
-    // eventually follows q177's lazy tombstones, closing the index
-    // lifecycle (build q174 / add q175+q176 / lazy-delete q177 /
-    // compact q178): drop every edge touching a deleted node and
-    // REPAIR connectivity through it with the DiskANN delete rule —
-    // for each live in-neighbor `a` of a deleted node `d`, reconnect
-    // `a` to `d`'s live out-neighbors (top-2 by routing cosine, ties
-    // by id), skipping pairs the kept graph already links. Liveness is
-    // ANALYTIC (vec_id % 7 = 3, q177's tombstone set) — no join needed
-    // to classify an edge; provenance (kept/repair) is exact by
-    // construction and (va, vb) is unique across the union (repair
-    // anti-joins kept).
-    //
-    // Scale shape: the repair candidate join is keyed on the deleted
-    // node — per-dead work is in-degree × out-degree, both
-    // constant-bounded by the graph's degree contract, so repair is
-    // LINEAR in the corpus; scoring is two key-partitioned equi-joins
-    // against the node payloads; the per-`a` top-2 window sees ≤ deg²
-    // candidate rows. Nothing broadcasts, nothing self-joins the
-    // corpus. Output is the compacted edge list a deployment persists
-    // in place of the tombstoned artifact.
+    // eventually follows q177's lazy tombstones (build q174 / add
+    // q175+q176 / lazy-delete q177 / compact q178 / serve-compacted
+    // q179): drop every edge touching a deleted node and REPAIR
+    // connectivity through it with the FreshDiskANN delete rule — for
+    // each (live in-neighbor `a`, deleted node `d`) pair, reconnect
+    // `a` to `d`'s live out-neighbors, top-2 PER DELETED NEIGHBOR by
+    // routing cosine (vb ties; r12 advice — a node adjacent to k
+    // deleted nodes repairs each severed path, not 2 edges total),
+    // skipping pairs the kept graph already links. Liveness is
+    // ANALYTIC (vec_id % 7 = 3, q177's tombstone set) — no join
+    // needed to classify an edge; provenance (kept/repair) is exact
+    // by construction and (va, vb) is unique across the union (repair
+    // dedupes across deleted nodes and anti-joins kept). The build +
+    // scale contract lives on [[compactedGraph]] — the STAGED
+    // artifact a deployment persists in place of the tombstoned one,
+    // and the adjacency q179 serves from.
     QueryDef(
       "q178_ann_graph_compaction",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val nodes = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
         val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
           navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
         }
-        val kept = g.filter(col("va") % 7 =!= 3 && col("vb") % 7 =!= 3)
-        val aToD = g.filter(col("va") % 7 =!= 3 && col("vb") % 7 === 3)
-        val dToB = g.filter(col("va") % 7 === 3 && col("vb") % 7 =!= 3)
-          .select(col("va").as("d"), col("vb").as("b"))
-        val cand = aToD.join(dToB, aToD("vb") === dToB("d"))
-          .select(col("va"), col("b").as("vb"))
-          .filter(col("va") =!= col("vb")).distinct()
-          .join(kept, Seq("va", "vb"), "left_anti")
-        val w = Window.partitionBy(col("va")).orderBy(col("hsim").desc, col("vb"))
-        val repair = cand
-          .join(nodes.select(col("vec_id").as("va"),
-            col("embedding").as("ea"), col("nsq").as("na")), Seq("va"))
-          .join(nodes.select(col("vec_id").as("vb"),
-            col("embedding").as("eb"), col("nsq").as("nb")), Seq("vb"))
-          .select(col("va"), col("vb"), hubSim.as("hsim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 2)
-          .select(col("va"), col("vb"))
-        kept.withColumn("kind", lit("kept"))
-          .unionByName(repair.withColumn("kind", lit("repair")))
+        compactedGraph(s, dir, nodes, g)
           .orderBy(col("va"), col("vb"))
       },
       Some(s"""WITH $knnSqlCtes,
                ${navGraphSqlCtes("memf", "knn", "")},
-               kept AS (SELECT va, vb FROM adj
-                        WHERE va % 7 <> 3 AND vb % 7 <> 3),
-               a2d AS (SELECT va, vb FROM adj
-                       WHERE va % 7 <> 3 AND vb % 7 = 3),
-               d2b AS (SELECT va AS d, vb AS b FROM adj
-                       WHERE va % 7 = 3 AND vb % 7 <> 3),
-               cand AS (SELECT DISTINCT x.va, y.b AS vb
-                        FROM a2d x JOIN d2b y ON y.d = x.vb
-                        WHERE x.va <> y.b
-                          AND NOT EXISTS (SELECT 1 FROM kept k
-                                          WHERE k.va = x.va AND k.vb = y.b)),
-               cs AS (SELECT c.va, c.vb,
-                        ${Num.froundSql(VectorFns.cosineSql(
-                          VectorFns.dotSql("ma.emb", "mb.emb"), "ma.nsq", "mb.nsq"), 4)} AS hsim
-                      FROM cand c JOIN memf ma ON ma.vec_id = c.va
-                        JOIN memf mb ON mb.vec_id = c.vb),
-               rep AS (SELECT va, vb FROM (
-                         SELECT va, vb,
-                           row_number() OVER (PARTITION BY va
-                             ORDER BY hsim DESC, vb) AS rk
-                         FROM cs) WHERE rk <= 2)
-               SELECT va, vb, kind FROM (
-                 SELECT va, vb, 'kept' AS kind FROM kept
-                 UNION ALL SELECT va, vb, 'repair' FROM rep) u
+               $compactSqlCtes
+               SELECT va, vb, kind FROM cadj
                ORDER BY va, vb"""),
+    ),
+
+    // SERVING over the COMPACTED index — the proof that q178's
+    // rewrite preserved NAVIGABILITY, not just edge bookkeeping: the
+    // same [[beamWalkScored]] walk as q174/q176/q177, run over the
+    // staged compacted edge set (kept ∪ repair, kind dropped), with
+    // LIVE probes (the q177 rule — deleted vectors stop issuing
+    // queries) and LIVE entry hubs (a deleted hub is physically gone
+    // from the compacted graph, so entries come from the surviving
+    // hub layer). No serve-time mask anywhere: the compacted graph
+    // contains no deleted endpoint, so the walk CANNOT surface one —
+    // that is the whole point of eager compaction vs q177's lazy
+    // masking. The exact harness ranks over the LIVE corpus only, so
+    // hit flags measure post-compaction serving quality — directly
+    // comparable to q177's lazy-delete numbers (same probes, same
+    // harness, different physical index).
+    //
+    // Scale shape: inherits q174's serving contract (P·B·deg-bounded
+    // broadcast frontier against the key-partitioned compacted
+    // adjacency, corpus never rescanned, hops plan-unrolled) on top
+    // of [[compactedGraph]]'s linear build.
+    QueryDef(
+      "q179_ann_graph_compacted_serve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val nodes = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val g0 = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+          navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
+        }
+        val g = compactedGraph(s, dir, nodes, g0).select(col("va"), col("vb"))
+        val hubs = hubTable(nodes)
+        // the scoring corpus is the LIVE population — every compacted
+        // edge endpoint is live, so nothing narrower can be reached
+        val live = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
+          .filter(col("vec_id") % 7 =!= 3)
+        val probes = live.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val entries = hubs.filter(col("vec_id") % 7 =!= 3)
+          .select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val sim = Num.fround(
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+            col("p_nsq"), col("nsq")), 4)
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val found = beamWalkScored(live, g, probes, entries, b, hops)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 8)
+        val exact = live.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+        found.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"),
+            coalesce(col("hit"), lit(0)).as("hit"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some {
+        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val simOf = Num.froundSql(
+          VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
+        s"""WITH $knnSqlCtes,
+            ${navGraphSqlCtes("memf", "knn", "")},
+            $compactSqlCtes,
+            meml AS MATERIALIZED (SELECT vec_id, emb, nsq FROM memf
+                                  WHERE vec_id % 7 <> 3),
+            cadjp AS (SELECT va, vb FROM cadj),
+            p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
+                  FROM meml WHERE vec_id < $p),
+            entry AS (SELECT vec_id FROM hub WHERE vec_id % 7 <> 3
+                      ORDER BY vec_id LIMIT $e),
+            ${beamWalkSqlCtes("meml", "cadjp", b, hops)},
+            found AS (
+              SELECT probe_id, vec_id, sim, rank FROM (
+                SELECT probe_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, vec_id)::BIGINT AS rank
+                FROM fbeam fs) fr WHERE rank <= 8),
+            exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
+                    FROM meml m CROSS JOIN p WHERE m.vec_id <> p.probe_id),
+            ex AS (SELECT probe_id, vec_id FROM (
+                     SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY sim DESC, vec_id) AS rk
+                     FROM exs) WHERE rk <= $k)
+            SELECT f.probe_id, f.rank, f.vec_id, f.sim,
+              CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+            FROM found f LEFT JOIN ex
+              ON ex.probe_id = f.probe_id AND ex.vec_id = f.vec_id
+            ORDER BY f.probe_id, f.rank"""
+      },
     ),
 
     // HARD-NEGATIVE mining for contrastive embedding training: for

@@ -21,8 +21,15 @@ import graft.operators.MergeInto
   *
   * Graph contract: one row per directed edge (va, vb) with an `origin`
   * payload ("base" for the seeded index, "attach" for maintenance
-  * edges — first-non-null on key collision, so re-deriving an existing
-  * base edge never relabels it). Because every attach edge depends
+  * edges). The two origin populations are provably DISJOINT in key
+  * space — the seeded base graph is built over base members only, so
+  * no base edge touches a delta id, while every attach edge does (one
+  * endpoint is the arriving vector) — so the first-non-null merge
+  * aggregate never actually sees two different origins for one key;
+  * relabeling is impossible by key disjointness, not by any ordering
+  * guarantee of `first` (Spark's `first` over an aggregation is
+  * order-nondeterministic and MUST not be relied on to arbitrate).
+  * Because every attach edge depends
   * only on (delta vector, frozen layers), batch-at-a-time maintenance
   * equals one-shot attach of the whole delta — GraphIngestSpec proves
   * the streamed graph hash-equal to q175's batch output.

@@ -315,7 +315,10 @@ class ClusteringSpec extends SparkSuite {
       assert(r.getLong(2) % 7 != 3, s"tombstoned ${r.getLong(2)} served to probe ${r.getLong(0)}")
     }
     val byProbe = out.groupBy(_.getLong(0))
-    assert(byProbe.size == 8)
+    // probes are the LIVE ids < 8 (vec_id 3 is tombstoned — a deleted
+    // vector stops issuing queries, r12 advice)
+    assert(byProbe.keySet == (0L until 8L).filter(_ % 7 != 3).toSet,
+      s"probe set ${byProbe.keySet}")
     byProbe.foreach { case (pid, rows) =>
       val sorted = rows.sortBy(_.getLong(1))
       // ranks dense over the LIVE results (mask applied before ranking)
@@ -327,6 +330,34 @@ class ClusteringSpec extends SparkSuite {
     }
     val hits = out.map(_.getInt(4)).sum
     assert(hits >= 5, s"post-delete walk degenerated: only $hits hits")
+  }
+
+  test("q179 compacted serving: live-only results, dense ranks, non-vacuous hits") {
+    val out = SparkEntry.queries("q179_ann_graph_compacted_serve")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // eager-delete contract: the compacted graph physically contains
+    // no deleted node, so no mask is applied and none is needed
+    out.foreach { r =>
+      assert(r.getLong(2) % 7 != 3, s"deleted ${r.getLong(2)} served from compacted graph")
+    }
+    val byProbe = out.groupBy(_.getLong(0))
+    // probes = live ids < 8 (vec_id 3 is deleted) — q177's probe set,
+    // so the two hit counts compare lazy-mask vs eager-compaction
+    assert(byProbe.keySet == (0L until 8L).filter(_ % 7 != 3).toSet,
+      s"probe set ${byProbe.keySet}")
+    byProbe.foreach { case (pid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length.toLong),
+        s"probe $pid ranks not dense")
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"probe $pid sims not ranked")
+    }
+    // navigability preserved: the walk over the REPAIRED graph still
+    // lands head picks in the live top-20
+    val hits = out.map(_.getInt(4)).sum
+    assert(hits >= 5, s"post-compaction walk degenerated: only $hits hits")
   }
 
   test("q178 compaction: dead-free, repair provenance exact, out-degree preserved") {
