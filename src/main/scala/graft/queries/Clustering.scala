@@ -873,6 +873,80 @@ object Clustering {
           SELECT va, vb, 'kept' AS kind FROM ckept
           UNION ALL SELECT va, vb, 'repair' FROM crep)"""
 
+  /** The RE-COMPLETED index after the full UPDATE cycle (va, vb,
+    * kind ∈ kept/repair/reinsert) — vector stores implement UPDATE as
+    * delete + re-insert, so after q178's compaction the tombstoned
+    * vectors re-arrive as a fresh batch and attach with the SAME
+    * frozen-layer HNSW-insert discipline as q175's delta maintenance
+    * ([[attachEdges]] — shared code, proven cross-engine by the
+    * q175/q176 oracles): re-inserted ↔ top-3 live cluster-mates both
+    * directions, re-inserted → own cluster's SURVIVING hub (a hub
+    * that was itself deleted is physically gone from the compacted
+    * artifact — its cluster's re-inserts get no own-hub edge, the
+    * documented hub-loss case), re-inserted → top-2 surviving
+    * super-hubs. The frozen layers are the ORIGINAL q174 layers
+    * FILTERED to live — compaction never re-elects hubs (entry-point
+    * stability), so re-insert sees exactly the artifact a deployment
+    * has on disk. Provenance stays disjoint by key: every reinsert
+    * edge touches a deleted id, no compacted edge does. STAGED: the
+    * union is the serving artifact q181 walks (5 plan-unrolled hop
+    * references — unstaged, the attach recomputed per hop).
+    *
+    * Scale shape: [[compactedGraph]]'s linear build + q175's attach
+    * bounds (cluster-bounded mate join, scoring-free hub join,
+    * constant super-hub broadcast) + one staged union. */
+  private def recompletedGraph(s: SparkSession, dir: String,
+      nodes: DataFrame, g0: DataFrame): DataFrame =
+    graft.operators.Staged.parquet(s, s"q180recomplete|$dir") {
+      val comp = compactedGraph(s, dir, nodes, g0)
+      val live = nodes.filter(col("vec_id") % 7 =!= 3)
+      val del = nodes.filter(col("vec_id") % 7 === 3)
+      val bHub = hubTable(nodes).filter(col("vec_id") % 7 =!= 3)
+      val bSH = superHubTable(hubRankTable(nodes))
+        .filter(col("vec_id") % 7 =!= 3)
+      comp.unionByName(attachEdges(del, live, bHub, bSH)
+        .withColumn("kind", lit("reinsert")))
+    }
+
+  /** DuckDB mirror of [[recompletedGraph]]'s re-insert attach as CTEs
+    * (no leading WITH): expects `memf` + the prefix-"" layers of
+    * [[navGraphSqlCtes]] (`hub`, `shh`) + [[compactSqlCtes]]'s
+    * `cadj`; emits the re-completed edge set `radj(va, vb, kind)`.
+    * Mirrors [[attachEdges]]: UNROUNDED cosine for the mate rank (the
+    * kNN-layer convention), 4dp for the super-hub rank. */
+  private def reinsertSqlCtes: String =
+    s"""rdel AS MATERIALIZED (SELECT * FROM memf WHERE vec_id % 7 = 3),
+        rliv AS MATERIALIZED (SELECT * FROM memf WHERE vec_id % 7 <> 3),
+        rsims AS (SELECT d.vec_id AS va, m.vec_id AS vb,
+                    ${VectorFns.cosineSql(VectorFns.dotSql("d.emb", "m.emb"), "d.nsq", "m.nsq")} AS sim
+                  FROM rdel d JOIN rliv m ON m.fcid = d.fcid),
+        rkn AS (SELECT va, vb FROM (
+                  SELECT va, vb,
+                    row_number() OVER (PARTITION BY va
+                      ORDER BY sim DESC, vb) AS rrk
+                  FROM rsims) WHERE rrk <= 3),
+        rown AS (SELECT d.vec_id AS va, h.vec_id AS vb
+                 FROM rdel d JOIN hub h ON h.fcid = d.fcid
+                 WHERE h.vec_id % 7 <> 3),
+        rsh AS (SELECT va, vb FROM (
+                  SELECT va, vb,
+                    row_number() OVER (PARTITION BY va
+                      ORDER BY hsim DESC, vb) AS rrk
+                  FROM (SELECT d.vec_id AS va, sb.vec_id AS vb,
+                          ${Num.froundSql(VectorFns.cosineSql(
+                            VectorFns.dotSql("d.emb", "sb.emb"), "d.nsq", "sb.nsq"), 4)} AS hsim
+                        FROM rdel d JOIN shh sb ON sb.vec_id % 7 <> 3
+                          AND d.vec_id <> sb.vec_id) z)
+                WHERE rrk <= 2),
+        rattach AS (SELECT DISTINCT va, vb FROM (
+                      SELECT va, vb FROM rkn
+                      UNION ALL SELECT vb AS va, va AS vb FROM rkn
+                      UNION ALL SELECT va, vb FROM rown
+                      UNION ALL SELECT va, vb FROM rsh) u),
+        radj AS MATERIALIZED (
+          SELECT va, vb, kind FROM cadj
+          UNION ALL SELECT va, vb, 'reinsert' AS kind FROM rattach)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Hierarchical k-means assignment: constant-k sample-trained
@@ -1571,6 +1645,127 @@ object Clustering {
                 FROM fbeam fs) fr WHERE rank <= 8),
             exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
                     FROM meml m CROSS JOIN p WHERE m.vec_id <> p.probe_id),
+            ex AS (SELECT probe_id, vec_id FROM (
+                     SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY sim DESC, vec_id) AS rk
+                     FROM exs) WHERE rk <= $k)
+            SELECT f.probe_id, f.rank, f.vec_id, f.sim,
+              CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+            FROM found f LEFT JOIN ex
+              ON ex.probe_id = f.probe_id AND ex.vec_id = f.vec_id
+            ORDER BY f.probe_id, f.rank"""
+      },
+    ),
+
+    // RE-INSERT after compaction — the UPDATE path every vector store
+    // implements as delete + re-insert (FreshDiskANN's StreamingMerge
+    // cycle), extending the lifecycle to build q174 / add q175+q176 /
+    // lazy-delete q177 / compact q178 / serve-compacted q179 /
+    // re-insert q180 / serve-recompleted q181: the tombstoned vectors
+    // (vec_id % 7 = 3) re-arrive as a fresh batch and attach onto the
+    // COMPACTED artifact with the same frozen-layer discipline as
+    // q175's delta maintenance ([[attachEdges]], shared code) against
+    // the SURVIVING hub/super-hub layers — see [[recompletedGraph]]
+    // for the layer-freezing and hub-loss contract. The oracle
+    // recomputes compaction + re-insert attach in one shot from
+    // scratch — a cross-engine proof of the whole update cycle, edge
+    // for edge. Provenance is analytic: a reinsert edge touches a
+    // deleted id, kept/repair edges never do.
+    QueryDef(
+      "q180_ann_graph_reinsert",
+      (s, dir) => {
+        val nodes = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val g0 = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+          navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
+        }
+        recompletedGraph(s, dir, nodes, g0)
+          .orderBy(col("va"), col("vb"))
+      },
+      Some(s"""WITH $knnSqlCtes,
+               ${navGraphSqlCtes("memf", "knn", "")},
+               $compactSqlCtes,
+               $reinsertSqlCtes
+               SELECT va, vb, kind FROM radj
+               ORDER BY va, vb"""),
+    ),
+
+    // SERVING after the full UPDATE cycle — the claim that makes q180
+    // operational: after delete → compact → re-insert, the index must
+    // serve the WHOLE corpus again, including the re-inserted
+    // vectors, at quality. The same [[beamWalkScored]] walk over the
+    // staged re-completed graph (kept ∪ repair ∪ reinsert); probes
+    // are ALL ids < 8 — vec_id 3, deleted in q177 and physically
+    // dropped in q178, is BACK and issuing queries; entries stay the
+    // surviving live hubs (re-insertion never re-elects entry points,
+    // the HNSW entry-point stability rule). The exact harness ranks
+    // the FULL corpus — re-inserted vectors compete as results again,
+    // so hit flags measure whether the update cycle restored both
+    // directions: searching FROM a re-inserted vector and FINDING
+    // re-inserted vectors.
+    //
+    // Scale shape: inherits q174's serving contract over
+    // [[recompletedGraph]]'s staged artifact.
+    QueryDef(
+      "q181_ann_graph_reinserted_serve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val nodes = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val g0 = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+          navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
+        }
+        val g = recompletedGraph(s, dir, nodes, g0)
+          .select(col("va"), col("vb"))
+        val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
+        val probes = nodesP.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val entries = hubTable(nodes).filter(col("vec_id") % 7 =!= 3)
+          .select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val sim = Num.fround(
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+            col("p_nsq"), col("nsq")), 4)
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val found = beamWalkScored(nodesP, g, probes, entries, b, hops)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 8)
+        val exact = nodesP.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+        found.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"),
+            coalesce(col("hit"), lit(0)).as("hit"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some {
+        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val simOf = Num.froundSql(
+          VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
+        s"""WITH $knnSqlCtes,
+            ${navGraphSqlCtes("memf", "knn", "")},
+            $compactSqlCtes,
+            $reinsertSqlCtes,
+            radjp AS (SELECT va, vb FROM radj),
+            p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
+                  FROM memf WHERE vec_id < $p),
+            entry AS (SELECT vec_id FROM hub WHERE vec_id % 7 <> 3
+                      ORDER BY vec_id LIMIT $e),
+            ${beamWalkSqlCtes("memf", "radjp", b, hops)},
+            found AS (
+              SELECT probe_id, vec_id, sim, rank FROM (
+                SELECT probe_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, vec_id)::BIGINT AS rank
+                FROM fbeam fs) fr WHERE rank <= 8),
+            exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
+                    FROM memf m CROSS JOIN p WHERE m.vec_id <> p.probe_id),
             ex AS (SELECT probe_id, vec_id FROM (
                      SELECT probe_id, vec_id,
                        row_number() OVER (PARTITION BY probe_id

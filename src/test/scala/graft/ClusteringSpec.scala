@@ -360,6 +360,62 @@ class ClusteringSpec extends SparkSuite {
     assert(hits >= 5, s"post-compaction walk degenerated: only $hits hits")
   }
 
+  test("q180 re-insert: provenance disjoint, every re-inserted vector reachable") {
+    val out = SparkEntry.queries("q180_ann_graph_reinsert")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val kinds = out.groupBy(_._3)
+    assert(Set("kept", "repair", "reinsert").subsetOf(kinds.keySet),
+      s"missing kinds: ${kinds.keySet}")
+    // (va, vb) unique across the whole re-completed graph
+    assert(out.map(e => (e._1, e._2)).distinct.length == out.length, "duplicate edges")
+    // provenance is analytic: a reinsert edge touches a deleted id,
+    // kept/repair edges never do (the compacted graph is dead-free)
+    out.foreach { case (va, vb, kind) =>
+      val touchesDeleted = va % 7 == 3 || vb % 7 == 3
+      if (kind == "reinsert") assert(touchesDeleted, s"reinsert edge ($va,$vb) touches no deleted id")
+      else assert(!touchesDeleted, s"$kind edge ($va,$vb) touches a deleted id")
+    }
+    // the update cycle restored reachability: every re-inserted
+    // vector has out-edges (can search) and in-edges (can be found)
+    val reinsert = kinds("reinsert")
+    val deletedIds = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 7 === 3)
+      .collect().map(_.getLong(0))
+    val outDeg = reinsert.groupBy(_._1).view.mapValues(_.size).toMap
+    val inDeg = reinsert.groupBy(_._2).view.mapValues(_.size).toMap
+    deletedIds.foreach { d =>
+      assert(outDeg.getOrElse(d, 0) > 0, s"re-inserted $d has no out-edges")
+      assert(inDeg.getOrElse(d, 0) > 0, s"re-inserted $d unreachable (no in-edges)")
+    }
+  }
+
+  test("q181 serving after the update cycle: full probe set, re-inserted findable") {
+    val out = SparkEntry.queries("q181_ann_graph_reinserted_serve")(spark, "/root/testdata/sf0.001")
+      .collect()
+    // vec_id 3 — deleted in q177, physically dropped in q178 — is
+    // BACK as a probe after re-insertion: the full 8-probe set
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 8L).toSet, s"probe set ${byProbe.keySet}")
+    assert(out.length == 64, s"got ${out.length} rows")
+    byProbe.foreach { case (pid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 8L), s"probe $pid ranks not dense")
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"probe $pid sims not ranked")
+    }
+    // both directions of the restored index work: quality hits
+    // (measured 2026-08: 23-34 of 64 across all SFs — floor well
+    // below) and re-inserted vectors surfacing as results (measured
+    // 8-13 rows)
+    val hits = out.map(_.getInt(4)).sum
+    assert(hits >= 5, s"post-update-cycle walk degenerated: only $hits/64 hits")
+    assert(out.exists(_.getLong(2) % 7 == 3),
+      "no re-inserted vector ever served as a result")
+  }
+
   test("q178 compaction: dead-free, repair provenance exact, out-degree preserved") {
     val out = SparkEntry.queries("q178_ann_graph_compaction")(spark, "/root/testdata/sf0.001")
       .collect()
