@@ -252,7 +252,23 @@ object Bench {
         graft.streaming.TombstoneIngest.runOnce(spark, s"$tmp/deletes",
           s"$tmp/idx", s"$tmp/ckpt_tomb").awaitTermination()
       }
-      // 4. streaming quantile sketch serving (events backlog)
+      // 4. streaming navigable-graph maintenance: q175's frozen-layer
+      // attach as a stream over the delta-vector backlog (seed — the
+      // pre-existing base index — excluded from the rate, as with the
+      // tombstone path)
+      val (baseM, deltaM) = graft.queries.Clustering.navPopulations(spark, sfDir)
+      val (bHub, bSH) = graft.queries.Clustering.navFrozenLayers(baseM)
+      graft.streaming.GraphIngest.seed(spark, s"$tmp/graph",
+        graft.queries.Clustering.navBaseGraph(spark, sfDir, baseM))
+      val deltaEv = deltaM.select(col("vec_id"), col("fcid"), col("embedding"))
+        .withColumn("timestamp", to_timestamp(lit(1700000000L)))
+      val nDelta = deltaEv.count()
+      deltaEv.write.parquet(s"$tmp/gdeltas")
+      rate("graph_ingest", nDelta) {
+        graft.streaming.GraphIngest.runOnce(spark, s"$tmp/gdeltas",
+          s"$tmp/graph", s"$tmp/ckpt_graph", baseM, bHub, bSH).awaitTermination()
+      }
+      // 5. streaming quantile sketch serving (events backlog)
       val ev = Tables.events(spark, sfDir)
         .select(col("event_type"), col("value"))
       val nEv = ev.count()

@@ -645,10 +645,12 @@ object Clustering {
   /** DuckDB mirror of [[beamWalkScored]] as CTEs (no leading WITH):
     * expects `$mem(vec_id, emb, nsq)` as the scoring corpus, `$adj(va,
     * vb)` as the adjacency, `p(probe_id, p_emb, p_nsq)` as the probes
-    * and `entry(vec_id)` as the entry points; emits `gb0..gb$hops` and
-    * the final scored beam `fbeam(probe_id, vec_id, sim)`. */
+    * and `entry(vec_id)` as the entry points; emits `${pre}gb0..gb$hops`
+    * and the final scored beam `${pre}fbeam(probe_id, vec_id, sim)`.
+    * `pre` disambiguates CTE names when one oracle splices several
+    * walks (q182's beam sweep). */
   private def beamWalkSqlCtes(mem: String, adj: String,
-      b: Int, hops: Int): String = {
+      b: Int, hops: Int, pre: String = ""): String = {
     val simOf = Num.froundSql(
       VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
     def scoreCte(cand: String) =
@@ -656,23 +658,23 @@ object Clustering {
           FROM $cand c JOIN $mem m ON m.vec_id = c.vec_id
           JOIN p ON p.probe_id = c.probe_id"""
     val hopCtes = (1 to hops).map { h =>
-      s"""gc$h AS (SELECT DISTINCT probe_id, vec_id FROM (
-                    SELECT probe_id, vec_id FROM gb${h - 1}
+      s"""${pre}gc$h AS (SELECT DISTINCT probe_id, vec_id FROM (
+                    SELECT probe_id, vec_id FROM ${pre}gb${h - 1}
                     UNION ALL
                     SELECT t.probe_id, $adj.vb AS vec_id
-                    FROM gb${h - 1} t JOIN $adj ON $adj.va = t.vec_id)
+                    FROM ${pre}gb${h - 1} t JOIN $adj ON $adj.va = t.vec_id)
                   WHERE vec_id <> probe_id),
-          gs$h AS (${scoreCte(s"gc$h")}),
-          gb$h AS (SELECT probe_id, vec_id FROM (
+          ${pre}gs$h AS (${scoreCte(s"${pre}gc$h")}),
+          ${pre}gb$h AS (SELECT probe_id, vec_id FROM (
                     SELECT probe_id, vec_id,
                       row_number() OVER (PARTITION BY probe_id
                         ORDER BY sim DESC, vec_id) AS rk
-                    FROM gs$h) WHERE rk <= $b)"""
+                    FROM ${pre}gs$h) WHERE rk <= $b)"""
     }.mkString(",\n")
-    s"""gb0 AS (SELECT probe_id, vec_id FROM p CROSS JOIN entry
+    s"""${pre}gb0 AS (SELECT probe_id, vec_id FROM p CROSS JOIN entry
                WHERE vec_id <> probe_id),
         $hopCtes,
-        fbeam AS (${scoreCte(s"gb$hops")})"""
+        ${pre}fbeam AS (${scoreCte(s"${pre}gb$hops")})"""
   }
 
   /** Base/delta populations of the maintained index (the q162 split:
@@ -1776,6 +1778,104 @@ object Clustering {
             FROM found f LEFT JOIN ex
               ON ex.probe_id = f.probe_id AND ex.vec_id = f.vec_id
             ORDER BY f.probe_id, f.rank"""
+      },
+    ),
+
+    // BEAM-WIDTH tuning sweep — the ef-search/recall curve every
+    // graph-ANN deployment publishes before picking a serving
+    // configuration (HNSW's efSearch, DiskANN's L): the SAME
+    // [[beamWalkScored]] walk over the SAME staged q174 graph at beam
+    // 4 / 8 / 16, each result set top-8-ranked and scored against the
+    // exact top-20, aggregated to one row per beam width (results,
+    // head hits, precision). The operational use: pick the smallest
+    // beam whose precision clears the deployment's floor — beam is
+    // the per-probe serving-cost knob (candidates scored per hop =
+    // P·B·deg), so this query IS the cost/quality frontier. The
+    // oracle unrolls all three walks as prefixed CTE chains
+    // ([[beamWalkSqlCtes]] `pre` param) — three independent
+    // cross-engine walk proofs in one query.
+    //
+    // Scale shape: three q174 serving walks over one staged graph —
+    // each P·B·deg-bounded, corpus never rescanned; the exact harness
+    // is computed ONCE and shared across beams.
+    QueryDef(
+      "q182_ann_graph_beam_sweep",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (p, e, hops, k) = (8, 4, 5, 20)
+        val nodes = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+          navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
+        }
+        val hubs = hubTable(nodes)
+        val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
+        val probes = nodesP.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+        val entries = hubs.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val sim = Num.fround(
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+            col("p_nsq"), col("nsq")), 4)
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val exact = nodesP.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+        val perBeam = Seq(4, 8, 16).map { b =>
+          beamWalkScored(nodesP, g, probes, entries, b, hops)
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 8)
+            .join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+            .agg(count(lit(1)).as("n_results"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+            .select(lit(b.toLong).as("beam"), col("n_results"), col("hits"))
+        }
+        perBeam.reduce(_.unionByName(_))
+          .select(col("beam"), col("n_results"), col("hits"),
+            Num.fround(col("hits").cast("double") / col("n_results"), 4)
+              .as("precision"))
+          .orderBy(col("beam"))
+      },
+      Some {
+        val (p, e, hops, k) = (8, 4, 5, 20)
+        val simOf = Num.froundSql(
+          VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
+        val beams = Seq(4, 8, 16)
+        val walks = beams.map { b =>
+          s"""${beamWalkSqlCtes("memf", "adj", b, hops, s"w$b")},
+              f$b AS (SELECT probe_id, vec_id FROM (
+                        SELECT probe_id, vec_id,
+                          row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, vec_id) AS rank
+                        FROM w${b}fbeam) WHERE rank <= 8)"""
+        }.mkString(",\n")
+        val unions = beams.map { b =>
+          s"""SELECT $b::BIGINT AS beam, count(*)::BIGINT AS n_results,
+                sum(CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS hits
+              FROM f$b f LEFT JOIN ex
+                ON ex.probe_id = f.probe_id AND ex.vec_id = f.vec_id"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $knnSqlCtes,
+            ${navGraphSqlCtes("memf", "knn", "")},
+            p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
+                  FROM memf WHERE vec_id < $p),
+            entry AS (SELECT vec_id FROM hub ORDER BY vec_id LIMIT $e),
+            $walks,
+            exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
+                    FROM memf m CROSS JOIN p WHERE m.vec_id <> p.probe_id),
+            ex AS (SELECT probe_id, vec_id FROM (
+                     SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY sim DESC, vec_id) AS rk
+                     FROM exs) WHERE rk <= $k)
+            SELECT beam, n_results, hits,
+              ${Num.froundSql("hits::DOUBLE / n_results", 4)} AS precision
+            FROM ($unions) res
+            ORDER BY beam"""
       },
     ),
 

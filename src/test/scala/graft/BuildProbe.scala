@@ -27,7 +27,8 @@ object BuildProbe {
 
     val faces =
       if (args.nonEmpty) args.toSeq
-      else Seq("q174_ann_graph_search", "q175_ann_graph_delta")
+      else Seq("q174_ann_graph_search", "q175_ann_graph_delta",
+        "q178_ann_graph_compaction", "q180_ann_graph_reinsert")
 
     Seq(base, scaled).foreach { dir =>
       faces.foreach { name =>
@@ -39,6 +40,22 @@ object BuildProbe {
       case (k, v) =>
         println(f"""STAGE {"key":"$k","sec":$v%.3f}""")
     }
+
+    // NN-Descent hub-layer quality gate (VERDICT r12 #4): the fixed
+    // 2-round hub build is exactness-checked only at the small-SF hub
+    // counts; this pins the claim AT SCALE — the q174 walk's head-hit
+    // count at the scaled dir must stay above the serving non-vacuity
+    // floor, so a degenerate routing layer (stride-ring init that two
+    // rounds failed to densify) fails the probe loudly instead of
+    // surfacing as a silent recall cliff.
+    if (faces.contains("q174_ann_graph_search"))
+      Seq(base, scaled).foreach { dir =>
+        val hits = SparkEntry.queries("q174_ann_graph_search")(spark, dir)
+          .agg(org.apache.spark.sql.functions.sum("hit"))
+          .collect()(0).getLong(0)
+        println(s"""HITS {"query":"q174_ann_graph_search","dir":"$dir","hits":$hits}""")
+        require(hits >= 5, s"hub routing degenerated at $dir: $hits/64 head hits")
+      }
     spark.stop()
   }
 }

@@ -416,6 +416,27 @@ class ClusteringSpec extends SparkSuite {
       "no re-inserted vector ever served as a result")
   }
 
+  test("q182 beam sweep: shape laws, widest beam non-vacuous and not worse than narrowest") {
+    val out = SparkEntry.queries("q182_ann_graph_beam_sweep")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(4L, 8L, 16L), s"beams ${out.map(_._1).toSeq}")
+    // results per probe = min(8, beam) over the 8-probe set
+    out.foreach { case (beam, n, hits, prec) =>
+      assert(n == 8 * math.min(8L, beam), s"beam $beam served $n results")
+      assert(hits >= 0 && hits <= n, s"beam $beam hits $hits out of range")
+      assert(math.abs(prec - math.floor(hits.toDouble / n * 10000 + 0.5) / 10000) < 1e-12)
+    }
+    // the tuning curve's operational claim: the widest beam navigates
+    // (measured 16-34 hits across SFs; floor well below) and beats
+    // the narrowest (measured margins 5-13)
+    val hitsBy = out.map(t => t._1 -> t._3).toMap
+    assert(hitsBy(16L) >= 5, s"beam-16 walk degenerated: ${hitsBy(16L)} hits")
+    assert(hitsBy(16L) >= hitsBy(4L),
+      s"beam 16 (${hitsBy(16L)}) worse than beam 4 (${hitsBy(4L)})")
+  }
+
   test("q178 compaction: dead-free, repair provenance exact, out-degree preserved") {
     val out = SparkEntry.queries("q178_ann_graph_compaction")(spark, "/root/testdata/sf0.001")
       .collect()

@@ -30,7 +30,9 @@ object ScaleProbe {
         "q61_participants_projection", "q87_unigram_lm_score",
         "q154_ann_ivfpq", "q32_minhash_signature",
         "q92_bloom_decontamination", "q116_exact_substring_removal",
-        "q98_resample_gapfill", "q164_dedup_weights", "q115_dup_span_coverage")
+        "q98_resample_gapfill", "q164_dedup_weights", "q115_dup_span_coverage",
+        "q178_ann_graph_compaction", "q179_ann_graph_compacted_serve",
+        "q181_ann_graph_reinserted_serve")
 
     def warmSecAndRows(name: String, dir: String): (Double, Long) = {
       val q = SparkEntry.queries(name)
