@@ -1879,6 +1879,126 @@ object Clustering {
       },
     ),
 
+    // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019 — the
+    // LASER/CCMatrix recipe that mined the largest public parallel
+    // corpora): treat the even/odd vec_id halves as two languages
+    // embedded in one space; a (src, tgt) pair is a mined translation
+    // candidate when its cosine stands out from BOTH sides' local
+    // neighborhoods — margin = sim / ((fwd_k(src) + bwd_k(tgt)) / 2)
+    // with fwd/bwd = mean of each side's top-4 cluster-mate sims (the
+    // paper's "ratio" margin, k=4, bidirectional). Per src, the top-1
+    // tgt by margin is kept if rounded margin >= 1 (better than the
+    // neighborhood average — the mining rule).
+    //
+    // Engine determinism: the top-4 MEAN is computed by pivoting
+    // ranks to columns and adding in FIXED left-to-right order —
+    // avg() over an unordered group would sum in engine-dependent
+    // order, and fp addition is not associative (a 4dp boundary or an
+    // argmax could flip). Ranks tie on ids; sims are the
+    // deterministic fixed-fold cosine. Zero/negative denominators
+    // (possible under zero-norm adversarial rows) short to margin 0
+    // via the ANSI-guard CASE, mirrored in SQL.
+    //
+    // Scale shape: candidates are cluster-blocked (the q136/q138
+    // device — cluster size is bounded by the hierarchical build, so
+    // pairs are linear in the corpus); the fwd/bwd neighborhoods are
+    // per-key top-4 windows over those bounded groups; everything
+    // downstream is key-partitioned equi-joins. No broadcast, no
+    // corpus self-join outside the block.
+    QueryDef(
+      "q183_bitext_margin_mining",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val src = m.filter(col("vec_id") % 2 === 0)
+          .select(col("fcid"), col("vec_id").as("src"),
+            col("embedding").as("ea"), col("nsq").as("na"))
+        val tgt = m.filter(col("vec_id") % 2 === 1)
+          .select(col("fcid"), col("vec_id").as("tgt"),
+            col("embedding").as("eb"), col("nsq").as("nb"))
+        val sims = src.join(tgt, Seq("fcid"))
+          .select(col("src"), col("tgt"),
+            VectorFns.cosine(VectorFns.dotF("ea", "eb"),
+              col("na"), col("nb")).as("sim"))
+        def topMean(key: String, other: String): DataFrame = {
+          val w = Window.partitionBy(col(key))
+            .orderBy(col("sim").desc, col(other))
+          sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+            .groupBy(col(key))
+            .agg(max(when(col("rk") === 1, col("sim"))).as("s1"),
+              max(when(col("rk") === 2, col("sim"))).as("s2"),
+              max(when(col("rk") === 3, col("sim"))).as("s3"),
+              max(when(col("rk") === 4, col("sim"))).as("s4"),
+              count(lit(1)).as("n"))
+            .select(col(key),
+              ((coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+                + coalesce(col("s3"), lit(0.0)) + coalesce(col("s4"), lit(0.0)))
+                / col("n")).as(s"${key}_avg"))
+        }
+        val margins = sims
+          .join(topMean("src", "tgt"), Seq("src"))
+          .join(topMean("tgt", "src"), Seq("tgt"))
+          .select(col("src"), col("tgt"), col("sim"),
+            when((col("src_avg") + col("tgt_avg")) / 2 <= 0, lit(0.0))
+              .otherwise(col("sim") / ((col("src_avg") + col("tgt_avg")) / 2))
+              .as("margin"))
+        val wbest = Window.partitionBy(col("src"))
+          .orderBy(col("margin").desc, col("tgt"))
+        margins.withColumn("rk", row_number().over(wbest))
+          .filter(col("rk") === 1)
+          .select(col("src"), col("tgt"),
+            Num.fround(col("sim"), 4).as("sim"),
+            Num.fround(col("margin"), 4).as("margin"))
+          .filter(col("margin") >= 1.0)
+          .orderBy(col("src"))
+      },
+      Some(s"""WITH $knnSqlCtes,
+               bsrc AS (SELECT fcid, vec_id AS src, emb AS ea, nsq AS na
+                        FROM memf WHERE vec_id % 2 = 0),
+               btgt AS (SELECT fcid, vec_id AS tgt, emb AS eb, nsq AS nb
+                        FROM memf WHERE vec_id % 2 = 1),
+               bsim AS MATERIALIZED (
+                 SELECT src, tgt,
+                   ${VectorFns.cosineSql(VectorFns.dotSql("ea", "eb"), "na", "nb")} AS sim
+                 FROM bsrc JOIN btgt USING (fcid)),
+               bf AS (SELECT src,
+                        (coalesce(max(CASE WHEN rk = 1 THEN sim END), 0.0)
+                         + coalesce(max(CASE WHEN rk = 2 THEN sim END), 0.0)
+                         + coalesce(max(CASE WHEN rk = 3 THEN sim END), 0.0)
+                         + coalesce(max(CASE WHEN rk = 4 THEN sim END), 0.0))
+                        / count(*) AS src_avg
+                      FROM (SELECT src, sim,
+                              row_number() OVER (PARTITION BY src
+                                ORDER BY sim DESC, tgt) AS rk
+                            FROM bsim) WHERE rk <= 4 GROUP BY src),
+               bb AS (SELECT tgt,
+                        (coalesce(max(CASE WHEN rk = 1 THEN sim END), 0.0)
+                         + coalesce(max(CASE WHEN rk = 2 THEN sim END), 0.0)
+                         + coalesce(max(CASE WHEN rk = 3 THEN sim END), 0.0)
+                         + coalesce(max(CASE WHEN rk = 4 THEN sim END), 0.0))
+                        / count(*) AS tgt_avg
+                      FROM (SELECT tgt, sim,
+                              row_number() OVER (PARTITION BY tgt
+                                ORDER BY sim DESC, src) AS rk
+                            FROM bsim) WHERE rk <= 4 GROUP BY tgt),
+               bm AS (SELECT s.src, s.tgt, s.sim,
+                        CASE WHEN (f.src_avg + b.tgt_avg) / 2 <= 0 THEN 0.0
+                             ELSE s.sim / ((f.src_avg + b.tgt_avg) / 2)
+                        END AS margin
+                      FROM bsim s JOIN bf f USING (src) JOIN bb b USING (tgt)),
+               bbest AS (SELECT src, tgt, sim, margin FROM (
+                           SELECT src, tgt, sim, margin,
+                             row_number() OVER (PARTITION BY src
+                               ORDER BY margin DESC, tgt) AS rk
+                           FROM bm) WHERE rk = 1)
+               SELECT src, tgt, ${Num.froundSql("sim", 4)} AS sim,
+                 ${Num.froundSql("margin", 4)} AS margin
+               FROM bbest
+               WHERE ${Num.froundSql("margin", 4)} >= 1.0
+               ORDER BY src"""),
+    ),
+
     // HARD-NEGATIVE mining for contrastive embedding training: for
     // each anchor vector, the top-2 most-similar cluster-mates with a
     // DIFFERENT class label — the highest-value negatives (similar

@@ -437,6 +437,64 @@ class ClusteringSpec extends SparkSuite {
       s"beam 16 (${hitsBy(16L)}) worse than beam 4 (${hitsBy(4L)})")
   }
 
+  test("q183 bitext mining matches an independent driver-side reimplementation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q183_bitext_margin_mining")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // structural laws: src even, tgt odd, one mined pair per src,
+    // every margin clears the mining threshold
+    out.foreach { case (src, tgt, _, margin) =>
+      assert(src % 2 == 0 && tgt % 2 == 1, s"parity violated ($src,$tgt)")
+      assert(margin >= 1.0, s"margin $margin below threshold for $src")
+    }
+    assert(out.map(_._1).distinct.length == out.length, "duplicate src")
+
+    // independent reimplementation: clusters from q85, vectors from
+    // Tables.embeddings, the SAME left-to-right double accumulation
+    // as VectorFns.dotF/normSq, fixed-order top-4 means, margins,
+    // per-src argmax, 4dp threshold.
+    import org.apache.spark.sql.functions.col
+    val fcid = SparkEntry.queries("q85_kmeans_assign")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (na, nb) = (dot(a, a), dot(b, b))
+      if (na == 0d || nb == 0d) 0d else dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = fcid.keys.filter(vecs.contains).groupBy(fcid)
+    val pairs = byCluster.values.flatMap { ids =>
+      val (srcs, tgts) = (ids.filter(_ % 2 == 0), ids.filter(_ % 2 == 1))
+      for (a <- srcs; b <- tgts) yield (a, b, cos(vecs(a), vecs(b)))
+    }.toSeq
+    def topMean(grouped: Map[Long, Seq[(Long, Double)]]): Map[Long, Double] =
+      grouped.map { case (k, vs) =>
+        val top = vs.sortBy { case (o, s) => (-s, o) }.take(4).map(_._2)
+        k -> top.foldLeft(0.0)(_ + _) / top.length
+      }
+    val favg = topMean(pairs.groupBy(_._1).view.mapValues(_.map(p => (p._2, p._3))).toMap)
+    val bavg = topMean(pairs.groupBy(_._2).view.mapValues(_.map(p => (p._1, p._3))).toMap)
+    def fr4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val expected = pairs
+      .map { case (a, b, s) =>
+        val den = (favg(a) + bavg(b)) / 2
+        (a, b, s, if (den <= 0) 0.0 else s / den)
+      }
+      .groupBy(_._1).values
+      .map(_.minBy { case (_, b, _, m) => (-m, b) })
+      .filter { case (_, _, _, m) => fr4(m) >= 1.0 }
+      .map { case (a, b, s, m) => (a, b, fr4(s), fr4(m)) }
+      .toSet
+    assert(out.toSet == expected,
+      s"diverges: extra=${out.toSet -- expected} missing=${expected -- out.toSet}")
+  }
+
   test("q178 compaction: dead-free, repair provenance exact, out-degree preserved") {
     val out = SparkEntry.queries("q178_ann_graph_compaction")(spark, "/root/testdata/sf0.001")
       .collect()
