@@ -159,7 +159,14 @@ object Explain {
     // integer budgets), ANN compaction (median-threshold cell rewrite
     // of the staged tombstoned index; serve plan ≡ q163's).
     "q164_dedup_weights", "q165_psi_drift", "q166_epoch_allocation",
-    "q167_ann_compaction")
+    "q167_ann_compaction",
+    // round 13: bidirectional margin mining — cluster-blocked src ⋈
+    // tgt exchange, rank-pivoted fixed-order top-4 means joined back,
+    // per-src argmax (a new composite next to q136/q138's shapes).
+    // The graph-lifecycle serves (q179/q181/q182) share q174/q176/
+    // q177's dumped walk family; the new COMPACTION build plan is
+    // dumped separately below.
+    "q183_bitext_margin_mining")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -226,6 +233,17 @@ object Explain {
       val plan = build.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## q158_matryoshka_recall (cut stage build)\n\n```\n$plan```\n")
+    }
+    // Same for q178: the query plan reads the staged compacted edge
+    // set; the compaction transform itself (analytic liveness splits,
+    // repair candidates through two key-partitioned equi-joins on the
+    // deleted node, per-(a,d) top-2 window, anti-join vs kept) is
+    // what the q178compact stage writer runs.
+    locally {
+      val build = graft.queries.Clustering.compactBuildPlan(spark, sfDir)
+      val plan = build.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## q178_ann_graph_compaction (compaction stage build)\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

@@ -52,16 +52,20 @@ class PlanHygieneSpec extends SparkSuite {
     //    back onto every document for fold assignment / sampling
     //    weights (q164 additionally joins corpus-scale cluster sizes
     //    back onto the assignment); broadcast would be the bug.
+    //  - q183: the bitext cluster-blocked src ⋈ tgt join and the
+    //    margin joins (per-src/per-tgt neighborhood means joined back
+    //    onto every candidate pair) — the q136/q138 cluster-mate
+    //    shape; both sides scale with the corpus.
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
       "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
-      "q164_dedup_weights"),
+      "q164_dedup_weights", "q183_bitext_margin_mining"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
       "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
-      "q164_dedup_weights"))
+      "q164_dedup_weights", "q183_bitext_margin_mining"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
