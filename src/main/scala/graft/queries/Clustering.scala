@@ -435,21 +435,41 @@ object Clustering {
   /** The navigable-graph edge set over `members` (vec_id, fcid,
     * embedding, nsq) given their cluster-mate kNN out-edges `knnE`
     * (va, vb). Layers: symmetrized kNN; hub→top-R hubs by fixed-round
-    * NN-DESCENT (Dong et al. 2011 — deterministic stride-ring init by
-    * hub rank, then 2 unrolled neighbors-of-neighbors rounds, each
-    * scoring ≤ (2R)²+2R candidates per hub: O(#hubs) total, hub-keyed
-    * equi-joins, nothing broadcast; at the test SFs (8–133 hubs) two
-    * rounds converge to the exact top-R graph); super-hub↔super-hub
-    * top-R (K²=64 pairs, constant); node→own-cluster hub (fcid
-    * equi-join, no scoring) and node→top-2 super-hubs (O(n·K),
-    * constant broadcast) — the DiskANN long-edge rule with a bounded
-    * build. */
+    * NN-DESCENT (Dong et al. 2011) seeded from stride-ring links
+    * (bootstrap: every hub enters with links) UNIONED with LSH-bucket
+    * top-R links (round 13: SEMANTIC seeds whose quality is
+    * scale-independent — adaptive-width md5-hyperplane buckets hold
+    * expected bucket size in [16, 32) at any hub count, so ring-only
+    * seeding's 10× recall collapse — 0/64 head hits at 1333 hubs,
+    * caught by the BuildProbe gate — cannot recur; per-bucket top-R
+    * is a constant-factor O(#hubs) stage), then 2 unrolled
+    * neighbors-of-neighbors rounds densifying across buckets —
+    * O(#hubs) total, hub-keyed equi-joins, nothing broadcast;
+    * super-hub↔super-hub top-R (K²=64 pairs, constant);
+    * node→own-cluster hub (fcid equi-join, no scoring) and node→top-2
+    * super-hubs (O(n·K), constant broadcast) — the DiskANN long-edge
+    * rule with a bounded build. */
   private def navGraphBuild(members: DataFrame, knnE: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val r = 3
+    // Hub-link degree (round 13): 3 → 6. The hub layer GROWS with the
+    // corpus (n/clusterSize), so the fixed-cost serving walk's
+    // exploration budget must buy more coverage per hop — degree-3
+    // hub links left the 10× replica's 1333-hub layer under-explored
+    // (0/64 head hits, BuildProbe gate); degree 6 (×2 symmetrized)
+    // doubles per-hop fanout at constant per-node cost. Still the
+    // constant-degree contract — 6 never grows with n.
+    val rh = 6
     val hubRanked = hubRankTable(members)
     val he = hubRanked.select(col("vec_id"), col("embedding"), col("nsq"))
-    val init = hubRanked
+    // Stride-ring seeds by rank: guarantees every hub enters the
+    // descent with links (no isolated bootstrap), but ring order is
+    // id order — SEMANTICALLY RANDOM. Round 13: the BuildProbe hit
+    // gate showed 2 fixed rounds from ring seeds alone collapse at
+    // 10× (0/64 head hits at 1333 hubs — the rounds cover a constant
+    // ~(2R)² candidate set, a vanishing fraction of a growing hub
+    // layer), so the init is UNIONED with LSH-bucket seeds below.
+    val ringInit = hubRanked
       .select(col("vec_id").as("va"), col("rid"), col("hn"),
         explode(array_distinct(array(lit(1L),
           lit(1L) + floor(col("hn") / 3).cast("long"),
@@ -458,7 +478,37 @@ object Clustering {
       .join(hubRanked.select(col("rid").as("brid"), col("vec_id").as("vb")),
         Seq("brid"))
       .filter(col("va") =!= col("vb"))
-      .select(col("va"), col("vb")).distinct()
+      .select(col("va"), col("vb"))
+    // LSH-bucket seeds: SCALE-INDEPENDENT semantic quality. Hubs are
+    // random-hyperplane-bucketed (the q38/q118 md5 hyperplanes, the
+    // codegen projection path) with ADAPTIVE signature width —
+    // bits = floor(log2(max(1, hn/16))) via the integer bin-length
+    // identity, so expected bucket size stays in [16, 32) at ANY hub
+    // count and the per-bucket top-3 all-pairs is a constant-factor
+    // O(#hubs) stage. Bucket-mates are semantically close by the LSH
+    // property, so the descent starts from near-neighbors regardless
+    // of scale; the 2 fixed rounds then densify ACROSS buckets
+    // (neighbors-of-neighbors) — constant rounds suffice because the
+    // seeds are already local, which ring order cannot provide.
+    val hproj = VectorFns.hyperplaneProjections(
+        hubRanked.select(col("vec_id"), col("embedding")), 0 until 12)
+      .select(col("vec_id"),
+        VectorFns.bucketFromProjections(0, 12).cast("long").as("bsig"))
+    val bucketed = hubRanked.join(hproj, Seq("vec_id"))
+      .withColumn("bkt", col("bsig").bitwiseAND(
+        expr("shiftleft(1L, length(bin(greatest(1L, hn div 16))) - 1) - 1")))
+      .select(col("bkt"), col("vec_id"), col("embedding"), col("nsq"))
+    val bw = Window.partitionBy(col("va")).orderBy(col("hsim").desc, col("vb"))
+    val lshInit = bucketed.select(col("bkt"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nsq").as("na"))
+      .join(bucketed.select(col("bkt"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nsq").as("nb")), Seq("bkt"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), hubSim.as("hsim"))
+      .withColumn("brk", row_number().over(bw))
+      .filter(col("brk") <= rh)
+      .select(col("va"), col("vb"))
+    val init = ringInit.unionByName(lshInit).distinct()
     def ndRound(links: DataFrame): DataFrame = {
       val und = links
         .unionByName(links.select(col("vb").as("va"), col("va").as("vb")))
@@ -476,7 +526,7 @@ object Clustering {
           col("embedding").as("eb"), col("nsq").as("nb")), Seq("vb"))
         .select(col("va"), col("vb"), hubSim.as("hsim"))
         .withColumn("hrk", row_number().over(w9))
-        .filter(col("hrk") <= r)
+        .filter(col("hrk") <= rh)
         .select(col("va"), col("vb"))
         // lineage truncation between rounds (the serving-walk
         // device): each round references its input 5×
@@ -525,6 +575,7 @@ object Clustering {
     * name carries prefix `$p`; the final edge set is `${p}adj`. */
   private def navGraphSqlCtes(mem: String, knn: String, p: String): String = {
     val r = 3
+    val rh = 6
     val ndCtes = (1 to 2).map { t =>
       val prev = if (t == 1) s"${p}ini" else s"${p}nl${t - 1}"
       s"""${p}nu$t AS (SELECT DISTINCT va, vb FROM (
@@ -544,7 +595,7 @@ object Clustering {
                      SELECT va, vb,
                        row_number() OVER (PARTITION BY va
                          ORDER BY hsim DESC, vb) AS hrk2
-                     FROM ${p}ns$t) WHERE hrk2 <= $r)"""
+                     FROM ${p}ns$t) WHERE hrk2 <= $rh)"""
     }.mkString(",\n")
     s"""${p}hub AS MATERIALIZED (SELECT m.vec_id, m.fcid, m.emb, m.nsq
                 FROM (SELECT fcid, min(vec_id) AS vec_id FROM $mem
@@ -553,13 +604,30 @@ object Clustering {
                 row_number() OVER (ORDER BY vec_id) - 1 AS rid,
                 (count(*) OVER ())::BIGINT AS hn
               FROM ${p}hub),
-        ${p}ini AS (SELECT DISTINCT a.va, b.vec_id AS vb FROM (
+        ${p}rgi AS (SELECT a.va, b.vec_id AS vb FROM (
                   SELECT vec_id AS va, rid, hn,
                     unnest(list_distinct(
                       [1, 1 + hn // 3, 1 + (2 * hn) // 3])) AS s
                   FROM ${p}hrk) a
                 JOIN ${p}hrk b ON b.rid = (a.rid + a.s) % a.hn
                 WHERE a.va <> b.vec_id),
+        ${p}hbk AS MATERIALIZED (SELECT vec_id, emb, nsq,
+                (${VectorFns.lshBucketSql("(emb::DOUBLE[])", 12)})::BIGINT
+                  & ((1::BIGINT << (length(bin(greatest(1, hn // 16))) - 1)) - 1) AS bkt
+              FROM ${p}hrk),
+        ${p}bls AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  ${Num.froundSql(VectorFns.cosineSql(
+                    VectorFns.dotSql("a.emb", "b.emb"), "a.nsq", "b.nsq"), 4)} AS hsim
+                FROM ${p}hbk a JOIN ${p}hbk b
+                  ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+        ${p}bli AS (SELECT va, vb FROM (
+                  SELECT va, vb,
+                    row_number() OVER (PARTITION BY va
+                      ORDER BY hsim DESC, vb) AS brk
+                  FROM ${p}bls) WHERE brk <= $rh),
+        ${p}ini AS (SELECT DISTINCT va, vb FROM (
+                  SELECT va, vb FROM ${p}rgi
+                  UNION ALL SELECT va, vb FROM ${p}bli)),
         $ndCtes,
         ${p}hl AS (SELECT DISTINCT va, vb FROM (
                  SELECT va, vb FROM ${p}nl2
@@ -601,11 +669,13 @@ object Clustering {
   }
 
   /** The greedy beam SERVING walk over a staged navigable graph,
-    * shared by q174 (full index), q176 (maintained index) and q177
-    * (tombstone-masked serving) so all three provably run the SAME
-    * search. Returns the FINAL beam scored — (probe_id, vec_id, sim),
-    * ≤`b` rows per probe — so each caller applies its own result
-    * policy (top-8, tombstone mask) without re-walking.
+    * shared by q174 (full index), q176 (maintained index), q177
+    * (tombstone-masked serving), q179 (compacted index), q181
+    * (re-completed index) and q182 (beam sweep) so all of them
+    * provably run the SAME search. Returns the FINAL beam scored —
+    * (probe_id, vec_id, sim), ≤`b` rows per probe — so each caller
+    * applies its own result policy (top-8, tombstone mask) without
+    * re-walking.
     *
     * Scale shape (the q174 contract): each hop joins the broadcast
     * (P·B)-row frontier against the key-partitioned adjacency and the
@@ -626,7 +696,23 @@ object Clustering {
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .select(col("probe_id"), col("vec_id"), sim.as("sim"))
-    var beam = probes.select(col("probe_id")).crossJoin(broadcast(entries))
+    // Duplicate-collapsed beam (round 13, caught by the BuildProbe
+    // 10× hit gate): the beam keeps at most ONE candidate per (probe,
+    // sim) level — the min-id representative — before the top-b cut.
+    // On a corpus with exact-duplicate vectors (the 10× replica is 10
+    // copies of everything; real crawls ship the same page thousands
+    // of times), every expansion yields whole copy-groups at one sim
+    // value, so an uncollapsed beam-16 holds ~1.6 DISTINCT vectors
+    // and navigation stalls. Copies are interchangeable as ROUTING
+    // waypoints (same out-neighborhood geometry), so collapsing loses
+    // nothing the walk needs. Genuinely distinct vectors tied at the
+    // 4dp-rounded sim collapse too (bounded approximation,
+    // deterministic min-id pick, mirrored in SQL — both engines drop
+    // the same rows).
+    val du = Window.partitionBy(col("probe_id"), col("sim"))
+      .orderBy(col("vec_id"))
+    // `entries` is PER-PROBE (probe_id, vec_id) — see [[routedEntries]].
+    var beam = entries.select(col("probe_id"), col("vec_id"))
       .filter(col("vec_id") =!= col("probe_id"))
     for (_ <- 1 to hops) {
       val expanded = g.join(broadcast(beam), beam("vec_id") === g("va"))
@@ -634,6 +720,8 @@ object Clustering {
       val cand = beam.unionByName(expanded)
         .filter(col("vec_id") =!= col("probe_id")).distinct()
       beam = score(cand)
+        .withColumn("du", row_number().over(du))
+        .filter(col("du") === 1)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= b)
         .select(col("probe_id"), col("vec_id"))
@@ -665,13 +753,18 @@ object Clustering {
                     FROM ${pre}gb${h - 1} t JOIN $adj ON $adj.va = t.vec_id)
                   WHERE vec_id <> probe_id),
           ${pre}gs$h AS (${scoreCte(s"${pre}gc$h")}),
+          ${pre}gd$h AS (SELECT probe_id, vec_id, sim FROM (
+                    SELECT probe_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY probe_id, sim
+                        ORDER BY vec_id) AS du
+                    FROM ${pre}gs$h) WHERE du = 1),
           ${pre}gb$h AS (SELECT probe_id, vec_id FROM (
                     SELECT probe_id, vec_id,
                       row_number() OVER (PARTITION BY probe_id
                         ORDER BY sim DESC, vec_id) AS rk
-                    FROM ${pre}gs$h) WHERE rk <= $b)"""
+                    FROM ${pre}gd$h) WHERE rk <= $b)"""
     }.mkString(",\n")
-    s"""${pre}gb0 AS (SELECT probe_id, vec_id FROM p CROSS JOIN entry
+    s"""${pre}gb0 AS (SELECT probe_id, vec_id FROM entry
                WHERE vec_id <> probe_id),
         $hopCtes,
         ${pre}fbeam AS (${scoreCte(s"${pre}gb$hops")})"""
@@ -747,13 +840,13 @@ object Clustering {
 
   /** The q175 maintained-index pieces, shared with q176's serving:
     * (base members, delta members, STAGED base graph, frozen base hub
-    * table, attach edges). */
+    * table, frozen base super-hub sample, attach edges). */
   private def maintained(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (baseM, delta) = navPopulations(s, dir)
     val baseG = navBaseGraph(s, dir, baseM)
     val (bHub, bSH) = navFrozenLayers(baseM)
-    (baseM, delta, baseG, bHub, attachEdges(delta, baseM, bHub, bSH))
+    (baseM, delta, baseG, bHub, bSH, attachEdges(delta, baseM, bHub, bSH))
   }
 
   /** DuckDB mirror of [[maintained]] as CTEs (no leading WITH;
@@ -797,6 +890,94 @@ object Clustering {
                      UNION ALL SELECT vb AS va, va AS vb FROM akn
                      UNION ALL SELECT va, vb FROM aown
                      UNION ALL SELECT va, vb FROM ash) u)"""
+
+  /** PER-PROBE entry set for the serving walk — the SPANN stance
+    * (Chen et al. 2021: route each query to its nearest coarse
+    * centers, then expand locally), adopted round 13 after the
+    * BuildProbe 10× gate measured PROBE-INDEPENDENT entries at 0/64
+    * head hits on the 10× replica at every tested hub degree: a
+    * fixed-hop greedy walk cannot navigate a hub layer that GROWS
+    * with the corpus when the data's intrinsic dimension gives the
+    * similarity surface no usable gradient (the per-hop trace shows
+    * the beam's best sim plateauing after hop 1). Entries:
+    *   (a) CELL entries — the probe's top-4 cluster-mates by 4dp
+    *       routing cosine (vb ties): the quantizer places the probe
+    *       in its fine cell and serving SCANS the cell's posting
+    *       (the IVF/SPANN device), cost bounded by cluster size. A
+    *       single min-id entry is NOT enough: on a duplicated corpus
+    *       the kNN layer degenerates to per-vector copy-cliques and
+    *       the cell becomes a star around its hub, so an arbitrary
+    *       single mate cannot reach the probe's own copy family —
+    *       the scored scan can;
+    *   (b) ROUTED entries — the probe's top-4 hubs by 4dp routing
+    *       cosine (vb ties): a key-partitioned probe-broadcast scan
+    *       of the hub table, the same O(P · n/clusterSize) routing
+    *       cost as the IVF family's centroid scan — linear in the
+    *       hub layer, never in the corpus;
+    *   (c) the constant-K super-hub layer (global long-range seeds).
+    * The WALK downstream is unchanged — fixed hops, constant degree,
+    * duplicate-collapsed beam. */
+  private def routedEntries(probesF: DataFrame, cellMates: DataFrame,
+      hubs: DataFrame, supers: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hsim").desc, col("vec_id"))
+    val cell = probesF.select(col("probe_id"), col("p_fcid").as("fcid"),
+        col("p_emb").as("ea"), col("p_nsq").as("na"))
+      .join(cellMates.select(col("fcid"), col("vec_id"),
+        col("embedding").as("eb"), col("nsq").as("nb")), Seq("fcid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), hubSim.as("hsim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select(col("probe_id"), col("vec_id"))
+    val routed = hubs
+      .select(col("vec_id"), col("embedding").as("eb"), col("nsq").as("nb"))
+      .join(broadcast(probesF.select(col("probe_id"),
+        col("p_emb").as("ea"), col("p_nsq").as("na"))),
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), hubSim.as("hsim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select(col("probe_id"), col("vec_id"))
+    val global = probesF.select(col("probe_id"))
+      .crossJoin(broadcast(supers.select(col("vec_id"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+    cell.unionByName(routed).unionByName(global).distinct()
+  }
+
+  /** DuckDB mirror of [[routedEntries]] as CTEs (no leading WITH):
+    * `p(probe_id, p_emb, p_nsq)` must exist; `$pmem` holds the probe
+    * rows with fcid, `$cmem` the cell-mate population, `$hub` /
+    * `$shh` the routing layers (each may be an inline
+    * `(SELECT ...)`). Emits `entry(probe_id, vec_id)`. */
+  private def routedEntrySql(pmem: String, cmem: String,
+      hub: String, shh: String): String =
+    s"""pcs AS (SELECT p.probe_id, m.vec_id,
+                  ${Num.froundSql(VectorFns.cosineSql(
+                    VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)} AS hsim
+                FROM p JOIN $pmem pm ON pm.vec_id = p.probe_id
+                  JOIN $cmem m ON m.fcid = pm.fcid
+                    AND m.vec_id <> p.probe_id),
+        pcell AS (SELECT probe_id, vec_id FROM (
+                   SELECT probe_id, vec_id,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY hsim DESC, vec_id) AS rk
+                   FROM pcs) WHERE rk <= 4),
+        prs AS (SELECT p.probe_id, h.vec_id,
+                  ${Num.froundSql(VectorFns.cosineSql(
+                    VectorFns.dotSql("p.p_emb", "h.emb"), "p.p_nsq", "h.nsq"), 4)} AS hsim
+                FROM p JOIN $hub h ON h.vec_id <> p.probe_id),
+        prt AS (SELECT probe_id, vec_id FROM (
+                  SELECT probe_id, vec_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY hsim DESC, vec_id) AS rk
+                  FROM prs) WHERE rk <= 4),
+        entry AS (SELECT DISTINCT probe_id, vec_id FROM (
+                    SELECT probe_id, vec_id FROM pcell
+                    UNION ALL SELECT probe_id, vec_id FROM prt
+                    UNION ALL SELECT p.probe_id, s.vec_id
+                    FROM p JOIN $shh s ON s.vec_id <> p.probe_id))"""
 
   /** The COMPACTED navigable graph (va, vb, kind) — q178's
     * FreshDiskANN eager-delete rewrite of the staged q174 graph,
@@ -1239,7 +1420,7 @@ object Clustering {
       "q174_ann_graph_search",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val (p, b, hops, k) = (8, 16, 5, 20)
         val nodes = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
         // NAVIGABILITY: the cluster-mate kNN edges alone are a
@@ -1255,12 +1436,13 @@ object Clustering {
         val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
           navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
         }
-        val hubs = hubTable(nodes)
         val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
-        val probes = nodesP.filter(col("vec_id") < p)
-          .select(col("vec_id").as("probe_id"),
+        val probesF = nodes.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"), col("fcid").as("p_fcid"),
             col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
-        val entries = hubs.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val probes = probesF.select(col("probe_id"), col("p_emb"), col("p_nsq"))
+        val entries = routedEntries(probesF, nodes,
+          hubTable(nodes), superHubTable(hubRankTable(nodes)))
         val sim = Num.fround(
           VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
             col("p_nsq"), col("nsq")), 4)
@@ -1270,7 +1452,7 @@ object Clustering {
         // size — broadcasting the frontier against the big node table
         // is the scale-correct serving lookup (initial-plan-asserted:
         // no SortMergeJoin anywhere in the walk); the walk itself is
-        // [[beamWalkScored]], shared with q176/q177
+        // [[beamWalkScored]], shared with q176/q177/q179/q181/q182
         val found = beamWalkScored(nodesP, g, probes, entries, b, hops)
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 8)
@@ -1288,14 +1470,14 @@ object Clustering {
           .orderBy(col("probe_id"), col("rank"))
       },
       Some {
-        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val (p, b, hops, k) = (8, 16, 5, 20)
         val simOf = Num.froundSql(
           VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
         s"""WITH $knnSqlCtes,
             ${navGraphSqlCtes("memf", "knn", "")},
             p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
                   FROM memf WHERE vec_id < $p),
-            entry AS (SELECT vec_id FROM hub ORDER BY vec_id LIMIT $e),
+            ${routedEntrySql("memf", "memf", "hub", "shh")},
             ${beamWalkSqlCtes("memf", "adj", b, hops)},
             found AS (
               SELECT probe_id, vec_id, sim, rank FROM (
@@ -1355,7 +1537,7 @@ object Clustering {
     QueryDef(
       "q175_ann_graph_delta",
       (s, dir) => {
-        val (_, _, baseG, _, attach) = maintained(s, dir)
+        val (_, _, baseG, _, _, attach) = maintained(s, dir)
         baseG.unionByName(attach)
           .withColumn("batch",
             when(col("va") % 10 === 0 || col("vb") % 10 === 0, lit("delta"))
@@ -1392,19 +1574,23 @@ object Clustering {
       "q176_ann_graph_serve_delta",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val (p, e, b, hops, k) = (80, 4, 16, 5, 20)
+        val (p, b, hops, k) = (80, 16, 5, 20)
         val nodes = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
-        val (_, _, baseG, bHub, attach) = maintained(s, dir)
+        val (baseM, delta, baseG, bHub, bSH, attach) = maintained(s, dir)
         val g = graft.operators.Staged.parquet(s, s"q176m|$dir") {
           baseG.unionByName(attach)
         }
         val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
-        val probes = nodesP
-          .filter(col("vec_id") % 10 === 0 && col("vec_id") < p)
-          .select(col("vec_id").as("probe_id"),
+        // entries route over the FROZEN base layers only (cell entry
+        // = the probe's lowest-id BASE cluster-mate, the frozen-
+        // quantizer cell; routing hubs/supers = base) — a maintenance
+        // cycle never re-derives routing from the delta
+        val probesF = delta.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"), col("fcid").as("p_fcid"),
             col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
-        val entries = bHub.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val probes = probesF.select(col("probe_id"), col("p_emb"), col("p_nsq"))
+        val entries = routedEntries(probesF, baseM, bHub, bSH)
         val sim = Num.fround(
           VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
             col("p_nsq"), col("nsq")), 4)
@@ -1425,7 +1611,7 @@ object Clustering {
           .orderBy(col("probe_id"), col("rank"))
       },
       Some {
-        val (p, e, b, hops, k) = (80, 4, 16, 5, 20)
+        val (p, b, hops, k) = (80, 16, 5, 20)
         val simOf = Num.froundSql(
           VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
         s"""WITH $knnSqlCtes,
@@ -1434,7 +1620,7 @@ object Clustering {
                                   UNION ALL SELECT va, vb FROM attach),
             p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
                   FROM memf WHERE vec_id % 10 = 0 AND vec_id < $p),
-            entry AS (SELECT vec_id FROM bhub ORDER BY vec_id LIMIT $e),
+            ${routedEntrySql("memf", "memb", "bhub", "bshh")},
             ${beamWalkSqlCtes("memf", "madj", b, hops)},
             found AS (
               SELECT probe_id, vec_id, sim, rank FROM (
@@ -1476,22 +1662,24 @@ object Clustering {
       "q177_ann_graph_tombstone_serve",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val (p, b, hops, k) = (8, 16, 5, 20)
         val nodes = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
         val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
           navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
         }
-        val hubs = hubTable(nodes)
         val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
         // probes are LIVE ids only (r12 advice): a deleted vector
         // stops issuing queries the moment it is tombstoned, so
         // post-delete serving quality is measured from the population
-        // that still searches
-        val probes = nodesP.filter(col("vec_id") < p && col("vec_id") % 7 =!= 3)
-          .select(col("vec_id").as("probe_id"),
+        // that still searches. Entries route over the FULL layers —
+        // tombstoned hubs stay routable waypoints, q177's whole point.
+        val probesF = nodes.filter(col("vec_id") < p && col("vec_id") % 7 =!= 3)
+          .select(col("vec_id").as("probe_id"), col("fcid").as("p_fcid"),
             col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
-        val entries = hubs.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val probes = probesF.select(col("probe_id"), col("p_emb"), col("p_nsq"))
+        val entries = routedEntries(probesF, nodes,
+          hubTable(nodes), superHubTable(hubRankTable(nodes)))
         val sim = Num.fround(
           VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
             col("p_nsq"), col("nsq")), 4)
@@ -1517,14 +1705,14 @@ object Clustering {
           .orderBy(col("probe_id"), col("rank"))
       },
       Some {
-        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val (p, b, hops, k) = (8, 16, 5, 20)
         val simOf = Num.froundSql(
           VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
         s"""WITH $knnSqlCtes,
             ${navGraphSqlCtes("memf", "knn", "")},
             p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
                   FROM memf WHERE vec_id < $p AND vec_id % 7 <> 3),
-            entry AS (SELECT vec_id FROM hub ORDER BY vec_id LIMIT $e),
+            ${routedEntrySql("memf", "memf", "hub", "shh")},
             ${beamWalkSqlCtes("memf", "adj", b, hops)},
             found AS (
               SELECT probe_id, vec_id, sim, rank FROM (
@@ -1606,23 +1794,26 @@ object Clustering {
       "q179_ann_graph_compacted_serve",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val (p, b, hops, k) = (8, 16, 5, 20)
         val nodes = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
         val g0 = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
           navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
         }
         val g = compactedGraph(s, dir, nodes, g0).select(col("va"), col("vb"))
-        val hubs = hubTable(nodes)
         // the scoring corpus is the LIVE population — every compacted
         // edge endpoint is live, so nothing narrower can be reached
-        val live = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
-          .filter(col("vec_id") % 7 =!= 3)
-        val probes = live.filter(col("vec_id") < p)
-          .select(col("vec_id").as("probe_id"),
+        val liveM = nodes.filter(col("vec_id") % 7 =!= 3)
+        val live = liveM.select(col("vec_id"), col("embedding"), col("nsq"))
+        val probesF = liveM.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"), col("fcid").as("p_fcid"),
             col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
-        val entries = hubs.filter(col("vec_id") % 7 =!= 3)
-          .select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val probes = probesF.select(col("probe_id"), col("p_emb"), col("p_nsq"))
+        // entries route over the SURVIVING layers only — a deleted
+        // hub/super-hub is physically gone from the compacted graph
+        val entries = routedEntries(probesF, liveM,
+          hubTable(nodes).filter(col("vec_id") % 7 =!= 3),
+          superHubTable(hubRankTable(nodes)).filter(col("vec_id") % 7 =!= 3))
         val sim = Num.fround(
           VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
             col("p_nsq"), col("nsq")), 4)
@@ -1643,19 +1834,20 @@ object Clustering {
           .orderBy(col("probe_id"), col("rank"))
       },
       Some {
-        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val (p, b, hops, k) = (8, 16, 5, 20)
         val simOf = Num.froundSql(
           VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
         s"""WITH $knnSqlCtes,
             ${navGraphSqlCtes("memf", "knn", "")},
             $compactSqlCtes,
-            meml AS MATERIALIZED (SELECT vec_id, emb, nsq FROM memf
+            meml AS MATERIALIZED (SELECT vec_id, fcid, emb, nsq FROM memf
                                   WHERE vec_id % 7 <> 3),
             cadjp AS (SELECT va, vb FROM cadj),
             p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
                   FROM meml WHERE vec_id < $p),
-            entry AS (SELECT vec_id FROM hub WHERE vec_id % 7 <> 3
-                      ORDER BY vec_id LIMIT $e),
+            ${routedEntrySql("meml", "meml",
+              "(SELECT * FROM hub WHERE vec_id % 7 <> 3)",
+              "(SELECT * FROM shh WHERE vec_id % 7 <> 3)")},
             ${beamWalkSqlCtes("meml", "cadjp", b, hops)},
             found AS (
               SELECT probe_id, vec_id, sim, rank FROM (
@@ -1731,7 +1923,7 @@ object Clustering {
       "q181_ann_graph_reinserted_serve",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val (p, b, hops, k) = (8, 16, 5, 20)
         val nodes = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
         val g0 = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
@@ -1740,11 +1932,15 @@ object Clustering {
         val g = recompletedGraph(s, dir, nodes, g0)
           .select(col("va"), col("vb"))
         val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
-        val probes = nodesP.filter(col("vec_id") < p)
-          .select(col("vec_id").as("probe_id"),
+        // the whole corpus is live again after re-insertion, so
+        // entries route over the FULL layers (re-inserted hubs are
+        // reachable nodes once more)
+        val probesF = nodes.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"), col("fcid").as("p_fcid"),
             col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
-        val entries = hubTable(nodes).filter(col("vec_id") % 7 =!= 3)
-          .select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val probes = probesF.select(col("probe_id"), col("p_emb"), col("p_nsq"))
+        val entries = routedEntries(probesF, nodes,
+          hubTable(nodes), superHubTable(hubRankTable(nodes)))
         val sim = Num.fround(
           VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
             col("p_nsq"), col("nsq")), 4)
@@ -1765,7 +1961,7 @@ object Clustering {
           .orderBy(col("probe_id"), col("rank"))
       },
       Some {
-        val (p, e, b, hops, k) = (8, 4, 16, 5, 20)
+        val (p, b, hops, k) = (8, 16, 5, 20)
         val simOf = Num.froundSql(
           VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
         s"""WITH $knnSqlCtes,
@@ -1775,8 +1971,7 @@ object Clustering {
             radjp AS (SELECT va, vb FROM radj),
             p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
                   FROM memf WHERE vec_id < $p),
-            entry AS (SELECT vec_id FROM hub WHERE vec_id % 7 <> 3
-                      ORDER BY vec_id LIMIT $e),
+            ${routedEntrySql("memf", "memf", "hub", "shh")},
             ${beamWalkSqlCtes("memf", "radjp", b, hops)},
             found AS (
               SELECT probe_id, vec_id, sim, rank FROM (
@@ -1820,18 +2015,19 @@ object Clustering {
       "q182_ann_graph_beam_sweep",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val (p, e, hops, k) = (8, 4, 5, 20)
+        val (p, hops, k) = (8, 5, 20)
         val nodes = hierMembers(s, dir)
           .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
         val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
           navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
         }
-        val hubs = hubTable(nodes)
         val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
-        val probes = nodesP.filter(col("vec_id") < p)
-          .select(col("vec_id").as("probe_id"),
+        val probesF = nodes.filter(col("vec_id") < p)
+          .select(col("vec_id").as("probe_id"), col("fcid").as("p_fcid"),
             col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
-        val entries = hubs.select(col("vec_id")).orderBy(col("vec_id")).limit(e)
+        val probes = probesF.select(col("probe_id"), col("p_emb"), col("p_nsq"))
+        val entries = routedEntries(probesF, nodes,
+          hubTable(nodes), superHubTable(hubRankTable(nodes)))
         val sim = Num.fround(
           VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
             col("p_nsq"), col("nsq")), 4)
@@ -1859,7 +2055,7 @@ object Clustering {
           .orderBy(col("beam"))
       },
       Some {
-        val (p, e, hops, k) = (8, 4, 5, 20)
+        val (p, hops, k) = (8, 5, 20)
         val simOf = Num.froundSql(
           VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "m.emb"), "p.p_nsq", "m.nsq"), 4)
         val beams = Seq(4, 8, 16)
@@ -1881,7 +2077,7 @@ object Clustering {
             ${navGraphSqlCtes("memf", "knn", "")},
             p AS MATERIALIZED (SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
                   FROM memf WHERE vec_id < $p),
-            entry AS (SELECT vec_id FROM hub ORDER BY vec_id LIMIT $e),
+            ${routedEntrySql("memf", "memf", "hub", "shh")},
             $walks,
             exs AS (SELECT p.probe_id, m.vec_id, $simOf AS sim
                     FROM memf m CROSS JOIN p WHERE m.vec_id <> p.probe_id),
