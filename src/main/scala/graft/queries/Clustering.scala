@@ -1560,8 +1560,10 @@ object Clustering {
     // attached batch: vec_id % 10 = 0, first 8), the walk is the SAME
     // [[beamWalkScored]] as q174, the graph is q175's base ∪ attach
     // (staged once — the maintained artifact a deployment persists),
-    // and entries are the FROZEN base hubs (a maintenance cycle never
-    // moves the entry points — the HNSW entry-point stability rule).
+    // and entries are ROUTED over the FROZEN base layers only (cell
+    // scan of the frozen-quantizer cell's base posting + base
+    // hub/super-hub routing, [[routedEntries]]) — a maintenance cycle
+    // never re-derives routing from the delta.
     // The exact harness ranks against the FULL corpus (base + delta),
     // so the hit flags measure whether attach edges actually made the
     // new batch's neighborhoods reachable — search-after-maintenance
@@ -1776,9 +1778,9 @@ object Clustering {
     // same [[beamWalkScored]] walk as q174/q176/q177, run over the
     // staged compacted edge set (kept ∪ repair, kind dropped), with
     // LIVE probes (the q177 rule — deleted vectors stop issuing
-    // queries) and LIVE entry hubs (a deleted hub is physically gone
-    // from the compacted graph, so entries come from the surviving
-    // hub layer). No serve-time mask anywhere: the compacted graph
+    // queries) and entries ROUTED over the SURVIVING layers only
+    // ([[routedEntries]] — a deleted hub/super-hub is physically gone
+    // from the compacted graph). No serve-time mask anywhere: the compacted graph
     // contains no deleted endpoint, so the walk CANNOT surface one —
     // that is the whole point of eager compaction vs q177's lazy
     // masking. The exact harness ranks over the LIVE corpus only, so
@@ -1909,9 +1911,9 @@ object Clustering {
     // vectors, at quality. The same [[beamWalkScored]] walk over the
     // staged re-completed graph (kept ∪ repair ∪ reinsert); probes
     // are ALL ids < 8 — vec_id 3, deleted in q177 and physically
-    // dropped in q178, is BACK and issuing queries; entries stay the
-    // surviving live hubs (re-insertion never re-elects entry points,
-    // the HNSW entry-point stability rule). The exact harness ranks
+    // dropped in q178, is BACK and issuing queries; entries route
+    // over the FULL layers ([[routedEntries]] — every node, including
+    // re-inserted hubs, is reachable again). The exact harness ranks
     // the FULL corpus — re-inserted vectors compete as results again,
     // so hit flags measure whether the update cycle restored both
     // directions: searching FROM a re-inserted vector and FINDING
