@@ -2436,5 +2436,75 @@ object Clustering {
                FROM pn JOIN deg ON deg.v = pn.v, sm
                ORDER BY pn.n_tri DESC, vec_id LIMIT 20"""),
     ),
+
+    // Embedding-level benchmark decontamination — the SEMANTIC
+    // complement of the n-gram/Bloom passes (q64/q79/q92): a train
+    // document that paraphrases a benchmark item shares no 13-gram
+    // with it but sits next to it in embedding space, which is why
+    // production decontamination runs both passes. Held-out set =
+    // the deterministic vec_id % 17 = 5 cohort (~6%, the "benchmark
+    // embeddings"); every OTHER vector is scored by its maximum
+    // cosine to any held-out vector in its fine cluster and flagged
+    // at the corpus similarity threshold (TAU, the q86 operating
+    // point). Emits every train vector with candidate count, max
+    // eval similarity (NULL when its cluster holds no benchmark
+    // member), and the verdict — auditable like q80/q86.
+    //
+    // Scale: candidates are cluster-blocked (the q86/q183 device) —
+    // the train ⋈ eval join keys on fcid, per-cluster membership
+    // bounded by hierBuild's derived-k contract, so pair volume is
+    // corpus-linear, never all-pairs. Both join sides scale with the
+    // corpus (eval is a fixed fraction): the fcid join and the
+    // verdict join back onto train are the legitimately-shuffled
+    // corpus ⋈ corpus exchanges (PlanHygieneSpec allowlist, the q86
+    // rationale). max() of per-pair ROUNDED sims is order-free — no
+    // fp-accumulation trap; NaN-coordinate rows order identically in
+    // both engines (NaN-greatest), zero-norm shorts to the guarded 0.
+    QueryDef(
+      "q186_embedding_decontamination",
+      (s, dir) => {
+        val m = hierMembers(s, dir)
+          .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+        val evals = m.filter(col("vec_id") % 17 === 5)
+          .select(col("fcid"), col("vec_id").as("evid"),
+            col("embedding").as("ee"), col("nsq").as("ne"))
+        val train = m.filter(col("vec_id") % 17 =!= 5)
+        val simc = Num.fround(
+          VectorFns.cosine(VectorFns.dotF("embedding", "ee"),
+            col("nsq"), col("ne")), 4)
+        val hits = train.join(evals, Seq("fcid"))
+          .select(col("vec_id"), simc.as("sim"))
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_eval_cands"),
+            max(col("sim")).as("max_eval_sim"))
+        train.select(col("vec_id"), col("fcid").as("cluster_id"))
+          .join(hits, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster_id"),
+            coalesce(col("n_eval_cands"), lit(0L)).as("n_eval_cands"),
+            col("max_eval_sim"),
+            coalesce(col("max_eval_sim") >= TAU, lit(false)).as("contaminated"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $hierSqlCtes,
+               memf AS MATERIALIZED (SELECT fa2.vec_id, fa2.fcid, e.emb,
+                          ${VectorFns.normSqSql("e.emb")} AS nsq
+                        FROM fa2 JOIN e USING (vec_id)),
+               ev AS (SELECT fcid, vec_id AS evid, emb AS ee, nsq AS ne
+                      FROM memf WHERE vec_id % 17 = 5),
+               tr AS (SELECT vec_id, fcid, emb, nsq
+                      FROM memf WHERE vec_id % 17 <> 5),
+               hits AS (
+                 SELECT tr.vec_id, count(*) AS n_eval_cands,
+                   max(${Num.froundSql(VectorFns.cosineSql(
+                     VectorFns.dotSql("tr.emb", "ev.ee"), "tr.nsq", "ev.ne"), 4)}) AS max_eval_sim
+                 FROM tr JOIN ev ON tr.fcid = ev.fcid
+                 GROUP BY tr.vec_id)
+               SELECT t.vec_id, t.fcid AS cluster_id,
+                 coalesce(h.n_eval_cands, 0)::BIGINT AS n_eval_cands,
+                 h.max_eval_sim,
+                 coalesce(h.max_eval_sim >= $TAU, FALSE) AS contaminated
+               FROM tr t LEFT JOIN hits h ON t.vec_id = h.vec_id
+               ORDER BY t.vec_id"""),
+    ),
   )
 }

@@ -892,6 +892,84 @@ object Curation {
                GROUP BY doc_id ORDER BY doc_id"""),
     ),
 
+    // Min-K% Prob membership audit (Shi et al. 2023, "Detecting
+    // Pretraining Data from Large Language Models"): per document,
+    // the mean NLL of its k%=20 LEAST-LIKELY tokens under the corpus
+    // LM — the published membership-inference statistic. A document
+    // the model has memorized scores low even on its rarest tokens;
+    // the full-doc mean (q87) washes that signal out with the easy
+    // tokens, which is exactly why the paper truncates to the min-k
+    // tail. Here the LM is the same corpus-unigram MLE q87 scores
+    // with (shared staged vocab artifact); in production the vocab
+    // table comes from the audited model's training corpus.
+    //
+    // Determinism (the q183 lesson applied): per-token NLL is
+    // e4-quantized to a BIGINT the moment it exists (floor(x·10⁴+0.5)
+    // — pure IEEE, identical cross-engine; -ln(c/N) ≥ 0 so no NaN/sign
+    // traps), the min-k selection ranks by the QUANTIZED value (w
+    // tiebreak — a 1-ulp ln flip can't reorder the boundary), the
+    // selected multiset sums EXACTLY as integers (order-free), and
+    // one division at the end produces the score. k-of-n is integer
+    // arithmetic: m = ceil(n/5) = (n+4) div 5 — no 0.2 double.
+    //
+    // Scale: the vocab join reuses q87's head/tail discipline (hot
+    // Zipf keys never enter an exchange); the per-doc rank window
+    // partitions by doc_id — per-partition rows bounded by document
+    // length, key space grows with the corpus. One token-granular
+    // exchange, the honest cost of a per-token statistic.
+    QueryDef(
+      "q185_minkprob_membership",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val HeadK = 16
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val vocab = graft.operators.Staged.parquet(s, s"q87vocab|$dir")(
+          toks.groupBy(col("w")).agg(count(lit(1)).as("c")))
+        val head = vocab.orderBy(col("c").desc, col("w")).limit(HeadK)
+        val tail = vocab.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+        val total = vocab.agg(sum(col("c")).cast("double").as("n"))
+        val scoredHead = toks.join(broadcast(head), Seq("w"))
+        val scoredTail = toks
+          .join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+          .join(tail, Seq("w"))
+        val nll4 = expr(
+          "cast(floor(-ln(cast(c as double) / n) * 10000D + 0.5D) as bigint)")
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val wRank = wDoc.orderBy(col("nll4").desc, col("w"))
+        scoredHead.unionByName(scoredTail)
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("w"), nll4.as("nll4"))
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wDoc))
+          .filter(col("rn") <= expr("(n + 4) div 5"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_tokens"),
+            count(lit(1)).as("m"),
+            Num.fround(
+              sum(col("nll4")).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
+              .as("mink20_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+               vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+               tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
+               scored AS (
+                 SELECT doc_id, w,
+                   floor(-ln(c::DOUBLE / n) * 10000 + 0.5)::BIGINT AS nll4
+                 FROM tok JOIN vocab USING (w), tot),
+               sel AS (
+                 SELECT doc_id, nll4,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY nll4 DESC, w) AS rn,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+                 FROM scored)
+               SELECT doc_id, max(n)::BIGINT AS n_tokens, count(*)::BIGINT AS m,
+                 ${Num.froundSql("sum(nll4)::DOUBLE / (count(*) * 10000.0)", 4)} AS mink20_nll
+               FROM sel WHERE rn <= (n + 4) // 5
+               GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
     // Deterministic training shuffle + sharding — the last step a
     // curation pipeline runs before writing training shards: a global
     // RNG-free permutation (md5 order key, the q65 house pattern) cut

@@ -530,4 +530,47 @@ class ClusteringSpec extends SparkSuite {
     val lost = liveWithOut -- postOut
     assert(lost.isEmpty, s"live nodes lost all out-edges after compaction: $lost")
   }
+
+  test("q186 decontamination matches an independent driver-side reimplementation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q186_embedding_decontamination")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    // eval cohort never appears as a scored row
+    out.foreach { case (id, _, _, _, _) => assert(id % 17 != 5, s"eval $id scored") }
+
+    // independent path: clusters from q85, vectors from
+    // Tables.embeddings, the same left-to-right accumulation
+    import org.apache.spark.sql.functions.col
+    val fcid = SparkEntry.queries("q85_kmeans_assign")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (na, nb) = (dot(a, a), dot(b, b))
+      if (na == 0d || nb == 0d) 0d else dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def fr4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val byCluster = fcid.keys.filter(vecs.contains).groupBy(fcid)
+    val expected = byCluster.flatMap { case (c, ids) =>
+      val evals = ids.filter(_ % 17 == 5).toSeq
+      ids.filterNot(_ % 17 == 5).map { id =>
+        val sims = evals.map(e => fr4(cos(vecs(id), vecs(e))))
+        (id, c, evals.length.toLong,
+          if (sims.isEmpty) None else Some(sims.max),
+          sims.nonEmpty && sims.max >= 0.35)
+      }
+    }.toSet
+    assert(out.toSet == expected,
+      s"diverges: extra=${out.toSet -- expected} missing=${expected -- out.toSet}")
+    // the held-out cohort is present at this SF and at least one
+    // cluster co-locates train and eval (the op is non-vacuous)
+    assert(out.exists(_._3 > 0), "no train vector ever met an eval candidate")
+  }
 }

