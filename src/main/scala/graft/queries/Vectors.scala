@@ -1524,6 +1524,7 @@ object Vectors {
     TombstoneServeDef,
     CompactionDef,
     BinaryQuantDef,
+    IvfBqDef,
   )
 
   // Tombstoned ANN serving — DELETIONS under the merge-on-read
@@ -2814,5 +2815,109 @@ object Vectors {
              FROM served s LEFT JOIN exact e
                ON s.probe_id = e.probe_id AND s.vec_id = e.vec_id
              ORDER BY s.probe_id, s.rank"""),
+  )
+
+  // q187: IVF × BQ — the composition q184's scaladoc promises. q184
+  // proves the code path against a FULL-corpus Hamming scan; a real
+  // 100 TB deployment never scans the full code table — it prunes to
+  // the probe's nprobe Voronoi cells first (the q53/q103 coarse
+  // quantizer) and runs the 16-byte Hamming kernel only inside them.
+  // Same composition as q103 (IVF×SQ) and q154 (IVF+PQ) with the
+  // third quantizer tier: the serving index is STAGED
+  // STORAGE-PARTITIONED BY CELL (probe cells become a partition-pruned
+  // directory read), candidates Hamming-rank inside the probed cells,
+  // and only the bounded re-rank set touches the float payload.
+  private lazy val IvfBqDef: QueryDef = QueryDef(
+    "q187_ann_ivf_bq",
+    (s, dir) => {
+      graft.functions.DotProductF.register(s)
+      val NPROBE = 2
+      val bq = graft.operators.Staged.parquet(s, s"bq64|$dir")(bqBuild(s, dir))
+        .select(col("vec_id"), col("embedding"), col("nsq"), col("lo"), col("hi"))
+      // Centroids from the SAME well-formed corpus as the codes (the
+      // oracle's cents CTE reads the same hygienic relation).
+      val cents = ivfCentsOf(bq)
+      val index = graft.operators.Staged.partitionedParquet(
+        s, s"ivfbq_idx|$dir", "cell") {
+        ivfAssign(bq, cents, Seq("lo", "hi", "embedding", "nsq"))
+      }
+      val probeCells = bq.filter(col("vec_id") < N_PROBES)
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_sim", ivfCentSim)
+        .groupBy(col("vec_id"))
+        .agg(
+          expr(s"slice(array_sort(collect_list(struct(-cent_sim AS negsim, cid))), 1, $NPROBE)")
+            .as("cells"),
+          first(col("lo")).as("p_lo"),
+          first(col("hi")).as("p_hi"),
+          first(col("embedding")).as("p_emb"),
+          first(col("nsq")).as("p_nsq"))
+        .select(col("vec_id").as("probe_id"), col("p_lo"), col("p_hi"),
+          col("p_emb"), col("p_nsq"),
+          explode(expr("transform(cells, x -> x.cid)")).as("cell"))
+      // bounded probe→cell set collected and pushed as a LITERAL
+      // partition filter (the q103 serving-read contract)
+      val probeCellIds = probeCells.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val cellIndex = index.filter(col("cell").isInCollection(probeCellIds))
+      val cands = cellIndex.select(col("vec_id"), col("cell"), col("lo"), col("hi"))
+        .join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("ham", expr(
+          "cast(bit_count(lo ^ p_lo) + bit_count(hi ^ p_hi) as int)"))
+      val wc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ham"), col("vec_id"))
+      val w3 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      broadcast(cands
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= BqC))
+        .join(cellIndex.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+        .withColumn("sim", Num.fround(
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+            col("p_nsq"), col("nsq")), 4))
+        .withColumn("rank", row_number().over(w3).cast("long"))
+        .filter(col("rank") <= 8)
+        .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
+          col("ham"), col("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some(s"""WITH c AS (
+               SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
+                 ${bqHalfSql("embedding", 0)} AS lo,
+                 ${bqHalfSql("embedding", 32)} AS hi
+               FROM ${VectorFns.embeddingsSql}),
+             cents AS (SELECT vec_id AS cid, emb AS c_emb, nsq AS c_nsq FROM c
+                       WHERE vec_id % greatest(97, (SELECT count(*) FROM c) // $IVF_K) = 0),
+             assigned AS (
+               SELECT vec_id, emb, nsq, lo, hi, cid AS cell FROM (
+                 SELECT c.vec_id, c.emb, c.nsq, c.lo, c.hi, cents.cid,
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
+                 FROM c CROSS JOIN cents)
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) = 1),
+             pc AS (
+               SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq,
+                      lo AS p_lo, hi AS p_hi, cid AS cell FROM (
+                 SELECT c.vec_id, c.emb, c.nsq, c.lo, c.hi, cents.cid,
+                   ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("c_emb", "emb"), "c_nsq", "nsq")}", 6)} AS cent_sim
+                 FROM c CROSS JOIN cents
+                 WHERE c.vec_id < $N_PROBES)
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cid) <= 2),
+             cand AS (
+               SELECT pc.probe_id, a.vec_id, a.cell, a.emb, a.nsq, pc.p_emb, pc.p_nsq,
+                 (bit_count(xor(a.lo, pc.p_lo)) + bit_count(xor(a.hi, pc.p_hi)))::INT AS ham
+               FROM assigned a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+               QUALIFY row_number() OVER (PARTITION BY pc.probe_id ORDER BY ham, a.vec_id) <= $BqC),
+             rr AS (
+               SELECT probe_id, vec_id, cell, ham,
+                 ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
+               FROM cand)
+             SELECT probe_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+               vec_id, cell, ham, sim
+             FROM rr
+             QUALIFY rank <= 8
+             ORDER BY probe_id, rank"""),
   )
 }

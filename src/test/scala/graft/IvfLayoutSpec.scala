@@ -41,6 +41,10 @@ class IvfLayoutSpec extends SparkSuite {
     assertLiteralCellPruning("q154_ann_ivfpq")
   }
 
+  test("q187 serving scan partition-prunes on cell with a literal IN-list") {
+    assertLiteralCellPruning("q187_ann_ivf_bq")
+  }
+
   test("partitionedParquet round-trips schema types and column order") {
     import spark.implicits._
     val df = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 10L, "c"))
