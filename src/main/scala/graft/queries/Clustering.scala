@@ -2506,5 +2506,88 @@ object Clustering {
                FROM tr t LEFT JOIN hits h ON t.vec_id = h.vec_id
                ORDER BY t.vec_id"""),
     ),
+
+    // In-context (semantic) packing — the ICLM recipe (Shi et al.
+    // 2024, "In-Context Pretraining"): long-context models train
+    // better when each context window holds RELATED documents, so the
+    // packer orders the corpus semantically before cutting windows,
+    // instead of the random order q117 shuffles into. The distributed
+    // approximation of ICLM's greedy nearest-neighbor traversal:
+    // documents group by fine cluster (the q85 artifact) and order
+    // within the cluster by centroid distance (the q89 rank — nearby
+    // ranks = nearby vectors), then cut into 4-doc windows that NEVER
+    // span clusters (a window crossing a cluster boundary would glue
+    // unrelated docs — the thing the op exists to avoid). Emits one
+    // row per window with its adjacent-pair coherence: the measurable
+    // claim is windows of related docs, and the spec pins it against
+    // the corpus' random-adjacency baseline.
+    //
+    // Determinism: adjacent-pair cosine is e4-quantized to BIGINT at
+    // the pair (finite-filtered staged input — the fixed-point-kernel
+    // stance; floor on a NaN would silently 0 in Spark and abort in
+    // DuckDB), the window mean divides the EXACT integer sum once.
+    // Scale: the per-cluster window is bounded by hierBuild's
+    // derived-k contract; lead() rides the same window; the only
+    // exchange is the fcid hash — no join anywhere in the serve.
+    QueryDef(
+      "q188_incontext_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = graft.operators.Staged.parquet(s, s"icp_members|$dir") {
+          hierFinal(s, dir).select(col("vec_id"), col("fcid"), col("dist"))
+            .join(emb(s, dir).select(col("vec_id"), col("embedding"), col("nsq")),
+              Seq("vec_id"))
+            .filter(VectorFns.finiteVec("embedding"))
+        }
+        val wOrd = Window.partitionBy(col("fcid")).orderBy(col("dist"), col("vec_id"))
+        val cosAdj = VectorFns.cosine(
+          graft.functions.DotProductF.dotCol(col("embedding"), col("nemb")),
+          col("nsq"), col("nnsq"))
+        val adj = m
+          .withColumn("rk", row_number().over(wOrd).cast("long"))
+          .withColumn("win", expr("(rk - 1) div 4"))
+          .withColumn("nemb", lead(col("embedding"), 1).over(wOrd))
+          .withColumn("nnsq", lead(col("nsq"), 1).over(wOrd))
+          .withColumn("adj4",
+            when(col("rk") % 4 =!= 0 && col("nemb").isNotNull,
+              floor(cosAdj * 10000 + lit(0.5)).cast("long")))
+        adj.groupBy(col("fcid").as("cluster_id"), col("win"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("adj4")).as("n_adj"),
+            when(count(col("adj4")) === 0, lit(null).cast("double"))
+              .otherwise(Num.fround(
+                sum(col("adj4")).cast("double") / (count(col("adj4")) * lit(10000.0)), 4))
+              .as("mean_adj_sim"))
+          .orderBy(col("cluster_id"), col("win"))
+      },
+      Some {
+        val cosN = VectorFns.cosineSql(
+          s"list_sum([emb[i] * nemb[i] for i in generate_series(1, $DIM)])",
+          "nsq", "nnsq")
+        s"""WITH $hierSqlCtes,
+            icp AS MATERIALIZED (
+              SELECT fa2.vec_id, fa2.fcid, fa2.dist, e.emb,
+                ${VectorFns.normSqSql("e.emb")} AS nsq
+              FROM fa2 JOIN e USING (vec_id)
+              WHERE ${VectorFns.finiteVecSql("e.emb")}),
+            ordd AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY fcid ORDER BY dist, vec_id) AS rk,
+                lead(emb) OVER (PARTITION BY fcid ORDER BY dist, vec_id) AS nemb,
+                lead(nsq) OVER (PARTITION BY fcid ORDER BY dist, vec_id) AS nnsq
+              FROM icp),
+            adj AS (
+              SELECT fcid, (rk - 1) // 4 AS win,
+                CASE WHEN rk % 4 <> 0 AND nemb IS NOT NULL
+                  THEN floor(($cosN) * 10000 + 0.5)::BIGINT END AS adj4
+              FROM ordd)
+            SELECT fcid AS cluster_id, win, count(*)::BIGINT AS n_docs,
+              count(adj4)::BIGINT AS n_adj,
+              CASE WHEN count(adj4) = 0 THEN NULL
+                ELSE ${Num.froundSql("sum(adj4)::DOUBLE / (count(adj4) * 10000.0)", 4)} END
+              AS mean_adj_sim
+            FROM adj GROUP BY fcid, win ORDER BY cluster_id, win"""
+      },
+    ),
   )
 }

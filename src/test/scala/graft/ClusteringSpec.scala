@@ -573,4 +573,50 @@ class ClusteringSpec extends SparkSuite {
     // cluster co-locates train and eval (the op is non-vacuous)
     assert(out.exists(_._3 > 0), "no train vector ever met an eval candidate")
   }
+
+  test("q188 packing: window laws hold and semantic order beats the random-adjacency baseline") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q188_incontext_packing")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.nonEmpty)
+    out.foreach { case (c, w, nDocs, nAdj, sim) =>
+      assert(nDocs >= 1 && nDocs <= 4, s"window ($c,$w) holds $nDocs docs")
+      assert(nAdj == nDocs - 1, s"window ($c,$w): $nAdj adjacent pairs for $nDocs docs")
+      assert(sim.isDefined == (nAdj > 0), s"window ($c,$w) sim presence law")
+    }
+    // windows are dense per cluster: 0..max, and only the LAST may be
+    // partial (every earlier window holds exactly 4)
+    out.groupBy(_._1).foreach { case (c, ws) =>
+      val sorted = ws.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until ws.length).toSeq, s"cluster $c windows not dense")
+      sorted.init.foreach { case (_, w, n, _, _) =>
+        assert(n == 4, s"cluster $c window $w partial before the tail")
+      }
+    }
+    // the op's reason to exist: adjacent docs in the semantic order
+    // are more similar than adjacent docs in an arbitrary (vec_id)
+    // order. Measured at sf0.001: 0.048 vs -0.001.
+    val valid = out.filter(_._4 > 0)
+    val semantic = valid.map { case (_, _, _, nAdj, sim) => sim.get * nAdj }.sum /
+      valid.map(_._4).sum
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter(_._2.forall(x => !x.isNaN && !x.isInfinite))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble; na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      if (na == 0d || nb == 0d) 0d else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val baseline = e.zip(e.tail).map { case ((_, a), (_, b)) => cos(a, b) }.sum / (e.length - 1)
+    assert(semantic > baseline + 0.02 && semantic >= 0.02,
+      s"semantic packing lost its coherence edge: $semantic vs baseline $baseline")
+  }
 }
