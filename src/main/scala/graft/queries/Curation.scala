@@ -22,6 +22,58 @@ import graft.functions.{Num, TextFns}
   */
 object Curation {
 
+  /** The q87 unigram-LM document scorer (doc_id, n_tokens, avg_nll) —
+    * factored out because q190's excess-loss selection needs the
+    * weak-model score next to the bigram model's. The LM is corpus
+    * unigram MLE over the staged q87vocab artifact; the score re-join
+    * splits the vocabulary into a broadcast HEAD (exact top-HeadK by
+    * count — precisely the hot Zipf keys) and a shuffled TAIL whose
+    * per-key cardinality is bounded by the head threshold — no heavy
+    * key ever enters an exchange (the q87 scaladoc's structural skew
+    * fix). ln may differ 1 ulp across libms; the 4dp fround absorbs
+    * it (error 1e-16 vs boundary width 5e-5). */
+  private[queries] def unigramScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // HeadK: sized so head ∪ tail both carry real traffic at the
+    // 31-word test vocab while the production contract (head = every
+    // token whose frequency could overload one reducer) holds — at
+    // 100 TB this is ~10⁴ entries, trivially broadcast.
+    val HeadK = 16
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // staged vocab table — head cut, tail anti-join, and the total
+    // all read the stored vocab-bounded rows
+    val vocab = graft.operators.Staged.parquet(s, s"q87vocab|$dir")(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val head = vocab.orderBy(col("c").desc, col("w")).limit(HeadK)
+    val tail = vocab.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+    val total = vocab.agg(sum(col("c")).cast("double").as("n"))
+    val scoredHead = toks.join(broadcast(head), Seq("w"))
+    val scoredTail = toks
+      .join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+      .join(tail, Seq("w"))
+    scoredHead.unionByName(scoredTail)
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.fround(avg(-log(col("c").cast("double") / col("n"))), 4)
+          .as("avg_nll"))
+  }
+
+  /** DuckDB CTE list mirroring [[unigramScored]] (no leading WITH):
+    * defines `uniscored(doc_id, n_tokens, avg_nll)`. The head/tail
+    * split is output-invariant, so the mirror needs no analog. */
+  private[queries] def uniScoreSqlCtes: String =
+    s"""unitok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        univocab AS (SELECT w, count(*) AS c FROM unitok GROUP BY w),
+        unitot AS (SELECT sum(c)::DOUBLE AS n FROM univocab),
+        uniscored AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+            ${Num.froundSql("avg(-ln(c::DOUBLE / n))", 4)} AS avg_nll
+          FROM unitok JOIN univocab USING (w), unitot
+          GROUP BY doc_id)"""
+
   private val STOPWORDS = TextFns.STOPWORDS
   private def stopList = TextFns.stopListSql
 
@@ -855,33 +907,7 @@ object Curation {
     // (c, N)), so the oracle needs no mirror of the split.
     QueryDef(
       "q87_unigram_lm_score",
-      (s, dir) => {
-        // HeadK: sized so head ∪ tail both carry real traffic at the
-        // 31-word test vocab while the production contract (head =
-        // every token whose frequency could overload one reducer)
-        // holds — at 100 TB this is ~10⁴ entries, trivially broadcast.
-        val HeadK = 16
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        // staged vocab table — head cut, tail anti-join, and the total
-        // all read the stored vocab-bounded rows
-        val vocab = graft.operators.Staged.parquet(s, s"q87vocab|$dir")(
-          toks.groupBy(col("w")).agg(count(lit(1)).as("c")))
-        val head = vocab.orderBy(col("c").desc, col("w")).limit(HeadK)
-        val tail = vocab.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
-        val total = vocab.agg(sum(col("c")).cast("double").as("n"))
-        val scoredHead = toks.join(broadcast(head), Seq("w"))
-        val scoredTail = toks
-          .join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
-          .join(tail, Seq("w"))
-        scoredHead.unionByName(scoredTail)
-          .crossJoin(broadcast(total))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            Num.fround(avg(-log(col("c").cast("double") / col("n"))), 4)
-              .as("avg_nll"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => unigramScored(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH tok AS (
                  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
                vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
@@ -968,6 +994,87 @@ object Curation {
                  ${Num.froundSql("sum(nll4)::DOUBLE / (count(*) * 10000.0)", 4)} AS mink20_nll
                FROM sel WHERE rn <= (n + 4) // 5
                GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
+    // Per-source token-distribution drift — the TEXT-side twin of
+    // q142's embedding drift monitor: Jensen-Shannon divergence of
+    // each source's unigram distribution against the whole corpus
+    // (the "did this scraper/source change what it emits" check a
+    // production pipeline runs between snapshots; a source whose JSD
+    // jumps is re-audited before it trains). JSD over KL because it
+    // is symmetric, bounded by ln 2, and defined when a corpus token
+    // is absent from the source.
+    //
+    // Decomposition: JSD_s = Σ_{w∈s} t(w) + ½·ln2, with t(w) =
+    // ½·[p·ln(2p/(p+q)) + q·ln(2q/(p+q)) − q·ln2] — every token the
+    // source LACKS contributes exactly ½·q·ln2, so the lack-sum folds
+    // into the closed form via the coverage Σq. Per-token terms are
+    // e9-quantized to BIGINT the moment they exist and summed exactly
+    // (the q183/q185 fp-order discipline: a Σ of thousands of doubles
+    // in engine-dependent order WILL flip a rounding boundary), one
+    // division + the ½ln2 shift at the end (1-ulp libm ln differences
+    // absorbed by 6dp fround).
+    //
+    // Scale: per-(source, w) counts collapse map-side (the q87 vocab
+    // shape — a hot stop word is one partial row per mapper before
+    // the exchange); the corpus count c_w comes from a window over
+    // the AGGREGATE keyed on w (partition rows ≤ #sources — no vocab
+    // join, no Zipf key in any exchange); source totals and the
+    // grand total are dim-sized broadcasts.
+    QueryDef(
+      "q189_source_token_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+        val sw = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_s"))
+        val cw = sw.withColumn("c", sum(col("c_s")).over(Window.partitionBy(col("w"))))
+        // two separate tiny aggregates, NOT count+countDistinct in one
+        // (mixed-distinct plans an Expand duplicating every token row —
+        // the q45 lesson); doc counts come off the doc table directly
+        val nS = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+          .join(Tables.documents(s, dir).groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs")), Seq("source"))
+        val nTot = toks.agg(count(lit(1)).cast("double").as("n"))
+        val p = col("c_s").cast("double") / col("n_s")
+        val q = col("c").cast("double") / col("n")
+        val term = (p * log(lit(2d) * p / (p + q)) +
+          q * log(lit(2d) * q / (p + q)) - q * log(lit(2d))) / 2d
+        cw.join(broadcast(nS), Seq("source"))
+          .crossJoin(broadcast(nTot))
+          .select(col("source"), col("n_docs"), col("n_s"),
+            floor(term * 1e9 + lit(0.5)).cast("long").as("t9"),
+            floor(q * 1e9 + lit(0.5)).cast("long").as("q9"))
+          .groupBy(col("source"))
+          .agg(first(col("n_docs")).as("n_docs"),
+            first(col("n_s")).as("n_tokens"),
+            Num.fround(sum(col("q9")).cast("double") / 1e9, 6).as("coverage"),
+            Num.fround(sum(col("t9")).cast("double") / 1e9 + log(lit(2d)) / 2d, 6)
+              .as("jsd"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tok AS (
+                 SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+               sw AS (SELECT source, w, count(*) AS c_s FROM tok GROUP BY source, w),
+               cw AS (SELECT source, w, c_s,
+                        sum(c_s) OVER (PARTITION BY w) AS c FROM sw),
+               ns AS (SELECT tk.source, tk.n_s, nd.n_docs FROM
+                        (SELECT source, count(*) AS n_s FROM tok GROUP BY source) tk
+                        JOIN (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) nd
+                        USING (source)),
+               nt AS (SELECT count(*)::DOUBLE AS n FROM tok),
+               terms AS (
+                 SELECT cw.source, ns.n_docs, ns.n_s,
+                   floor(((c_s::DOUBLE / n_s) * ln(2 * (c_s::DOUBLE / n_s) / (c_s::DOUBLE / n_s + c::DOUBLE / n))
+                        + (c::DOUBLE / n) * ln(2 * (c::DOUBLE / n) / (c_s::DOUBLE / n_s + c::DOUBLE / n))
+                        - (c::DOUBLE / n) * ln(2)) / 2 * 1000000000 + 0.5)::BIGINT AS t9,
+                   floor((c::DOUBLE / n) * 1000000000 + 0.5)::BIGINT AS q9
+                 FROM cw JOIN ns USING (source), nt)
+               SELECT source, max(n_docs)::BIGINT AS n_docs, max(n_s)::BIGINT AS n_tokens,
+                 ${Num.froundSql("sum(q9)::DOUBLE / 1000000000", 6)} AS coverage,
+                 ${Num.froundSql("sum(t9)::DOUBLE / 1000000000 + ln(2) / 2", 6)} AS jsd
+               FROM terms GROUP BY source ORDER BY source"""),
     ),
 
     // Deterministic training shuffle + sharding — the last step a

@@ -647,5 +647,60 @@ object Learning {
                  ${Num.froundSql("(w / z) / (n_tokens::DOUBLE / tt)", 4)} AS boost
                FROM w CROSS JOIN z ORDER BY source"""),
     ),
+
+    // Excess-loss data selection — the RHO-loss / learnability axis
+    // (Mindermann et al. 2022 shape): score each document by how much
+    // a STRONGER reference model improves on a weaker one, excess =
+    // NLL_weak − NLL_strong. High excess = structured, learnable text
+    // (the strong model exploits word-order the unigram can't see);
+    // excess ≈ 0 = the strong model learns nothing extra — boilerplate
+    // or noise. Complements the single-model axes: q87/q139 rank by
+    // one model's loss (in-distribution-ness), q119 DSIR by domain
+    // resemblance; THIS is the two-model difference both of those are
+    // blind to. Weak model = q87's corpus-unigram MLE (shared scorer),
+    // strong = q135's interpolated bigram LM (shared staged artifact).
+    // Selection = per-language median split of excess (the q139
+    // ExactMedian device — thresholds are actual data values, exact
+    // on both engines). Docs under 2 tokens have no bigram score and
+    // are out of scope on both sides (inner join, mirrored).
+    //
+    // Scale: both scores are per-doc tables; the doc_id equi-joins
+    // are key-partitioned (primary-key join — the q127 stance:
+    // storage bucketed by doc_id removes the exchange at 100 TB);
+    // thresholds are a |langs|-row broadcast.
+    QueryDef(
+      "q190_excess_loss_selection",
+      (s, dir) => {
+        val uni = Curation.unigramScored(s, dir)
+          .select(col("doc_id"), col("avg_nll").as("uni_nll"))
+        val bi = bigramNllStaged(s, dir)
+          .select(col("doc_id"), col("avg_nll").as("bi_nll"))
+        val scored = uni.join(bi, Seq("doc_id"))
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+          .withColumn("excess", Num.fround(col("uni_nll") - col("bi_nll"), 4))
+        val thr = graft.operators.ExactMedian.quantilesDiscSmallDomain(
+          scored.select(col("lang"), col("excess")), "lang", "excess",
+          Seq("p50" -> 0.5))
+        scored.join(broadcast(thr), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("uni_nll"), col("bi_nll"),
+            col("excess"), (col("excess") >= col("p50")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${Curation.uniScoreSqlCtes},
+               $bigramNllSqlCtes,
+               ex AS (
+                 SELECT u.doc_id, d.lang, u.avg_nll AS uni_nll,
+                   sc.avg_nll AS bi_nll,
+                   ${Num.froundSql("u.avg_nll - sc.avg_nll", 4)} AS excess
+                 FROM uniscored u JOIN scored sc ON sc.doc_id = u.doc_id
+                   JOIN documents d ON d.doc_id = u.doc_id),
+               thr AS (SELECT lang, quantile_disc(excess, (1.0::DOUBLE) / 2) AS p50
+                       FROM ex GROUP BY lang)
+               SELECT ex.doc_id, ex.lang, ex.uni_nll, ex.bi_nll, ex.excess,
+                 (ex.excess >= thr.p50) AS keep
+               FROM ex JOIN thr USING (lang)
+               ORDER BY ex.doc_id"""),
+    ),
   )
 }

@@ -226,4 +226,45 @@ class CurationSpec extends SparkSuite {
       assert(m == (nTok + 4) / 5, "selection size law")
     }
   }
+
+  test("q189 source drift matches an independent driver-side JSD") {
+    val out = SparkEntry.queries("q189_source_token_drift")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (src, nDocs, nToks, cov, jsd) =>
+      assert(nDocs > 0 && nToks > 0, s"$src empty")
+      assert(cov > 0 && cov <= 1.0 + 1e-9, s"$src coverage $cov out of range")
+      assert(jsd >= -1e-9 && jsd <= math.log(2) + 1e-9, s"$src jsd $jsd out of [0, ln2]")
+    }
+    // independent path: plain Scala maps, same tokenization, same
+    // e9 quantization and closed form
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => d._2.split(" ", -1))).toMap
+    val corpusCounts = bySrc.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = corpusCounts.values.sum.toDouble
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = bySrc.map { case (src, ws) =>
+      val cs = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ns = ws.length.toDouble
+      var t9 = 0L; var q9 = 0L
+      cs.toSeq.foreach { case (w, c) =>
+        val p = c / ns; val q = corpusCounts(w) / n
+        val t = (p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))
+          - q * math.log(2)) / 2
+        t9 += math.floor(t * 1e9 + 0.5).toLong
+        q9 += math.floor(q * 1e9 + 0.5).toLong
+      }
+      src -> (fr6(q9.toDouble / 1e9), fr6(t9.toDouble / 1e9 + math.log(2) / 2))
+    }
+    out.foreach { case (src, _, _, cov, jsd) =>
+      val (ecov, ejsd) = expected(src)
+      assert(cov == ecov && jsd == ejsd,
+        s"$src diverges: got ($cov,$jsd) expected ($ecov,$ejsd)")
+    }
+  }
 }

@@ -436,4 +436,39 @@ class LearningSpec extends SparkSuite {
       }
     }
   }
+
+  test("q190 excess loss: scores agree with q87/q135, median split law, both verdicts live") {
+    val out = SparkEntry.queries("q190_excess_loss_selection")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    // score provenance: uni_nll is exactly q87's avg_nll, bi_nll is
+    // exactly q135's — the selection composes the two shipped models,
+    // it doesn't re-derive its own
+    val uni = SparkEntry.queries("q87_unigram_lm_score")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = SparkEntry.queries("q135_bigram_lm")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def fr4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    out.foreach { case (id, _, u, b, ex, _) =>
+      assert(u == uni(id), s"doc $id uni_nll $u != q87 ${uni(id)}")
+      assert(b == bi(id), s"doc $id bi_nll $b != q135 ${bi(id)}")
+      assert(ex == fr4(u - b), s"doc $id excess law")
+    }
+    // docs under 2 tokens have no bigram score and are out of scope
+    assert(out.length == bi.size, "scope = q135's scope")
+    // per-language median split: keep ⇔ excess >= the lang's
+    // discrete median recomputed here; at least half kept per lang
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val ex = rows.map(_._5).sorted
+      val p50 = ex((ex.length - 1) / 2) // quantile_disc lower median
+      rows.foreach { case (id, _, _, _, e, keep) =>
+        assert(keep == (e >= p50), s"doc $id ($lang): keep law vs median $p50")
+      }
+      val kept = rows.count(_._6)
+      assert(kept * 2 >= rows.length, s"$lang kept $kept of ${rows.length}")
+    }
+    assert(out.exists(_._6) && out.exists(!_._6), "both verdicts must occur")
+  }
 }
