@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches —
@@ -251,5 +251,115 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch => batch.iterator.map(extractOne) }
     }
+  }
+
+  // ---- image near-dup detection (aHash + banded Hamming) -----------
+  // The image-corpus twin of the text near-dup family (q32-q35) and
+  // the q184 Hamming kernel: a 64-bit average hash per image, banded
+  // into 4×16-bit keys so candidate pairs collide on an equi-join
+  // (never all-pairs), then exact Hamming verification. Pigeonhole:
+  // two hashes within Hamming ≤ 3 AGREE on at least one of the 4
+  // bands — candidate recall is exact up to 3 and probabilistic above
+  // (the q33 banding tradeoff). No DuckDB oracle can decode a PNG, so
+  // this family is spec-verified (SURVEY §5.3's non-SQL carve-out)
+  // against engineered re-encoded / brightness-shifted /
+  // different-content fixtures.
+
+  /** Decode an image payload keeping its dimensions (aHash needs the
+    * 2-D layout; [[decodeImage]]'s flat plane loses it). None when the
+    * JDK has no reader for the bytes — the caller skips the row (a
+    * near-dup pass over a corrupt payload has nothing to hash; the
+    * poison-pill stance). */
+  def decodeImageWithDims(content: Array[Byte]): Option[(Array[Byte], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None else Some((luminance(img), img.getWidth, img.getHeight))
+    } catch { case _: java.io.IOException => None }
+
+  /** 64-bit average hash: integer 8×8 grid means over the luminance
+    * plane, each cell thresholded against the mean of cell means. All
+    * integer arithmetic (grid cell sums / counts, floor divisions) —
+    * deterministic across JVMs, and a global brightness shift moves
+    * every cell mean and the threshold together, so the bit pattern
+    * is (near-)invariant to it: the property that makes aHash a
+    * near-dup fingerprint rather than a checksum. Re-encodes of the
+    * same pixels (PNG → BMP) hash identically because the hash sees
+    * decoded luminance, not container bytes. */
+  def aHash64(lum: Array[Byte], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0 && lum.length >= w * h, s"bad plane ${lum.length} for ${w}x$h")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = gy * 8 + (x * 8 / w)
+        sums(i) += (lum(y * w + x) & 0xff)
+        cnts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = new Array[Long](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) {
+      means(i) = if (cnts(i) == 0) 0L else sums(i) / cnts(i)
+      total += means(i)
+      i += 1
+    }
+    val avg = total / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (means(i) > avg) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Per-image hashes for the image rows of a media corpus: media_id,
+    * ahash, width, height. Partition-local decode (the
+    * [[extractFeatures]] contract — no shuffle introduced);
+    * undecodable payloads are skipped. */
+  def imageHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter((r: MediaRow) => r.meta.kind == "image")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeImageWithDims(r.content).map { case (lum, w, h) =>
+            (r.media_id, aHash64(lum, w, h), w, h)
+          }
+        }
+      }
+      .toDF("media_id", "ahash", "width", "height")
+  }
+
+  /** Verified near-dup image pairs: banded candidate generation (4 ×
+    * 16-bit bands of the aHash as equi-join keys — corpus-linear
+    * candidate volume, the q33/q39 device) then exact Hamming ≤
+    * `maxHam` verification, pairs deduped across bands. */
+  def nearDupImagePairs(hashes: DataFrame, maxHam: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"(ahash >> ${16 * b}) & 65535").as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("ahash").as("h_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("ahash").as("h_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("ham", expr("cast(bit_count(h_a ^ h_b) as int)"))
+      .filter(col("ham") <= maxHam)
+      .select(col("id_a"), col("id_b"), col("ham"))
   }
 }

@@ -305,4 +305,66 @@ class OperatorsSpec extends SparkSuite {
     assert(builds == 1, s"stage rebuilt: $builds builds")
     assert(first == second && first.size == 2)
   }
+
+  // ---- image near-dup (aHash + banded Hamming) ---------------------
+
+  private def makeImage(seed: Int, brightness: Int = 0): java.awt.image.BufferedImage = {
+    import java.awt.image.BufferedImage
+    val (w, h) = (32, 32)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var st = seed
+    for (y <- 0 until h; x <- 0 until w) {
+      st = st * 1103515245 + 12345 // deterministic LCG pattern
+      val v = math.min(255, math.max(0, ((st >>> 16) & 0xff) + brightness))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
+    bos.toByteArray
+  }
+
+  test("aHash: re-encode invariant, brightness near-invariant, content-sensitive") {
+    def hashOf(bytes: Array[Byte]): Long = {
+      val Some((lum, w, h)) = Multimodal.decodeImageWithDims(bytes)
+      Multimodal.aHash64(lum, w, h)
+    }
+    val base = hashOf(encode(makeImage(7), "png"))
+    val reenc = hashOf(encode(makeImage(7), "bmp"))
+    val bright = hashOf(encode(makeImage(7, brightness = 8), "png"))
+    val other = hashOf(encode(makeImage(99), "png"))
+    assert(base == reenc, "PNG vs BMP of the same pixels must hash identically")
+    assert(Multimodal.hamming64(base, bright) <= 3,
+      s"brightness shift moved ${Multimodal.hamming64(base, bright)} bits")
+    assert(Multimodal.hamming64(base, other) > 6,
+      s"different content only ${Multimodal.hamming64(base, other)} bits apart")
+  }
+
+  test("image near-dup pairs: banded candidates find the variants, not the strangers") {
+    val rows = Seq(
+      MediaRow(0L, MediaMeta("image", 32, 32, 0), encode(makeImage(7), "png")),
+      MediaRow(1L, MediaMeta("image", 32, 32, 0), encode(makeImage(7), "bmp")),
+      MediaRow(2L, MediaMeta("image", 32, 32, 0), encode(makeImage(7, brightness = 8), "png")),
+      MediaRow(3L, MediaMeta("image", 32, 32, 0), encode(makeImage(99), "png")),
+      MediaRow(4L, MediaMeta("image", 32, 32, 0), encode(makeImage(1234), "png")),
+      // an undecodable payload is skipped, not a poison pill
+      MediaRow(5L, MediaMeta("image", 32, 32, 0), Array[Byte](1, 2, 3)),
+      // a non-image row never enters the hash path
+      MediaRow(6L, MediaMeta("audio", 0, 0, 16000), encode(makeImage(7), "png")))
+    val ds = spark.createDataset(rows).repartition(3)
+    val hashes = Multimodal.imageHashes(ds)
+    assert(hashes.count() == 5, "5 decodable images")
+    val pairs = Multimodal.nearDupImagePairs(hashes, maxHam = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the variant cluster {0,1,2} is fully recovered...
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"unexpected pair set $pairs")
+    // ...and determinism holds across a recompute
+    val again = Multimodal.nearDupImagePairs(hashes, maxHam = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == again)
+  }
 }
