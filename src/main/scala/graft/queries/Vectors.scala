@@ -1525,6 +1525,7 @@ object Vectors {
     CompactionDef,
     BinaryQuantDef,
     IvfBqDef,
+    BqSweepDef,
   )
 
   // Tombstoned ANN serving — DELETIONS under the merge-on-read
@@ -2827,6 +2828,111 @@ object Vectors {
   // STORAGE-PARTITIONED BY CELL (probe cells become a partition-pruned
   // directory read), candidates Hamming-rank inside the probed cells,
   // and only the bounded re-rank set touches the float payload.
+  // q191: the BQ oversampling curve — q184's scaladoc carries the
+  // measured recall@8 band as prose; this makes the knob a MEASURED
+  // ARTIFACT the way q182 did for beam width: the same Hamming scan at
+  // C = 16 / 64 / 256, each re-ranked top-8 and scored against ONE
+  // shared exact top-20 harness, one row per width. The operational
+  // claim a deployment tunes on: hits rise monotonically with C at
+  // the same 16-byte scan cost (only the re-rank set grows).
+  private lazy val BqSweepDef: QueryDef = QueryDef(
+    "q191_ann_bq_sweep",
+    (s, dir) => {
+      graft.functions.DotProductF.register(s)
+      val c = graft.operators.Staged.parquet(s, s"bq64|$dir")(bqBuild(s, dir))
+      val probes = c.filter(col("vec_id") < N_PROBES)
+        .select(col("vec_id").as("probe_id"), col("lo").as("p_lo"),
+          col("hi").as("p_hi"), col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq"))
+      val wc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ham"), col("vec_id"))
+      val w8 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val sim = Num.fround(
+        VectorFns.cosine(
+          graft.functions.DotProductF.dotCol(col("p_emb"), col("embedding")),
+          col("p_nsq"), col("nsq")), 4)
+      val exact = c.select(col("vec_id"), col("embedding"), col("nsq"))
+        .crossJoin(broadcast(probes
+          .select(col("probe_id"), col("p_emb"), col("p_nsq"))))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+        .withColumn("rk", row_number().over(w8))
+        .filter(col("rk") <= 20)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      val ranked = c.select(col("vec_id"), col("lo"), col("hi"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("ham", expr(
+          "cast(bit_count(lo ^ p_lo) + bit_count(hi ^ p_hi) as int)"))
+        .withColumn("crank", row_number().over(wc))
+      def sweepRow(cWidth: Int) =
+        broadcast(ranked.filter(col("crank") <= cWidth))
+          .join(c.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+          .withColumn("sim", sim)
+          .withColumn("rank", row_number().over(w8))
+          .filter(col("rank") <= 8)
+          .join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("results"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+          .select(lit(cWidth.toLong).as("c_width"), col("results"), col("hits"),
+            Num.fround(col("hits").cast("double") / col("results"), 4).as("precision"))
+      Seq(16, 64, 256).map(sweepRow).reduce(_ unionByName _)
+        .orderBy(col("c_width"))
+    },
+    Some {
+      def chain(cWidth: Int) =
+        s"""cand$cWidth AS (
+             SELECT probe_id, vec_id, emb, nsq, p_emb, p_nsq FROM scan
+             WHERE crank <= $cWidth),
+           rr$cWidth AS (
+             SELECT probe_id, vec_id,
+               ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
+             FROM cand$cWidth),
+           srv$cWidth AS (
+             SELECT probe_id, vec_id FROM rr$cWidth
+             QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) <= 8),
+           row$cWidth AS (
+             SELECT ${cWidth}::BIGINT AS c_width, count(*)::BIGINT AS results,
+               sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS hits
+             FROM srv$cWidth s LEFT JOIN exact e
+               ON s.probe_id = e.probe_id AND s.vec_id = e.vec_id)"""
+      s"""WITH c AS (
+             SELECT vec_id, embedding::DOUBLE[] AS emb,
+               ${VectorFns.normSqSql("embedding::DOUBLE[]")} AS nsq,
+               ${bqHalfSql("embedding", 0)} AS lo,
+               ${bqHalfSql("embedding", 32)} AS hi
+             FROM ${VectorFns.embeddingsSql}),
+           p AS (
+             SELECT vec_id AS probe_id, lo AS p_lo, hi AS p_hi,
+               emb AS p_emb, nsq AS p_nsq
+             FROM c WHERE vec_id < $N_PROBES),
+           scan AS MATERIALIZED (
+             SELECT p.probe_id, c.vec_id, c.emb, c.nsq, p.p_emb, p.p_nsq,
+               row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                 bit_count(xor(c.lo, p.p_lo)) + bit_count(xor(c.hi, p.p_hi)),
+                 c.vec_id) AS crank
+             FROM c CROSS JOIN p
+             WHERE c.vec_id <> p.probe_id),
+           exact AS MATERIALIZED (
+             SELECT p.probe_id, c.vec_id
+             FROM c CROSS JOIN p
+             WHERE c.vec_id <> p.probe_id
+             QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY
+               ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p.p_emb", "c.emb"), "p.p_nsq", "c.nsq")}", 4)} DESC,
+               c.vec_id) <= 20),
+           ${chain(16)},
+           ${chain(64)},
+           ${chain(256)}
+           SELECT c_width, results, hits,
+             ${Num.froundSql("hits::DOUBLE / results", 4)} AS precision
+           FROM (SELECT * FROM row16 UNION ALL
+                 SELECT * FROM row64 UNION ALL
+                 SELECT * FROM row256)
+           ORDER BY c_width"""
+    },
+  )
+
   private lazy val IvfBqDef: QueryDef = QueryDef(
     "q187_ann_ivf_bq",
     (s, dir) => {

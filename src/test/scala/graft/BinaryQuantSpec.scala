@@ -87,4 +87,25 @@ class BinaryQuantSpec extends SparkSuite {
     // against a degenerate code path, not run-to-run noise
     assert(hits >= 40, s"recall@8 collapsed: $hits/64 (floor 40)")
   }
+
+  test("q191 sweep: widths exact, results fixed, hits monotone in C, precision law") {
+    val out = SparkEntry.queries("q191_ann_bq_sweep")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(16L, 64L, 256L), s"widths ${out.map(_._1).toSeq}")
+    out.foreach { case (c, results, hits, prec) =>
+      assert(results == 64, s"C=$c served $results results")
+      assert(hits >= 0 && hits <= results)
+      assert(math.abs(prec - math.floor(hits.toDouble / results * 10000 + 0.5) / 10000) < 1e-12,
+        s"C=$c precision law")
+    }
+    val hitsBy = out.map(t => t._1 -> t._3).toMap
+    // the tuning curve's operational claim (measured 44/64/64 at
+    // sf0.001, 28/56/64 at sf0.1): wider C never loses recall, and
+    // the widest width saturates the non-vacuity floor
+    assert(hitsBy(16L) <= hitsBy(64L) && hitsBy(64L) <= hitsBy(256L),
+      s"hits not monotone: $hitsBy")
+    assert(hitsBy(256L) >= 40, s"widest width degenerated: ${hitsBy(256L)}")
+  }
 }
