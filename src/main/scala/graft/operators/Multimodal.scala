@@ -338,11 +338,69 @@ object Multimodal {
       .toDF("media_id", "ahash", "width", "height")
   }
 
-  /** Verified near-dup image pairs: banded candidate generation (4 ×
-    * 16-bit bands of the aHash as equi-join keys — corpus-linear
-    * candidate volume, the q33/q39 device) then exact Hamming ≤
-    * `maxHam` verification, pairs deduped across bands. */
-  def nearDupImagePairs(hashes: DataFrame, maxHam: Int = 6): DataFrame = {
+  /** 64-bit average hash of a decoded AUDIO stream (8-bit mono
+    * samples): 64 equal time windows, integer window means thresholded
+    * at the mean of means — the 1-D analog of [[aHash64]], and the
+    * same invariances for the same reason: container re-encodes hash
+    * identically (the hash sees decoded samples), and any positive
+    * affine gain/offset maps every window mean and the threshold
+    * together, so the bit pattern survives volume normalization up to
+    * integer-rounding wobble. Empty streams hash to 0. */
+  def audioHash64(samples: Array[Byte]): Long = {
+    if (samples.isEmpty) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      sums(w) += (samples(i) & 0xff)
+      cnts(w) += 1
+      i += 1
+    }
+    val means = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < 64) {
+      means(j) = if (cnts(j) == 0) 0L else sums(j) / cnts(j)
+      total += means(j)
+      j += 1
+    }
+    val avg = total / 64
+    var hash = 0L
+    j = 0
+    while (j < 64) {
+      if (means(j) > avg) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  /** Per-clip hashes for the audio rows of a media corpus: media_id,
+    * ahash, n_samples. Partition-local decode; payloads the JDK can't
+    * read fall through [[decodeAudio]]'s stub (deterministic, still
+    * hashable — an exact-duplicate undecodable payload still dedups). */
+  def audioHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter((r: MediaRow) => r.meta.kind == "audio")
+      .mapPartitions { it =>
+        it.map { r =>
+          val samples = decodeAudio(r.content)
+          (r.media_id, audioHash64(samples), samples.length)
+        }
+      }
+      .toDF("media_id", "ahash", "n_samples")
+  }
+
+  /** Verified near-dup pairs over any 64-bit perceptual hash table
+    * (`media_id`, `ahash` — image [[imageHashes]] or audio
+    * [[audioHashes]]): banded candidate generation (4 × 16-bit bands
+    * of the hash as equi-join keys — corpus-linear candidate volume,
+    * the q33/q39 device) then exact Hamming ≤ `maxHam` verification,
+    * pairs deduped across bands. Pigeonhole: Hamming ≤ 3 guarantees a
+    * shared band; recall above 3 is probabilistic (the banding
+    * tradeoff). */
+  def nearDupHashPairs(hashes: DataFrame, maxHam: Int = 6): DataFrame = {
     import org.apache.spark.sql.functions._
     val banded = hashes.select(col("media_id"), col("ahash"),
       explode(array((0 until 4).map { b =>

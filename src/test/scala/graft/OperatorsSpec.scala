@@ -357,14 +357,76 @@ class OperatorsSpec extends SparkSuite {
     val ds = spark.createDataset(rows).repartition(3)
     val hashes = Multimodal.imageHashes(ds)
     assert(hashes.count() == 5, "5 decodable images")
-    val pairs = Multimodal.nearDupImagePairs(hashes, maxHam = 6)
+    val pairs = Multimodal.nearDupHashPairs(hashes, maxHam = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the variant cluster {0,1,2} is fully recovered...
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)),
       s"unexpected pair set $pairs")
     // ...and determinism holds across a recompute
-    val again = Multimodal.nearDupImagePairs(hashes, maxHam = 6)
+    val again = Multimodal.nearDupHashPairs(hashes, maxHam = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == again)
+  }
+
+  private def makePcm(seed: Int, gainShift: Int = 0): Array[Byte] = {
+    var st = seed
+    Array.tabulate(800) { _ =>
+      st = st * 1103515245 + 12345
+      val dev = (((st >>> 16) & 0xff) - 128) >> gainShift // deviation around mid
+      (128 + dev).toByte
+    }
+  }
+
+  private def encodeWav8(samples8: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // 8-bit unsigned mono PCM — decodeAudio round-trips it verbatim
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 16000f, 8, 1, 1, 16000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(samples8), fmt, samples8.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def encodeWav16(samples8: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // the SAME samples re-encoded at 16-bit signed depth:
+    // (u8 - 128) << 8 decodes back to exactly u8 through the
+    // high-byte downmix — a bit-depth re-encode, not new content
+    val pcm = new Array[Byte](samples8.length * 2)
+    samples8.zipWithIndex.foreach { case (b, i) =>
+      val s16 = (((b & 0xff) - 128) << 8).toShort
+      pcm(i * 2) = (s16 & 0xff).toByte
+      pcm(i * 2 + 1) = ((s16 >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples8.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio near-dup: bit-depth re-encode identical, gain-scaled near, strangers far") {
+    val base = makePcm(7)
+    val rows = Seq(
+      MediaRow(0L, MediaMeta("audio", 0, 0, 16000), encodeWav8(base)),
+      MediaRow(1L, MediaMeta("audio", 0, 0, 16000), encodeWav16(base)),
+      MediaRow(2L, MediaMeta("audio", 0, 0, 16000), encodeWav8(makePcm(7, gainShift = 1))),
+      MediaRow(3L, MediaMeta("audio", 0, 0, 16000), encodeWav8(makePcm(4242))),
+      // a non-audio row never enters the hash path
+      MediaRow(4L, MediaMeta("image", 0, 0, 0), encodeWav8(base)))
+    val ds = spark.createDataset(rows).repartition(2)
+    val hashes = Multimodal.audioHashes(ds)
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == Set(0L, 1L, 2L, 3L), "4 audio rows hashed")
+    assert(byId(0L) == byId(1L), "8-bit vs 16-bit encode of the same samples must hash identically")
+    assert(Multimodal.hamming64(byId(0L), byId(2L)) <= 3,
+      s"gain-scaled clip moved ${Multimodal.hamming64(byId(0L), byId(2L))} bits")
+    assert(Multimodal.hamming64(byId(0L), byId(3L)) > 6,
+      s"different clip only ${Multimodal.hamming64(byId(0L), byId(3L))} bits apart")
+    val pairs = Multimodal.nearDupHashPairs(hashes, maxHam = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"unexpected pair set $pairs")
   }
 }
