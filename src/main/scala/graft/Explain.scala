@@ -166,7 +166,21 @@ object Explain {
     // The graph-lifecycle serves (q179/q181/q182) share q174/q176/
     // q177's dumped walk family; the new COMPACTION build plan is
     // dumped separately below.
-    "q183_bitext_margin_mining")
+    "q183_bitext_margin_mining",
+    // round 13 second wave: binary-quantization serving (16-byte
+    // column-pruned code scan × broadcast probes, WindowGroupLimit
+    // partial trim, bounded float-payload re-rank — a new kernel
+    // family; q187's cell-pruned variant shares q103's dumped layout
+    // shape, q191's sweep unrolls this one three times), min-k% prob
+    // (head/tail-joined token stream → per-doc rank window selecting
+    // an integer-exact tail — a new per-token composite next to
+    // q87's plain mean), in-context packing (staged read + ONE fcid
+    // window carrying rank AND lead, groupBy — no join anywhere in
+    // the serve), source JSD drift (per-(source,w) map-side collapse,
+    // corpus counts via a window OVER THE AGGREGATE keyed on w,
+    // integer-exact terms — the no-Zipf-key-in-an-exchange shape).
+    "q184_ann_binary_hamming", "q185_minkprob_membership",
+    "q188_incontext_packing", "q189_source_token_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
