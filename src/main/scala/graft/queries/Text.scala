@@ -1056,6 +1056,94 @@ object Text {
                ORDER BY doc_id"""),
     ),
 
+    // License propagation through dedup groups — the governance pass
+    // fuzzy dedup makes NECESSARY: when near-duplicates are collapsed
+    // to one representative, the representative inherits the
+    // STRICTEST license present anywhere in its group (the kept copy
+    // of a text that also circulates under a proprietary license is
+    // tainted by it — keeping the permissive copy doesn't launder the
+    // restrictive one). Per-document license tiers derive
+    // deterministically from `source` (the md5-keyed stand-in for a
+    // real license registry; 0=cc0 < 1=cc-by < 2=cc-by-sa <
+    // 3=proprietary), groups are q70's verified near-dup components
+    // (shared staged pair graph + the same keep rule), and each KEPT
+    // representative reports its own tier, the group's effective
+    // tier, and whether propagation CHANGED its license (tainted) —
+    // the rows a compliance reviewer actually reads.
+    //
+    // Scale: everything rides q70's shapes — staged banded pair
+    // graph, fixed-round component labels, per-cluster windows
+    // bounded by the duplication structure. The tier map is a narrow
+    // md5 projection; no new exchange anywhere.
+    QueryDef(
+      "q192_license_propagation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val edges = minhashPairs(s, dir, threshold = 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val labels = graft.operators.ConnectedComponents.cluster(edges)
+        val tier = expr(
+          "cast(conv(substring(md5(concat('lic|', source)), 1, 2), 16, 10) as int) % 4")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), tier.as("tier"),
+            size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("ntok"))
+        val wKeep = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("ntok").desc, col("doc_id"))
+        val wC = Window.partitionBy(col("cluster_id"))
+        val name = (t: org.apache.spark.sql.Column) =>
+          when(t === 0, "cc0").when(t === 1, "cc-by")
+            .when(t === 2, "cc-by-sa").otherwise("proprietary")
+        docs.join(labels, docs("doc_id") === labels("node"), "left")
+          .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+          .withColumn("keep", row_number().over(wKeep) === 1)
+          .withColumn("n_members", count(lit(1)).over(wC))
+          .withColumn("eff", max(col("tier")).over(wC))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("cluster_id"), col("n_members"),
+            name(col("tier")).as("own_license"),
+            name(col("eff")).as("effective_license"),
+            (col("eff") > col("tier")).as("tainted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsSqlCtes(0.8)},
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+               nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+               reach AS (
+                 SELECT doc_id, doc_id AS label FROM nodes
+                 UNION
+                 SELECT e.dst AS doc_id, r.label
+                 FROM reach r JOIN edges e ON e.src = r.doc_id),
+               comp AS (
+                 SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+               d AS (
+                 SELECT doc_id,
+                   ('0x' || substr(md5('lic|' || source), 1, 2))::INT % 4 AS tier,
+                   len(list_distinct(string_split(text, ' ')))::BIGINT AS ntok
+                 FROM documents),
+               j AS (
+                 SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   tier, ntok
+                 FROM d LEFT JOIN comp c USING (doc_id)),
+               g AS (
+                 SELECT *,
+                   (row_number() OVER (PARTITION BY cluster_id ORDER BY ntok DESC, doc_id) = 1) AS keep,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                   max(tier) OVER (PARTITION BY cluster_id) AS eff
+                 FROM j),
+               named AS (
+                 SELECT doc_id, cluster_id, n_members::BIGINT AS n_members,
+                   CASE tier WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+                     WHEN 2 THEN 'cc-by-sa' ELSE 'proprietary' END AS own_license,
+                   CASE eff WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+                     WHEN 2 THEN 'cc-by-sa' ELSE 'proprietary' END AS effective_license,
+                   (eff > tier) AS tainted
+                 FROM g WHERE keep)
+               SELECT * FROM named ORDER BY doc_id"""),
+    ),
+
     // Duplication-hub scoring: PageRank (two fixed power iterations,
     // damping 0.85) over the symmetric verified near-dup graph. High
     // rank = a document at the center of a dense duplication

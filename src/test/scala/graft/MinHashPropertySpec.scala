@@ -105,4 +105,30 @@ class MinHashPropertySpec extends SparkSuite {
     assert(byBatch.getOrElse("base", 0L) > 0, s"no base pairs: $byBatch")
     assert(byBatch.getOrElse("delta", 0L) > 0, s"no delta pairs: $byBatch")
   }
+
+  test("q192 license propagation: reps are exactly q70's keeps, taint law, singletons clean") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q192_license_propagation")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    val order = Map("cc0" -> 0, "cc-by" -> 1, "cc-by-sa" -> 2, "proprietary" -> 3)
+    // one representative per cluster, and it is exactly the doc q70 keeps
+    assert(out.map(_._1).distinct.length == out.length, "duplicate reps")
+    assert(out.map(_._2).distinct.length == out.length, "a cluster with two reps")
+    val q70keeps = SparkEntry.queries("q70_fuzzy_dedup")(spark, sfDir)
+      .collect().filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet == q70keeps,
+      "rep set diverged from q70's keep set")
+    out.foreach { case (id, _, n, own, eff, tainted) =>
+      assert(order.contains(own) && order.contains(eff), s"doc $id unknown tier")
+      assert(order(eff) >= order(own), s"doc $id effective below own")
+      assert(tainted == (order(eff) > order(own)), s"doc $id taint law")
+      if (n == 1) assert(!tainted && own == eff, s"singleton $id tainted")
+    }
+    // the pass is non-vacuous at this SF: propagation changes at
+    // least one representative's license (measured 6 at sf0.001)
+    assert(out.exists(_._6), "no tainted representative — vacuous")
+  }
 }

@@ -59,18 +59,21 @@ class PlanHygieneSpec extends SparkSuite {
     //  - q186: the cluster-blocked train ⋈ eval decontamination join
     //    (eval is a fixed FRACTION of the corpus, not a dim) and the
     //    verdict join back onto every train vector — the q86 shape.
+    //  - q192: q70's verdict join reused verbatim (component labels —
+    //    one row per node of the pair graph, scales with the corpus —
+    //    joined back onto every document for license propagation).
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
       "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
       "q164_dedup_weights", "q183_bitext_margin_mining",
-      "q186_embedding_decontamination"),
+      "q186_embedding_decontamination", "q192_license_propagation"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
       "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
       "q164_dedup_weights", "q183_bitext_margin_mining",
-      "q186_embedding_decontamination"))
+      "q186_embedding_decontamination", "q192_license_propagation"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
