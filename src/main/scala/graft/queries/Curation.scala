@@ -301,9 +301,15 @@ object Curation {
           .select(col("doc_id"), col("source"))
           .withColumn("h", md5(col("doc_id").cast("string")))
         // Target weight per source from its name (1..4 cycling) — a
-        // stand-in for the user-supplied mixture map.
+        // stand-in for the user-supplied mixture map. A source the map
+        // doesn't know (non-numeric suffix — the adversarial fixture's
+        // 'srcadv') gets the DEFAULT weight 1, not an ANSI cast abort:
+        // one unregistered source must not kill the whole mixture pass
+        // (round-13 fixture finding; try_cast mirrored in the oracle).
         val weighted = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-          .withColumn("wt", expr("cast(substring(source, 4) AS int) % 4 + 1").cast("double"))
+          .withColumn("wt",
+            expr("coalesce(try_cast(substring(source, 4) AS int) % 4 + 1, 1)")
+              .cast("double"))
         val tw = weighted.agg(sum(col("wt")).as("tw"))
         val alloc = weighted.crossJoin(broadcast(tw))
           .withColumn("exact", lit(budget.toDouble) * col("wt") / col("tw"))
@@ -326,7 +332,9 @@ object Curation {
           .orderBy(col("source"), col("pick_rank"))
       },
       Some("""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
-              w AS (SELECT source, cnt, (substr(source, 4)::INT % 4 + 1)::DOUBLE AS wt FROM c),
+              w AS (SELECT source, cnt,
+                      coalesce(try_cast(substr(source, 4) AS INT) % 4 + 1, 1)::DOUBLE AS wt
+                    FROM c),
               tw AS (SELECT sum(wt) AS tw FROM w),
               alloc AS (
                 SELECT source, cnt, wt,

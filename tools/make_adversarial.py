@@ -94,6 +94,12 @@ adv_docs = [
     (d0 + 6, '!!! ??? ... ---', 'de', 'src2'),           # punctuation only
     (d0 + 7, '   ', 'en', 'src1'),                       # whitespace-only text
     (d0 + 8, ' leading and trailing  ', 'en', 'src2'),   # boundary spaces
+    # round 13: a BRAND-NEW source and a BRAND-NEW language carried by
+    # one single-token doc — stresses every per-source aggregate
+    # (q189's JSD with a 1-token distribution, q134/q141/q166 domain
+    # tables gaining a singleton row) and every per-lang quantile
+    # (q139/q190 thresholds over a 1-element group).
+    (d0 + 9, 'singleton', 'zz', 'srcadv'),
 ]
 vals = ", ".join(
     f"({i}, {t!r}, {l!r}, {s!r}, length({t!r}))" for i, t, l, s in adv_docs)
