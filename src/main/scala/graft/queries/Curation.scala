@@ -1085,6 +1085,93 @@ object Curation {
                FROM terms GROUP BY source ORDER BY source"""),
     ),
 
+    // Vocabulary coverage curve — the tokenizer-SIZING decision q130's
+    // BPE training presupposes: the smallest number of vocabulary
+    // types whose cumulative frequency covers 90/95/99% of corpus
+    // tokens (every tokenizer paper's "vocab size vs coverage" table;
+    // the knee of this curve is where a deployment puts its vocab
+    // budget, everything past it lands in the OOV/byte fallback q170
+    // measures).
+    //
+    // Exactness: Zipf ranking never materializes per-type — the curve
+    // is computed on the COUNT-OF-COUNTS table (the q168/q169 device:
+    // one row per distinct frequency, bounded ~sqrt(tokens)), where
+    // all types of equal frequency are interchangeable, so the exact
+    // k within the boundary frequency group is integer arithmetic:
+    // m = ceil((num·N − den·cum_before) / (den·c)) with the coverage
+    // target as the rational num/den — no float threshold anywhere
+    // near a comparison. Windows run over the bounded aggregate, the
+    // grand total is a 1-row broadcast; no Zipf key enters an
+    // exchange.
+    QueryDef(
+      "q193_vocab_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val vocab = graft.operators.Staged.parquet(s, s"q87vocab|$dir")(
+          toks.groupBy(col("w")).agg(count(lit(1)).as("c")))
+        val cc = vocab.groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+        val wD = Window.orderBy(col("c").desc)
+        val cum = cc
+          .withColumn("cum_toks", sum(col("c") * col("n_types")).over(
+            wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("types_before", coalesce(sum(col("n_types")).over(
+            wD.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("cum_before", col("cum_toks") - col("c") * col("n_types"))
+        val tot = vocab.agg(sum(col("c")).cast("long").as("n"))
+        val rows = Seq((9L, 10L, "p90"), (19L, 20L, "p95"), (99L, 100L, "p99"))
+          .map { case (num, den, nameT) =>
+            // boundary group = FIRST (in c-desc order) whose cumulative
+            // token mass reaches the target; cum_toks is monotone, so
+            // that is the min cum_toks among qualifying groups
+            cum.crossJoin(broadcast(tot))
+              .filter(col("cum_toks") * den >= col("n") * num)
+              .orderBy(col("cum_toks"))
+              .limit(1)
+              // integer ceil-division (`div`, not `/` — Spark's `/`
+              // on longs is DOUBLE division)
+              .withColumn("m", expr(
+                s"($num * n - $den * cum_before + $den * c - 1) div ($den * c)"))
+              .select(lit(nameT).as("target"),
+                (col("types_before") + col("m")).as("k_types"),
+                Num.fround(
+                  (col("cum_before") + col("m") * col("c")).cast("double")
+                    / col("n").cast("double"), 6).as("covered_share"),
+                col("n").as("n_tokens"))
+          }
+        rows.reduce(_ unionByName _).orderBy(col("target"))
+      },
+      Some(s"""WITH tok AS (
+                 SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+               vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+               cc AS (SELECT c, count(*) AS n_types FROM vocab GROUP BY c),
+               cum AS (
+                 SELECT c, n_types,
+                   sum(c * n_types) OVER (ORDER BY c DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_toks,
+                   coalesce(sum(n_types) OVER (ORDER BY c DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS types_before
+                 FROM cc),
+               nn AS (SELECT sum(c)::BIGINT AS n FROM vocab),
+               t(num, den, target) AS (VALUES (9, 10, 'p90'), (19, 20, 'p95'), (99, 100, 'p99')),
+               b AS (
+                 SELECT t.target, t.num, t.den, cum.c, cum.n_types, cum.types_before,
+                   cum.cum_toks - cum.c * cum.n_types AS cum_before, nn.n,
+                   row_number() OVER (PARTITION BY t.target ORDER BY cum.cum_toks) AS rn
+                 FROM cum, nn, t
+                 WHERE cum.cum_toks * t.den >= t.num * nn.n),
+               sel AS (
+                 SELECT target, types_before, cum_before, c, n,
+                   (num * n - den * cum_before + den * c - 1) // (den * c) AS m
+                 FROM b WHERE rn = 1)
+               SELECT target,
+                 (types_before + m)::BIGINT AS k_types,
+                 ${Num.froundSql("(cum_before + m * c)::DOUBLE / n", 6)} AS covered_share,
+                 n AS n_tokens
+               FROM sel ORDER BY target"""),
+    ),
+
     // Deterministic training shuffle + sharding — the last step a
     // curation pipeline runs before writing training shards: a global
     // RNG-free permutation (md5 order key, the q65 house pattern) cut

@@ -267,4 +267,32 @@ class CurationSpec extends SparkSuite {
         s"$src diverges: got ($cov,$jsd) expected ($ecov,$ejsd)")
     }
   }
+
+  test("q193 coverage curve: k is MINIMAL against a driver-side Zipf ranking") {
+    val out = SparkEntry.queries("q193_vocab_coverage")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("p90", "p95", "p99"))
+    // driver-side truth: full per-type counts, sorted by frequency
+    // desc (equal-frequency types are interchangeable, so any
+    // tiebreak yields the same cumulative curve)
+    val counts = Tables.documents(spark, sfDir)
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map(_._2.length.toLong).toSeq.sorted.reverse
+    val n = counts.sum
+    val cum = counts.scanLeft(0L)(_ + _).tail // cum(i) = tokens of top i+1 types
+    val targets = Seq("p90" -> (9L, 10L), "p95" -> (19L, 20L), "p99" -> (99L, 100L)).toMap
+    out.foreach { case (t, k, share, nTok) =>
+      assert(nTok == n, s"$t token total $nTok != $n")
+      val (num, den) = targets(t)
+      assert(cum(k.toInt - 1) * den >= num * n, s"$t: k=$k does not reach the target")
+      if (k > 1) assert(cum(k.toInt - 2) * den < num * n, s"$t: k=$k not minimal")
+      assert(share == math.floor(cum(k.toInt - 1).toDouble / n * 1e6 + 0.5) / 1e6,
+        s"$t: share law")
+    }
+    // monotone in the target
+    val ks = out.map(_._2)
+    assert(ks(0) <= ks(1) && ks(1) <= ks(2), s"k not monotone: ${ks.toSeq}")
+  }
 }
