@@ -79,7 +79,7 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       if (img == null) content else luminance(img)
-    } catch { case _: java.io.IOException => content }
+    } catch { case scala.util.control.NonFatal(_) => content }
 
   /** Decode a VIDEO payload into per-frame luminance planes when the
     * container is one the JDK can actually read — an animated GIF
@@ -274,7 +274,7 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       if (img == null) None else Some((luminance(img), img.getWidth, img.getHeight))
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** 64-bit average hash: integer 8×8 grid means over the luminance
     * plane, each cell thresholded against the mean of cell means. All

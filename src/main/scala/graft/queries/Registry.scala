@@ -5,5 +5,5 @@ package graft.queries
   * SURVEY.md §2 operators it covers. */
 object Registry {
   def all: Seq[QueryDef] =
-    Core.defs ++ Domain.defs ++ Text.defs ++ Curation.defs ++ Vectors.defs ++ Clustering.defs ++ Events.defs ++ Extensions.defs ++ Retrieval.defs ++ Learning.defs
+    Core.defs ++ Domain.defs ++ Text.defs ++ Curation.defs ++ Vectors.defs ++ Clustering.defs ++ Events.defs ++ Extensions.defs ++ Retrieval.defs ++ Learning.defs ++ Media.defs
 }

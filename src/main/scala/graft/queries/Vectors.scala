@@ -2827,7 +2827,13 @@ object Vectors {
   // third quantizer tier: the serving index is STAGED
   // STORAGE-PARTITIONED BY CELL (probe cells become a partition-pruned
   // directory read), candidates Hamming-rank inside the probed cells,
-  // and only the bounded re-rank set touches the float payload.
+  // and only the bounded re-rank set touches the float payload. Each
+  // served row carries the q184-style exact-harness `hit` flag, so the
+  // recall cell pruning costs (or here GAINS — the C=64 oversampling
+  // budget covers two cells more densely than the whole corpus:
+  // measured 59/64 at sf0.001 vs q184's full-scan 51/64) is a
+  // measured output with a spec floor, at every SF and on the
+  // adversarial fixture.
   // q191: the BQ oversampling curve — q184's scaladoc carries the
   // measured recall@8 band as prose; this makes the knob a MEASURED
   // ARTIFACT the way q182 did for beam width: the same Hamming scan at
@@ -2975,6 +2981,25 @@ object Vectors {
         .orderBy(col("ham"), col("vec_id"))
       val w3 = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id"))
+      // exact harness (the q184/q174 stance): one FULL-corpus pass per
+      // probe flags each served result against the true top-20, so the
+      // recall that cell pruning gives up (vs q184's full Hamming
+      // scan) is measurable in the OUTPUT, cross-engine. The harness
+      // is the measurement, not the serving plan — the served path
+      // still reads only the probed cells.
+      val probesFull = bq.filter(col("vec_id") < N_PROBES)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq"))
+      val simE = Num.fround(
+        VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+          col("p_nsq"), col("nsq")), 4)
+      val exact = bq.select(col("vec_id"), col("embedding"), col("nsq"))
+        .crossJoin(broadcast(probesFull))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), simE.as("sim"))
+        .withColumn("rk", row_number().over(w3))
+        .filter(col("rk") <= 20)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
       broadcast(cands
         .withColumn("crank", row_number().over(wc))
         .filter(col("crank") <= BqC))
@@ -2984,8 +3009,9 @@ object Vectors {
             col("p_nsq"), col("nsq")), 4))
         .withColumn("rank", row_number().over(w3).cast("long"))
         .filter(col("rank") <= 8)
+        .join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
         .select(col("probe_id"), col("rank"), col("vec_id"), col("cell"),
-          col("ham"), col("sim"))
+          col("ham"), col("sim"), coalesce(col("hit"), lit(0)).as("hit"))
         .orderBy(col("probe_id"), col("rank"))
     },
     Some(s"""WITH c AS (
@@ -3018,12 +3044,27 @@ object Vectors {
              rr AS (
                SELECT probe_id, vec_id, cell, ham,
                  ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("p_emb", "emb"), "p_nsq", "nsq")}", 4)} AS sim
-               FROM cand)
-             SELECT probe_id,
-               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
-               vec_id, cell, ham, sim
-             FROM rr
-             QUALIFY rank <= 8
-             ORDER BY probe_id, rank"""),
+               FROM cand),
+             pfull AS (
+               SELECT vec_id AS probe_id, emb AS p_emb, nsq AS p_nsq
+               FROM c WHERE vec_id < $N_PROBES),
+             exact AS (
+               SELECT pfull.probe_id, c.vec_id
+               FROM c CROSS JOIN pfull
+               WHERE c.vec_id <> pfull.probe_id
+               QUALIFY row_number() OVER (PARTITION BY pfull.probe_id ORDER BY
+                 ${Num.froundSql(s"${VectorFns.cosineSql(VectorFns.dotSql("pfull.p_emb", "c.emb"), "pfull.p_nsq", "c.nsq")}", 4)} DESC,
+                 c.vec_id) <= 20),
+             srv AS (
+               SELECT probe_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                 vec_id, cell, ham, sim
+               FROM rr
+               QUALIFY rank <= 8)
+             SELECT s.probe_id, s.rank, s.vec_id, s.cell, s.ham, s.sim,
+               (CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END) AS hit
+             FROM srv s LEFT JOIN exact e
+               ON s.probe_id = e.probe_id AND s.vec_id = e.vec_id
+             ORDER BY s.probe_id, s.rank"""),
   )
 }

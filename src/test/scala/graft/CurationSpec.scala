@@ -232,11 +232,6 @@ class CurationSpec extends SparkSuite {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     assert(out.nonEmpty)
-    out.foreach { case (src, nDocs, nToks, cov, jsd) =>
-      assert(nDocs > 0 && nToks > 0, s"$src empty")
-      assert(cov > 0 && cov <= 1.0 + 1e-9, s"$src coverage $cov out of range")
-      assert(jsd >= -1e-9 && jsd <= math.log(2) + 1e-9, s"$src jsd $jsd out of [0, ln2]")
-    }
     // independent path: plain Scala maps, same tokenization, same
     // e9 quantization and closed form
     val docs = Tables.documents(spark, sfDir)
@@ -247,6 +242,16 @@ class CurationSpec extends SparkSuite {
     val corpusCounts = bySrc.values.flatten.groupBy(identity).view
       .mapValues(_.size.toLong).toMap
     val n = corpusCounts.values.sum.toDouble
+    // coverage sums per-type e9-quantized q values, so a source
+    // covering most of the vocabulary accumulates up to ±0.5e-9 of
+    // rounding PER TYPE above the exact ≤1.0 bound — the slack is the
+    // statistic's own quantization budget, not a correctness fudge
+    val covSlack = corpusCounts.size * 1e-9 + 1e-9
+    out.foreach { case (src, nDocs, nToks, cov, jsd) =>
+      assert(nDocs > 0 && nToks > 0, s"$src empty")
+      assert(cov > 0 && cov <= 1.0 + covSlack, s"$src coverage $cov out of range")
+      assert(jsd >= -1e-9 && jsd <= math.log(2) + 1e-9, s"$src jsd $jsd out of [0, ln2]")
+    }
     def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val expected = bySrc.map { case (src, ws) =>
       val cs = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap

@@ -62,18 +62,25 @@ class PlanHygieneSpec extends SparkSuite {
     //  - q192: q70's verdict join reused verbatim (component labels —
     //    one row per node of the pair graph, scales with the corpus —
     //    joined back onto every document for license propagation).
+    //  - q194/q195: the perceptual-hash twin of the q70/q192 shapes —
+    //    the 4×16-bit banded candidate self-join (hash table ⋈ hash
+    //    table on the band key; both sides scale with the media
+    //    corpus) and the component-label verdict join back onto every
+    //    document; broadcast would be the bug.
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
       "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
       "q164_dedup_weights", "q183_bitext_margin_mining",
-      "q186_embedding_decontamination", "q192_license_propagation"),
+      "q186_embedding_decontamination", "q192_license_propagation",
+      "q194_image_neardup_license", "q195_audio_neardup_groups"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
       "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
       "q164_dedup_weights", "q183_bitext_margin_mining",
-      "q186_embedding_decontamination", "q192_license_propagation"))
+      "q186_embedding_decontamination", "q192_license_propagation",
+      "q194_image_neardup_license", "q195_audio_neardup_groups"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",
