@@ -774,6 +774,51 @@ object Clustering {
     * vec_id % 10 = 0 is the arriving batch). Package-visible so the
     * streaming maintenance path ([[graft.streaming.GraphIngest]]) and
     * its spec wire the SAME populations the q175/q176 oracles prove. */
+  /** Probe hook (r13 verdict #2): the q182 beam sweep with PARAMETRIC
+    * widths, so the scale probes can chase the serving knob PAST the
+    * registered 4/8/16 sweep (whose top width is q174's default — at
+    * 10× the knob that restores the sf0.1 hit band lies beyond it)
+    * without churning the audited q182 face. Spark side only, same
+    * staged graph, same shared exact harness; correctness of every
+    * piece of machinery is q182's oracle. */
+  private[graft] def beamSweepProbe(s: SparkSession, dir: String,
+      beams: Seq[Int], hops: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (p, k) = (8, 20)
+    val nodes = hierMembers(s, dir)
+      .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+    val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+      navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
+    }
+    val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
+    val probesF = nodes.filter(col("vec_id") < p)
+      .select(col("vec_id").as("probe_id"), col("fcid").as("p_fcid"),
+        col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+    val probes = probesF.select(col("probe_id"), col("p_emb"), col("p_nsq"))
+    val entries = routedEntries(probesF, nodes,
+      hubTable(nodes), superHubTable(hubRankTable(nodes)))
+    val sim = Num.fround(
+      VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+        col("p_nsq"), col("nsq")), 4)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = nodesP.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+    beams.map { b =>
+      beamWalkScored(nodesP, g, probes, entries, b, hops)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 8)
+        .join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .select(lit(b.toLong).as("beam"), col("n_results"), col("hits"))
+    }.reduce(_.unionByName(_)).orderBy(col("beam"))
+  }
+
   private[graft] def navPopulations(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val nodes = hierMembers(s, dir)

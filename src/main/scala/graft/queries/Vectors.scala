@@ -2841,6 +2841,54 @@ object Vectors {
   // shared exact top-20 harness, one row per width. The operational
   // claim a deployment tunes on: hits rise monotonically with C at
   // the same 16-byte scan cost (only the re-rank set grows).
+  /** Probe hook (r13 verdict #2): the q191 oversampling sweep with
+    * PARAMETRIC widths, so the scale probes can chase the C knob past
+    * the registered 16/64/256 sweep without churning the audited q191
+    * face. Spark side only, same staged codes, same shared exact
+    * harness; correctness of the machinery is q191's oracle. */
+  private[graft] def bqSweepProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String, widths: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    graft.functions.DotProductF.register(s)
+    val c = graft.operators.Staged.parquet(s, s"bq64|$dir")(bqBuild(s, dir))
+    val probes = c.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("lo").as("p_lo"),
+        col("hi").as("p_hi"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ham"), col("vec_id"))
+    val w8 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val sim = Num.fround(
+      VectorFns.cosine(
+        graft.functions.DotProductF.dotCol(col("p_emb"), col("embedding")),
+        col("p_nsq"), col("nsq")), 4)
+    val exact = c.select(col("vec_id"), col("embedding"), col("nsq"))
+      .crossJoin(broadcast(probes
+        .select(col("probe_id"), col("p_emb"), col("p_nsq"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w8))
+      .filter(col("rk") <= 20)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+    val ranked = c.select(col("vec_id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("ham", expr(
+        "cast(bit_count(lo ^ p_lo) + bit_count(hi ^ p_hi) as int)"))
+      .withColumn("crank", row_number().over(wc))
+    widths.map { cWidth =>
+      broadcast(ranked.filter(col("crank") <= cWidth))
+        .join(c.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", row_number().over(w8))
+        .filter(col("rank") <= 8)
+        .join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("results"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .select(lit(cWidth.toLong).as("c_width"), col("results"), col("hits"))
+    }.reduce(_.unionByName(_)).orderBy(col("c_width"))
+  }
+
   private lazy val BqSweepDef: QueryDef = QueryDef(
     "q191_ann_bq_sweep",
     (s, dir) => {

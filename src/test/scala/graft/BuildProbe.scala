@@ -28,7 +28,11 @@ object BuildProbe {
     val faces =
       if (args.nonEmpty) args.toSeq
       else Seq("q174_ann_graph_search", "q175_ann_graph_delta",
-        "q178_ann_graph_compaction", "q180_ann_graph_reinsert")
+        "q178_ann_graph_compaction", "q180_ann_graph_reinsert",
+        // q130 drives the bpe_merges stage (r13 verdict #7): the
+        // trainer's 8 sequential argmax jobs are the one staged build
+        // family whose 10x ratio was previously unmeasured.
+        "q130_bpe_merges")
 
     Seq(base, scaled).foreach { dir =>
       faces.foreach { name =>
