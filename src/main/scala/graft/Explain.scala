@@ -180,7 +180,14 @@ object Explain {
     // corpus counts via a window OVER THE AGGREGATE keyed on w,
     // integer-exact terms — the no-Zipf-key-in-an-exchange shape).
     "q184_ann_binary_hamming", "q185_minkprob_membership",
-    "q188_incontext_packing", "q189_source_token_drift")
+    "q188_incontext_packing", "q189_source_token_drift",
+    // round 14: the vocabulary-coverage curve — windows over the
+    // ~sqrt(T)-row count-of-counts aggregate, never the per-type
+    // ranking. (q194/q195 are excluded like q68/q70: their component
+    // step runs eager actions during construction, so the dumped tail
+    // would start at the post-checkpoint labels; their banded-pair
+    // shape is q33/q54's, already dumped.)
+    "q193_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
