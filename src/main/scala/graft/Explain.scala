@@ -187,7 +187,18 @@ object Explain {
     // step runs eager actions during construction, so the dumped tail
     // would start at the post-checkpoint labels; their banded-pair
     // shape is q33/q54's, already dumped.)
-    "q193_vocab_coverage")
+    "q193_vocab_coverage",
+    // round 14 second wave: prototypicality pruning (ONE fcid-hashed
+    // exchange carrying both window frames — the cheap member of the
+    // selection family), MaxSim late interaction (staged sparse
+    // chunk features ⋈ broadcast probe features on bucket, two
+    // key-narrowing HashAggregates, WindowGroupLimit top-10 — the
+    // multi-vector twin of q184's serving shape), TracIn self-
+    // influence (checkpoint weights as plan literals over the staged
+    // feature scan, TakeOrderedAndProject — no corpus shuffle at
+    // all).
+    "q196_prototypicality_prune", "q197_maxsim_retrieval",
+    "q198_tracin_selfinfluence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -75,6 +75,11 @@ object Clustering {
     * embeddings (max pairwise cosine ≈ 0.51), so the dedup actually
     * drops rows at every sf instead of passing vacuously. */
   private val TAU = 0.35
+  /** q196 prototypicality pruning: keep the hardest ceil(0.7·n) per
+    * fine cluster; clusters under 8 members are kept whole (nothing
+    * prototypical to shed — the paper prunes dense neighborhoods). */
+  private val PruneKeepFrac = 0.7
+  private val PruneMinCluster = 8L
 
   /** Corpus with the float embedding, its double-cast array `e`, and
     * the codegen'd squared norm. */
@@ -2633,6 +2638,65 @@ object Clustering {
               AS mean_adj_sim
             FROM adj GROUP BY fcid, win ORDER BY cluster_id, win"""
       },
+    ),
+
+    // Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    // scaling laws: beating power law scaling via data pruning"): in
+    // the abundant-data regime the published result is to DROP the
+    // most prototypical examples — the ones closest to their cluster
+    // centroid — and train on the hard remainder; the SSL-prototype
+    // metric is exactly the distance-to-centroid the q85 hierarchy
+    // already computes. The third selection axis of the cluster
+    // family: q86 drops near-DUPLICATES (pairwise cosine), q89
+    // samples for BALANCE (per-cluster quota), this drops for
+    // DIFFICULTY (per-cluster easiest fraction). Keep-hardest rank
+    // runs on the 4dp-rounded distance (both engines rank identical
+    // doubles — the q85-proven quantity) with vec_id tiebreak; the
+    // verdict keeps the hardest ceil(0.7·n) per cluster and keeps
+    // SMALL clusters (< 8 members) whole — the paper prunes where
+    // density is high, and a 7-member cluster has no "prototype mass"
+    // to shed. Emits every vector with its rank and verdict, so the
+    // filter is auditable like q80/q86.
+    //
+    // Scale shape: ONE exchange — both window frames (hardness rank,
+    // cluster size) hash on fcid, and fine-cluster size is bounded
+    // ≈ TargetClusterSize by hierBuild's derived-k contract, so no
+    // window partition grows with the corpus. No join, no self-pair
+    // scan: this is the cheap member of the selection family by
+    // construction (q86 pays the in-cluster pair scan; this is scan →
+    // window → narrow map).
+    QueryDef(
+      "q196_prototypicality_prune",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byCluster = Window.partitionBy(col("fcid"))
+        val hardness = byCluster.orderBy(col("dist4").desc, col("vec_id"))
+        hierFinal(s, dir)
+          .select(col("vec_id"), col("fcid"),
+            Num.fround(col("dist"), 4).as("dist4"))
+          .withColumn("hard_rank", row_number().over(hardness).cast("long"))
+          .withColumn("n_cluster", count(lit(1)).over(byCluster))
+          .select(col("vec_id"), col("fcid").as("cluster_id"),
+            col("dist4").as("dist"), col("hard_rank"), col("n_cluster"),
+            (col("n_cluster") < PruneMinCluster ||
+              col("hard_rank") <= ceil(col("n_cluster") * lit(PruneKeepFrac)))
+              .as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $hierSqlCtes,
+               pr AS (SELECT vec_id, fcid,
+                        ${Num.froundSql("dist", 4)} AS dist4
+                      FROM fa2),
+               prk AS (SELECT vec_id, fcid, dist4,
+                         row_number() OVER (PARTITION BY fcid
+                           ORDER BY dist4 DESC, vec_id)::BIGINT AS hard_rank,
+                         count(*) OVER (PARTITION BY fcid)::BIGINT AS n_cluster
+                       FROM pr)
+               SELECT vec_id, fcid AS cluster_id, dist4 AS dist,
+                 hard_rank, n_cluster,
+                 (n_cluster < $PruneMinCluster
+                   OR hard_rank <= ceil(n_cluster * $PruneKeepFrac)) AS keep
+               FROM prk ORDER BY vec_id"""),
     ),
   )
 }

@@ -41,6 +41,9 @@ object Learning {
   private val Eta = 2.0
   private val D = 5
 
+  /** q198 review-queue size: the top self-influence cut. */
+  private val TracInTopK = 32
+
   /** Classifier feature frame (doc_id, y, x0..x4), STAGED through
     * parquet once per (JVM, input dir) — the shared input of q133
     * (full-data fit), q152 (holdout eval) and q153 (fairness audit),
@@ -74,18 +77,26 @@ object Learning {
 
   /** Full-batch GD over the given (possibly filtered) feature frame:
     * [[Steps]] distributed-aggregate steps, weights frounded to 6dp
-    * after each — D doubles of driver state per step. */
-  private def trainWeights(feat: org.apache.spark.sql.DataFrame): IndexedSeq[Double] = {
+    * after each — D doubles of driver state per step. Returns the
+    * whole checkpoint trajectory (w after step 1 .. [[Steps]]): q133/
+    * q152 consume only the final element, q198's TracIn accumulation
+    * sums over every checkpoint (the published estimator is defined
+    * over the checkpoints saved DURING training, not the final model
+    * alone). */
+  private def trainTrajectory(feat: org.apache.spark.sql.DataFrame): Seq[IndexedSeq[Double]] = {
     var w: IndexedSeq[Double] = Vector.fill(D)(0.0)
-    for (_ <- 1 to Steps) {
+    (1 to Steps).map { _ =>
       val p = sigmoid(margin(w))
       val g = feat.select((0 until D).map(j =>
         avg((p - col("y")) * col(s"x$j")).as(s"g$j")): _*).first()
       w = Vector.tabulate(D)(j =>
         math.floor((w(j) - Eta * g.getDouble(j)) * 1e6 + 0.5) / 1e6)
+      w
     }
-    w
   }
+
+  private def trainWeights(feat: org.apache.spark.sql.DataFrame): IndexedSeq[Double] =
+    trainTrajectory(feat).last
 
   private def classifierZSql(wTbl: String): String =
     Num.froundSql((0 until D).map(j => s"$wTbl.w$j * x$j").mkString(" + "), 6)
@@ -701,6 +712,64 @@ object Learning {
                  (ex.excess >= thr.p50) AS keep
                FROM ex JOIN thr USING (lang)
                ORDER BY ex.doc_id"""),
+    ),
+
+    // TracIn self-influence (Pruthi et al. 2020, "Estimating Training
+    // Data Influence by Tracing Gradient Descent"): the influence of
+    // a training example on ITSELF, summed over the checkpoints saved
+    // during training — the paper's §3.2 recipe for surfacing
+    // mislabeled/outlier examples (they are the ones the model keeps
+    // paying a large gradient for at every checkpoint). For logistic
+    // loss the per-example gradient is (p − y)·x, so self-influence
+    // collapses to a CLOSED FORM over the q133 trajectory:
+    // Σ_t (p_t − y)² · ‖x‖² with p_t the sigmoid at checkpoint t —
+    // no per-example gradient vectors ever materialize. Completes the
+    // learned-curation arc: q133 fits, q152 evaluates, q153 audits
+    // groups, q190 selects by excess loss, this audits INDIVIDUAL
+    // examples for label noise. Emits the top-32 most self-influential
+    // docs — the review queue a curation team would actually read.
+    //
+    // Scale shape: training is q133's bounded-gradient loop (D+1
+    // doubles of driver state per step); scoring is a NARROW MAP over
+    // the staged feature table with all Steps checkpoint weights as
+    // plan literals; the top-32 cut is TakeOrderedAndProject (per-
+    // partition heaps, no full sort, no shuffle of corpus rows).
+    //
+    // Determinism: margins are 6dp-frounded before each sigmoid (both
+    // engines exponentiate identical doubles); the remaining cross-
+    // libm exp noise is ~1e-16 relative, absorbed by the 6dp fround
+    // on selfinf (boundary width 5e-7 — the q87 argument); the cut
+    // ranks the ROUNDED selfinf with doc_id tiebreak on both engines.
+    QueryDef(
+      "q198_tracin_selfinfluence",
+      (s, dir) => {
+        val feat = classifierFeatures(s, dir)
+        val traj = trainTrajectory(feat)
+        val normsq = (0 until D).map(j => col(s"x$j") * col(s"x$j")).reduce(_ + _)
+        val sqErrs = traj.map { w =>
+          val p = sigmoid(margin(w))
+          (p - col("y")) * (p - col("y"))
+        }
+        feat.select(col("doc_id"), col("y").cast("long").as("label"),
+            Num.fround(sigmoid(margin(traj.last)), 4).as("score"),
+            Num.fround(normsq * sqErrs.reduce(_ + _), 6).as("selfinf"))
+          .orderBy(col("selfinf").desc, col("doc_id"))
+          .limit(TracInTopK)
+      },
+      Some {
+        val normsqSql = (0 until D).map(j => s"x$j * x$j").mkString(" + ")
+        val sqErrSql = (1 to Steps).map { t =>
+          val p = classifierPSql(s"wt$t")
+          s"($p - y) * ($p - y)"
+        }.mkString(" + ")
+        val fromSql = (1 to Steps).map(t => s"w$t wt$t").mkString(", ")
+        s"""WITH ${classifierSqlCtes(trainFilter = None)}
+            SELECT doc_id, y::BIGINT AS label,
+              ${Num.froundSql(classifierPSql(s"wt$Steps"), 4)} AS score,
+              ${Num.froundSql(s"($normsqSql) * ($sqErrSql)", 6)} AS selfinf
+            FROM f, $fromSql
+            ORDER BY selfinf DESC, doc_id LIMIT $TracInTopK"""
+      },
     ),
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Num
+import graft.functions.{Num, VectorFns}
 
 /** Search-serving index surface: the inverted-index BUILD (the storage
   * artifact a retrieval system precomputes over the corpus) and the
@@ -33,6 +33,13 @@ object Retrieval {
   private val K1 = 1.2
   private val B = 0.75
   private val TopK = 10
+
+  /** q197 MaxSim knobs: 16 signed hash buckets per chunk vector, 4
+    * probe documents, query side capped at 8 chunks, top-10 served. */
+  private val MsimBuckets = 16
+  private val MsimProbes = 4
+  private val MsimQCap = 8
+  private val MsimTopK = 10
 
   /** Graded relevance used by q145 (and its spec's re-derivation):
     * the number of distinct query terms the document contains. */
@@ -368,6 +375,131 @@ object Retrieval {
                ${Num.froundSql("idcg", 4)} AS idcg,
                ${Num.froundSql("dcg / idcg", 4)} AS ndcg
              FROM ranked, d, i ORDER BY pos"""
+      },
+    ),
+
+    // Late-interaction (MaxSim) retrieval — the ColBERT scoring rule
+    // (Khattab & Zaharia 2020): score(q, d) = Σ over query units of
+    // the MAX similarity against any document unit, instead of one
+    // vector per document. The units here are the q75-shape 10-token
+    // chunks, each embedded by the hashing trick (Weinberger et al.
+    // 2009): every token hashes to one of 16 signed buckets
+    // (md5-derived bucket and sign — the q117/q119 device), so a
+    // chunk's vector is a SPARSE integer bucket→count map and dot
+    // products are EXACT integer sums (the only float op per pair is
+    // one sqrt + one division, the normSq/dot house argument). Query
+    // side = 4 probe documents truncated to their first 8 chunks (the
+    // published query-length cap). A (q-chunk, doc) pair sharing no
+    // bucket scores 0, and the per-q-chunk max is floored at 0 —
+    // both engines see the identical sparse semantics.
+    //
+    // Scale shape: the chunk-feature table is the staged serving
+    // artifact (explode → 16-bucket HashAggregate with map-side
+    // partials — hot tokens collapse per-mapper; norms ride a
+    // (doc, idx)-keyed window, one exchange at build). Serving joins
+    // the corpus-side features to a BROADCAST probe-feature table
+    // (≤ 4·8·16 rows by construction) on bucket — never a corpus
+    // self-join — then two key-narrowing HashAggregates (pair dot →
+    // per-q-chunk max → per-doc sum). The rank ≤ 10 filter compiles
+    // to WindowGroupLimit (the q184 device), so each partition keeps
+    // 10 candidates per probe before the final exchange.
+    //
+    // Determinism: dot/norms are exact integers; cosine is one
+    // correctly-rounded sqrt + one IEEE division of identical
+    // operands, frounded to 4dp before max; the per-doc score sums
+    // ≤ 8 4dp-quantized terms (association noise ~1e-15 vs the 5e-5
+    // boundary) and re-rounds; ranks break ties on doc_id.
+    QueryDef(
+      "q197_maxsim_retrieval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val feats = graft.operators.Staged.parquet(s, s"msim_feats|$dir") {
+          val toks = split(col("text"), " ")
+          val nChunks = ceil(size(toks).cast("double") / 10.0).cast("int")
+          val chunks = Tables.documents(s, dir)
+            .select(col("doc_id"), toks.as("ws"), nChunks.as("nc"))
+            .select(col("doc_id"), posexplode(expr(
+              "transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
+            .withColumnsRenamed(Map("pos" -> "idx", "col" -> "chunk"))
+          val hashed = chunks
+            .select(col("doc_id"), col("idx"),
+              explode(split(col("chunk"), " ")).as("t"))
+            .select(col("doc_id"), col("idx"),
+              expr(s"cast(conv(substring(md5(concat('msim|', t)), 1, 3), 16, 10) as int) % $MsimBuckets")
+                .as("bucket"),
+              expr("case when cast(conv(substring(md5(concat('msim|', t)), 4, 1), 16, 10) as int) < 8 then 1L else -1L end")
+                .as("sgn"))
+          hashed.groupBy(col("doc_id"), col("idx"), col("bucket"))
+            .agg(sum(col("sgn")).as("c"))
+            .filter(col("c") =!= 0)
+            .withColumn("nsq",
+              sum(col("c") * col("c"))
+                .over(Window.partitionBy(col("doc_id"), col("idx"))))
+        }
+        val probes = feats
+          .filter(col("doc_id") < MsimProbes && col("idx") < MsimQCap)
+          .select(col("doc_id").as("probe_id"), col("idx").as("q_idx"),
+            col("bucket"), col("c").as("pc"), col("nsq").as("pnsq"))
+        val sim = Num.fround(VectorFns.cosine(col("dot").cast("double"),
+          col("dn").cast("double"), col("pn").cast("double")), 4)
+        val best = feats.join(broadcast(probes), Seq("bucket"))
+          .filter(col("doc_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("q_idx"), col("doc_id"), col("idx"))
+          .agg(sum(col("c") * col("pc")).as("dot"),
+            max(col("nsq")).as("dn"), max(col("pnsq")).as("pn"))
+          .select(col("probe_id"), col("q_idx"), col("doc_id"), sim.as("sim"))
+          .groupBy(col("probe_id"), col("q_idx"), col("doc_id"))
+          .agg(greatest(max(col("sim")), lit(0.0)).as("qbest"))
+        val ranked = Window.partitionBy(col("probe_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        best.groupBy(col("probe_id"), col("doc_id"))
+          .agg(Num.fround(sum(col("qbest")), 4).as("score"),
+            count(lit(1)).as("n_q_matched"))
+          .withColumn("rnk", row_number().over(ranked).cast("long"))
+          .filter(col("rnk") <= MsimTopK)
+          .select(col("probe_id"), col("rnk"), col("doc_id"), col("score"),
+            col("n_q_matched"))
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some {
+        val cosSql = Num.froundSql(VectorFns.cosineSql(
+          "dot::DOUBLE", "dn::DOUBLE", "pn::DOUBLE"), 4)
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            ch AS (SELECT doc_id, g.i AS idx,
+                     array_to_string(array_slice(ws, 10 * g.i + 1, 10 * g.i + 10), ' ') AS chunk
+                   FROM t, LATERAL (SELECT unnest(generate_series(0,
+                     CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS i) g),
+            tok AS (SELECT doc_id, idx, unnest(string_split(chunk, ' ')) AS tk FROM ch),
+            ftr AS (SELECT doc_id, idx,
+                      ('0x' || substr(md5('msim|' || tk), 1, 3))::INT % $MsimBuckets AS bucket,
+                      sum(CASE WHEN ('0x' || substr(md5('msim|' || tk), 4, 1))::INT < 8
+                          THEN 1 ELSE -1 END)::BIGINT AS c
+                    FROM tok GROUP BY doc_id, idx, bucket),
+            fn AS (SELECT doc_id, idx, bucket, c,
+                     sum(c * c) OVER (PARTITION BY doc_id, idx)::BIGINT AS nsq
+                   FROM ftr WHERE c <> 0),
+            pf AS (SELECT doc_id AS probe_id, idx AS q_idx, bucket,
+                     c AS pc, nsq AS pnsq
+                   FROM fn WHERE doc_id < $MsimProbes AND idx < $MsimQCap),
+            pd AS (SELECT p.probe_id, p.q_idx, f.doc_id, f.idx,
+                     sum(f.c * p.pc)::BIGINT AS dot,
+                     max(f.nsq) AS dn, max(p.pnsq) AS pn
+                   FROM fn f JOIN pf p USING (bucket)
+                   WHERE f.doc_id <> p.probe_id
+                   GROUP BY p.probe_id, p.q_idx, f.doc_id, f.idx),
+            bst AS (SELECT probe_id, q_idx, doc_id,
+                      greatest(max($cosSql), 0.0) AS qbest
+                    FROM pd GROUP BY probe_id, q_idx, doc_id),
+            scd AS (SELECT probe_id, doc_id,
+                      ${Num.froundSql("sum(qbest)", 4)} AS score,
+                      count(*)::BIGINT AS n_q_matched
+                    FROM bst GROUP BY probe_id, doc_id),
+            rkd AS (SELECT probe_id, doc_id, score, n_q_matched,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY score DESC, doc_id)::BIGINT AS rnk
+                    FROM scd)
+            SELECT probe_id, rnk, doc_id, score, n_q_matched
+            FROM rkd WHERE rnk <= $MsimTopK ORDER BY probe_id, rnk"""
       },
     ),
   )

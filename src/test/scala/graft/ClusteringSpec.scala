@@ -619,4 +619,39 @@ class ClusteringSpec extends SparkSuite {
     assert(semantic > baseline + 0.02 && semantic >= 0.02,
       s"semantic packing lost its coherence edge: $semantic vs baseline $baseline")
   }
+
+  test("q196 prototypicality prune: keep-count law, hardest kept, q85-consistent") {
+    import org.apache.spark.sql.functions.col
+    val out = q("q196_prototypicality_prune").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length == n, "every vector gets a verdict")
+    assert(out.map(_._1).distinct.length == n, "exactly one verdict per vector")
+    // cluster ids and memberships agree with the q85 artifact
+    val q85 = q("q85_kmeans_assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (v, c, _, _, _, _) => q85(v) == c },
+      "cluster membership diverges from q85")
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      val m = members.sortBy(_._4)
+      val nC = m.length.toLong
+      assert(m.forall(_._5 == nC), s"cluster $cid: n_cluster column wrong")
+      // hard_rank is a permutation of 1..n ordered by (dist desc, vec_id)
+      assert(m.map(_._4).toSeq == (1L to nC), s"cluster $cid: ranks not dense")
+      val resorted = members.sortBy(r => (-r._3, r._1)).map(_._1).toSeq
+      assert(m.map(_._1).toSeq == resorted, s"cluster $cid: rank order wrong")
+      // keep law: whole cluster under the floor, hardest ceil(0.7 n) above it
+      val kept = m.count(_._6).toLong
+      val expected = if (nC < 8) nC else math.ceil(nC * 0.7).toLong
+      assert(kept == expected, s"cluster $cid: kept $kept expected $expected")
+      // the kept set is exactly the rank prefix — hardest always kept,
+      // and in a pruned cluster the most prototypical member is dropped
+      assert(m.takeWhile(_._6).length == kept, s"cluster $cid: kept not a rank prefix")
+      if (nC >= 8 && expected < nC)
+        assert(!m.last._6, s"cluster $cid: most prototypical member survived")
+    }
+    // non-vacuous: at least one cluster actually prunes at this SF
+    assert(out.exists(!_._6), "no vector pruned — fixture degenerate")
+  }
 }

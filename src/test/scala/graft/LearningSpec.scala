@@ -471,4 +471,36 @@ class LearningSpec extends SparkSuite {
     }
     assert(out.exists(_._6) && out.exists(!_._6), "both verdicts must occur")
   }
+
+  test("q198 TracIn: score provenance, ordering, and the mislabel-queue claim") {
+    val out = SparkEntry.queries("q198_tracin_selfinfluence")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 32, s"review queue is a top-32 cut, got ${out.length}")
+    assert(out.forall(_._4 >= 0), "self-influence is a sum of squares")
+    // total order: selfinf desc with doc_id tiebreak
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1),
+        s"queue out of order: $a before $b")
+    }
+    // score provenance: the final-checkpoint score is exactly q133's
+    // (same weights, same 4dp rounding) for every queued doc
+    val q133 = SparkEntry.queries("q133_quality_classifier")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, _, score, _) =>
+      assert(score == q133(id), s"doc $id score $score != q133 ${q133(id)}")
+    }
+    // the operational claim (Pruthi et al. §3.2): the queue surfaces
+    // the examples the model keeps misfitting — their mean final
+    // |score − label| must sit well above the corpus mean
+    val all = SparkEntry.queries("q133_quality_classifier")(spark, sfDir)
+      .collect().map(r => math.abs(r.getDouble(2) - r.getLong(1)))
+    val corpusMean = all.sum / all.length
+    val queueMean = out.map(r => math.abs(r._3 - r._2)).sum / out.length
+    assert(queueMean > corpusMean,
+      s"queue |p-y| $queueMean not above corpus $corpusMean — queue is noise")
+    // non-degenerate: influence actually separates the queue from the
+    // corpus floor
+    assert(out.head._4 > out.last._4, "flat self-influence across the queue")
+  }
 }

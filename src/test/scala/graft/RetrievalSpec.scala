@@ -182,4 +182,70 @@ class RetrievalSpec extends SparkSuite {
     }.sum
     assert(math.abs(idealManual - idcg) < 1e-2, s"ideal recompute $idealManual != idcg $idcg")
   }
+
+  /** q197 against a plain-Scala reimplementation of the whole MaxSim
+    * chain — chunking, signed hashing, sparse integer dots, per-chunk
+    * max, per-doc sum, top-10 cut — from the corpus text alone. Dots
+    * and norms are exact integers on both paths, so the only float
+    * ops are one sqrt + one division per pair and the 4dp roundings;
+    * rows must agree exactly. */
+  test("q197 MaxSim matches an independent driver-side reimplementation") {
+    val sfDir = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fr4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // chunk → sparse signed-bucket vector (bucket -> count) + norm
+    def chunkFeats(text: String): Seq[Map[Int, Long]] = {
+      val ws = text.split(" ", -1)
+      ws.grouped(10).map { chunk =>
+        chunk.foldLeft(Map.empty[Int, Long]) { (acc, t) =>
+          val h = md5hex("msim|" + t)
+          val bucket = Integer.parseInt(h.substring(0, 3), 16) % 16
+          val sgn = if (Integer.parseInt(h.substring(3, 4), 16) < 8) 1L else -1L
+          acc.updated(bucket, acc.getOrElse(bucket, 0L) + sgn)
+        }.filter(_._2 != 0L)
+      }.toSeq
+    }
+    // chunkFeats keeps POSITION (empty maps included): the engine's
+    // idx < 8 query cap counts original chunk positions, so an
+    // all-zero early chunk must still occupy its slot; empty maps
+    // contribute no candidate pairs on either path.
+    val feats = docs.map { case (id, t) => id -> chunkFeats(t) }.toMap
+    def cos(a: Map[Int, Long], b: Map[Int, Long]): Double = {
+      val dot = a.keysIterator.map(k => a(k) * b.getOrElse(k, 0L)).sum.toDouble
+      val na = a.valuesIterator.map(v => v * v).sum.toDouble
+      val nb = b.valuesIterator.map(v => v * v).sum.toDouble
+      if (na == 0d || nb == 0d) 0d else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 4L).flatMap { p =>
+      val qChunks = feats(p).take(8)
+      val scored = docs.map(_._1).filter(_ != p).flatMap { d =>
+        val cands = qChunks.map { qc =>
+          val sims = feats(d).filter(dc => dc.keySet.intersect(qc.keySet).nonEmpty)
+            .map(dc => fr4(cos(qc, dc)))
+          if (sims.isEmpty) None else Some(math.max(sims.max, 0.0))
+        }.collect { case Some(s) => s }
+        if (cands.isEmpty) None
+        else Some((d, fr4(cands.sum), cands.length.toLong))
+      }
+      scored.sortBy { case (d, s, _) => (-s, d) }.take(10).zipWithIndex
+        .map { case ((d, s, nq), i) => (p, (i + 1).toLong, d, s, nq) }
+    }
+    val got = SparkEntry.queries("q197_maxsim_retrieval")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.length == expected.length,
+      s"row count ${got.length} vs driver ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._5 == e._5,
+        s"row diverges: $g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-9, s"score diverges: $g vs $e")
+    }
+    // the ranking is non-vacuous: some probe's top hit shares real
+    // chunk overlap (score meaningfully above the floor)
+    assert(got.exists(_._4 > 0.1), "all MaxSim scores near zero — degenerate fixture")
+  }
 }
