@@ -77,8 +77,16 @@ object Clustering {
   private val TAU = 0.35
   /** q196 prototypicality pruning: keep the hardest ceil(0.7·n) per
     * fine cluster; clusters under 8 members are kept whole (nothing
-    * prototypical to shed — the paper prunes dense neighborhoods). */
-  private val PruneKeepFrac = 0.7
+    * prototypical to shed — the paper prunes dense neighborhoods).
+    * The keep fraction is a RATIONAL (num/den), not a double: both
+    * engines compute the cutoff as ceil(num·n/den) in exact integer
+    * arithmetic — (num·n + den − 1) div den — so the ceil boundary
+    * cannot split on IEEE-vs-DECIMAL literal parsing (Spark's 0.7 is
+    * a double, DuckDB's is DECIMAL; n·0.7 rounding above/below the
+    * exact product at a boundary would silently diverge the keep
+    * verdict). Round-15 ADVICE fix. */
+  private val PruneKeepNum = 7L
+  private val PruneKeepDen = 10L
   private val PruneMinCluster = 8L
 
   /** Corpus with the float embedding, its double-cast array `e`, and
@@ -2679,7 +2687,8 @@ object Clustering {
           .select(col("vec_id"), col("fcid").as("cluster_id"),
             col("dist4").as("dist"), col("hard_rank"), col("n_cluster"),
             (col("n_cluster") < PruneMinCluster ||
-              col("hard_rank") <= ceil(col("n_cluster") * lit(PruneKeepFrac)))
+              col("hard_rank") <= expr(
+                s"(n_cluster * $PruneKeepNum + ${PruneKeepDen - 1}) div $PruneKeepDen"))
               .as("keep"))
           .orderBy(col("vec_id"))
       },
@@ -2695,7 +2704,7 @@ object Clustering {
                SELECT vec_id, fcid AS cluster_id, dist4 AS dist,
                  hard_rank, n_cluster,
                  (n_cluster < $PruneMinCluster
-                   OR hard_rank <= ceil(n_cluster * $PruneKeepFrac)) AS keep
+                   OR hard_rank <= (n_cluster * $PruneKeepNum + ${PruneKeepDen - 1}) // $PruneKeepDen) AS keep
                FROM prk ORDER BY vec_id"""),
     ),
   )

@@ -388,8 +388,11 @@ object Retrieval {
     // chunk's vector is a SPARSE integer bucket→count map and dot
     // products are EXACT integer sums (the only float op per pair is
     // one sqrt + one division, the normSq/dot house argument). Query
-    // side = 4 probe documents truncated to their first 8 chunks (the
-    // published query-length cap). A (q-chunk, doc) pair sharing no
+    // side = the 4 RANK-smallest doc_ids (deterministic orderBy+limit
+    // over the distinct ids — NOT `doc_id < 4`, which is vacuously
+    // empty on a fixture whose id space doesn't start at 0; round-15
+    // ADVICE fix) truncated to their first 8 chunks (the published
+    // query-length cap). A (q-chunk, doc) pair sharing no
     // bucket scores 0, and the per-q-chunk max is floored at 0 —
     // both engines see the identical sparse semantics.
     //
@@ -436,8 +439,10 @@ object Retrieval {
               sum(col("c") * col("c"))
                 .over(Window.partitionBy(col("doc_id"), col("idx"))))
         }
-        val probes = feats
-          .filter(col("doc_id") < MsimProbes && col("idx") < MsimQCap)
+        val probeIds = feats.select(col("doc_id")).distinct()
+          .orderBy(col("doc_id")).limit(MsimProbes)
+        val probes = feats.join(broadcast(probeIds), Seq("doc_id"))
+          .filter(col("idx") < MsimQCap)
           .select(col("doc_id").as("probe_id"), col("idx").as("q_idx"),
             col("bucket"), col("c").as("pc"), col("nsq").as("pnsq"))
         val sim = Num.fround(VectorFns.cosine(col("dot").cast("double"),
@@ -478,9 +483,12 @@ object Retrieval {
             fn AS (SELECT doc_id, idx, bucket, c,
                      sum(c * c) OVER (PARTITION BY doc_id, idx)::BIGINT AS nsq
                    FROM ftr WHERE c <> 0),
-            pf AS (SELECT doc_id AS probe_id, idx AS q_idx, bucket,
-                     c AS pc, nsq AS pnsq
-                   FROM fn WHERE doc_id < $MsimProbes AND idx < $MsimQCap),
+            pids AS (SELECT DISTINCT doc_id FROM fn
+                     ORDER BY doc_id LIMIT $MsimProbes),
+            pf AS (SELECT f.doc_id AS probe_id, f.idx AS q_idx, f.bucket,
+                     f.c AS pc, f.nsq AS pnsq
+                   FROM fn f JOIN pids USING (doc_id)
+                   WHERE f.idx < $MsimQCap),
             pd AS (SELECT p.probe_id, p.q_idx, f.doc_id, f.idx,
                      sum(f.c * p.pc)::BIGINT AS dot,
                      max(f.nsq) AS dn, max(p.pnsq) AS pn
