@@ -169,43 +169,48 @@ object Media {
   /** Shared oracle CTE chain: per-doc hash halves from the sample
     * formula, banded candidates, verified pairs, components (q70's
     * recursive-CTE transitive closure). Emits CTE bodies `hh`, `pairs`
-    * and `comp`; the caller prepends `WITH RECURSIVE`. */
-  private def hashCtesSql(prefix: String, variants: Long, bump: Long): String =
-    s"""px AS (
+    * and `comp`; the caller prepends `WITH RECURSIVE`. `p` prefixes
+    * every CTE name so two modality chains (and the text minhash
+    * chain, whose names overlap) can coexist in ONE statement —
+    * q194/q195 pass "" and their oracle text is byte-identical to the
+    * unprefixed original. */
+  private def hashCtesSql(prefix: String, variants: Long, bump: Long,
+      p: String = ""): String =
+    s"""${p}px AS (
          SELECT d.doc_id, t.i,
            ${synthSampleSql(prefix, variants, bump)} AS v
          FROM documents d CROSS JOIN range($NSamples) t(i)
          WHERE d.doc_id IS NOT NULL),
-       ag AS (SELECT doc_id, sum(v) // $NSamples AS thr FROM px GROUP BY doc_id),
-       hh AS (
+       ${p}ag AS (SELECT doc_id, sum(v) // $NSamples AS thr FROM ${p}px GROUP BY doc_id),
+       ${p}hh AS (
          SELECT px.doc_id,
            sum(CASE WHEN px.i < 32 AND px.v > ag.thr
                THEN (1::BIGINT << px.i) ELSE 0 END)::BIGINT AS lo,
            sum(CASE WHEN px.i >= 32 AND px.v > ag.thr
                THEN (1::BIGINT << (px.i - 32)) ELSE 0 END)::BIGINT AS hi
-         FROM px JOIN ag USING (doc_id) GROUP BY px.doc_id),
-       banded AS (
+         FROM ${p}px px JOIN ${p}ag ag USING (doc_id) GROUP BY px.doc_id),
+       ${p}banded AS (
          SELECT doc_id, lo, hi, b.band,
            CASE b.band WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
                        WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS key
-         FROM hh CROSS JOIN range(4) b(band)),
-       pairs AS (
+         FROM ${p}hh CROSS JOIN range(4) b(band)),
+       ${p}pairs AS (
          SELECT DISTINCT a.doc_id AS src, bb.doc_id AS dst
-         FROM banded a JOIN banded bb
+         FROM ${p}banded a JOIN ${p}banded bb
            ON a.band = bb.band AND a.key = bb.key AND a.doc_id < bb.doc_id
          WHERE bit_count(xor(a.lo, bb.lo)) + bit_count(xor(a.hi, bb.hi)) <= $MaxHam),
-       edges AS (
-         SELECT src, dst FROM pairs
+       ${p}edges AS (
+         SELECT src, dst FROM ${p}pairs
          UNION ALL
-         SELECT dst, src FROM pairs),
-       nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-       reach AS (
-         SELECT doc_id, doc_id AS label FROM nodes
+         SELECT dst, src FROM ${p}pairs),
+       ${p}nodes AS (SELECT DISTINCT src AS doc_id FROM ${p}edges),
+       ${p}reach AS (
+         SELECT doc_id, doc_id AS label FROM ${p}nodes
          UNION
          SELECT e.dst AS doc_id, r.label
-         FROM reach r JOIN edges e ON e.src = r.doc_id),
-       comp AS (
-         SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)"""
+         FROM ${p}reach r JOIN ${p}edges e ON e.src = r.doc_id),
+       ${p}comp AS (
+         SELECT doc_id, min(label) AS cluster_id FROM ${p}reach GROUP BY doc_id)"""
 
   // q194: the image near-dup GOVERNANCE pipeline — q192's license
   // propagation running on perceptual-hash components instead of
@@ -326,5 +331,160 @@ object Media {
              ORDER BY cluster_id"""),
   )
 
-  def defs: Seq[QueryDef] = Seq(ImageNearDupDef, AudioNearDupDef)
+  // q199: the CAPSTONE the curation arc implies (r14 verdict #5) —
+  // one per-document keep/drop/review verdict unifying all three
+  // modality components: the text near-dup component (q70's verified
+  // MinHash clusters and its most-tokens keep rule), the image
+  // component (q194's perceptual-hash clusters), and the audio
+  // component (q195's), under the strictest-license rule ACROSS
+  // modalities: a document's effective license is the max tier over
+  // every member of every cluster its content belongs to in ANY
+  // modality (keeping the text of a post doesn't launder the
+  // proprietary image that circulates with a near-dup of it).
+  // Verdict: 'drop' if the document is a redundant (non-
+  // representative) member of any modality's cluster — its content
+  // survives via that cluster's representative; 'review' if it is
+  // kept but its effective license is proprietary or propagation
+  // tightened it (tainted); 'keep' otherwise. Representatives follow
+  // each family's registered convention: most-tokens/min-id for text
+  // (q70), min-id for media (q195).
+  //
+  // Scale shape: pure component-label joins over ALREADY-STAGED
+  // artifacts — the q70 staged pair graph and both media hash tables;
+  // no new stage build, no pair scan. Each modality pays one
+  // cluster-partitioned window exchange (its keep rule and its
+  // license max share the partitioning), and the three per-doc
+  // verdict frames join on doc_id — corpus ⋈ corpus, allowlisted like
+  // q192/q194 (broadcast would be the bug).
+  private lazy val MultimodalVerdictDef: QueryDef = QueryDef(
+    "q199_multimodal_curation_verdict",
+    (s, dir) => {
+      val tierE = expr(
+        "cast(conv(substring(md5(concat('lic|', source)), 1, 2), 16, 10) as int) % 4")
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), tierE.as("tier"),
+          size(array_distinct(graft.functions.TextFns.tokens(col("text"))))
+            .cast("long").as("ntok"))
+      val tEdges = Text.minhashPairs(s, dir, threshold = 0.8)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val tLabels = graft.operators.ConnectedComponents.cluster(tEdges)
+      val wKeep = Window.partitionBy(col("text_cluster"))
+        .orderBy(col("ntok").desc, col("doc_id"))
+      val wT = Window.partitionBy(col("text_cluster"))
+      val txt = docs.join(tLabels, docs("doc_id") === tLabels("node"), "left")
+        .withColumn("text_cluster", coalesce(col("label"), col("doc_id")))
+        .withColumn("t_red", row_number().over(wKeep) =!= 1)
+        .withColumn("t_eff", max(col("tier")).over(wT))
+        .select(col("doc_id"), col("tier"), col("text_cluster"),
+          col("t_red"), col("t_eff"))
+      def modality(kind: String, cName: String) = {
+        val hashes = hashTable(s, dir, kind)
+        val labels = graft.operators.ConnectedComponents.cluster(nearDupEdges(hashes))
+        val wC = Window.partitionBy(col(cName))
+        hashes.select(col("doc_id"))
+          .join(docs.select(col("doc_id"), col("tier").as(s"${kind}_tier")),
+            Seq("doc_id"))
+          .join(labels, col("doc_id") === labels("node"), "left")
+          .withColumn(cName, coalesce(col("label"), col("doc_id")))
+          .withColumn(s"${kind}_red",
+            col("doc_id") =!= min(col("doc_id")).over(wC))
+          .withColumn(s"${kind}_eff", max(col(s"${kind}_tier")).over(wC))
+          .select(col("doc_id"), col(cName),
+            col(s"${kind}_red"), col(s"${kind}_eff"))
+      }
+      val img = modality("img", "image_cluster")
+      val aud = modality("aud", "audio_cluster")
+      val name = (t: org.apache.spark.sql.Column) =>
+        when(t === 0, "cc0").when(t === 1, "cc-by")
+          .when(t === 2, "cc-by-sa").otherwise("proprietary")
+      txt.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+        .withColumn("eff", greatest(col("t_eff"), col("img_eff"), col("aud_eff")))
+        .withColumn("n_dup_modalities",
+          col("t_red").cast("long") + col("img_red").cast("long") +
+            col("aud_red").cast("long"))
+        .withColumn("tainted", col("eff") > col("tier"))
+        .select(col("doc_id"), col("text_cluster"), col("image_cluster"),
+          col("audio_cluster"), col("n_dup_modalities"),
+          name(col("tier")).as("own_license"),
+          name(col("eff")).as("effective_license"),
+          col("tainted"),
+          when(col("n_dup_modalities") > 0, "drop")
+            .when(col("eff") === 3 || col("tainted"), "review")
+            .otherwise("keep").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${Text.minhashPairsSqlCtes(0.8)},
+             t_edges AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL
+               SELECT doc_b, doc_a FROM pairs),
+             t_nodes AS (SELECT DISTINCT src AS doc_id FROM t_edges),
+             t_reach AS (
+               SELECT doc_id, doc_id AS label FROM t_nodes
+               UNION
+               SELECT e.dst AS doc_id, r.label
+               FROM t_reach r JOIN t_edges e ON e.src = r.doc_id),
+             t_comp AS (
+               SELECT doc_id, min(label) AS cluster_id
+               FROM t_reach GROUP BY doc_id),
+             ${hashCtesSql("img", ImgVariants, ImgBump, "im_")},
+             ${hashCtesSql("aud", AudVariants, AudBump, "au_")},
+             d AS (
+               SELECT doc_id,
+                 ('0x' || substr(md5('lic|' || source), 1, 2))::INT % 4 AS tier,
+                 len(list_distinct(string_split(text, ' ')))::BIGINT AS ntok
+               FROM documents WHERE doc_id IS NOT NULL),
+             tg AS (
+               SELECT d.doc_id, d.tier,
+                 coalesce(c.cluster_id, d.doc_id) AS text_cluster, d.ntok
+               FROM d LEFT JOIN t_comp c USING (doc_id)),
+             tw AS (
+               SELECT doc_id, tier, text_cluster,
+                 (row_number() OVER (PARTITION BY text_cluster
+                    ORDER BY ntok DESC, doc_id) <> 1) AS t_red,
+                 max(tier) OVER (PARTITION BY text_cluster) AS t_eff
+               FROM tg),
+             ig AS (
+               SELECT hh.doc_id,
+                 coalesce(c.cluster_id, hh.doc_id) AS image_cluster, d.tier
+               FROM im_hh hh JOIN d USING (doc_id)
+               LEFT JOIN im_comp c USING (doc_id)),
+             iw AS (
+               SELECT doc_id, image_cluster,
+                 (doc_id <> min(doc_id) OVER (PARTITION BY image_cluster)) AS i_red,
+                 max(tier) OVER (PARTITION BY image_cluster) AS i_eff
+               FROM ig),
+             ug AS (
+               SELECT hh.doc_id,
+                 coalesce(c.cluster_id, hh.doc_id) AS audio_cluster, d.tier
+               FROM au_hh hh JOIN d USING (doc_id)
+               LEFT JOIN au_comp c USING (doc_id)),
+             uw AS (
+               SELECT doc_id, audio_cluster,
+                 (doc_id <> min(doc_id) OVER (PARTITION BY audio_cluster)) AS a_red,
+                 max(tier) OVER (PARTITION BY audio_cluster) AS a_eff
+               FROM ug),
+             f AS (
+               SELECT t.doc_id, t.text_cluster, i.image_cluster, a.audio_cluster,
+                 t.tier,
+                 greatest(t.t_eff, i.i_eff, a.a_eff) AS eff,
+                 (t.t_red::INT + i.i_red::INT + a.a_red::INT)::BIGINT
+                   AS n_dup_modalities
+               FROM tw t JOIN iw i USING (doc_id) JOIN uw a USING (doc_id))
+             SELECT doc_id, text_cluster, image_cluster, audio_cluster,
+               n_dup_modalities,
+               CASE tier WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+                 WHEN 2 THEN 'cc-by-sa' ELSE 'proprietary' END AS own_license,
+               CASE eff WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+                 WHEN 2 THEN 'cc-by-sa' ELSE 'proprietary' END AS effective_license,
+               (eff > tier) AS tainted,
+               CASE WHEN n_dup_modalities > 0 THEN 'drop'
+                    WHEN eff = 3 OR eff > tier THEN 'review'
+                    ELSE 'keep' END AS verdict
+             FROM f ORDER BY doc_id"""),
+  )
+
+  def defs: Seq[QueryDef] = Seq(ImageNearDupDef, AudioNearDupDef,
+    MultimodalVerdictDef)
 }

@@ -85,7 +85,7 @@ object Text {
         .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
     }
 
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Double): org.apache.spark.sql.DataFrame = {
     val scratch = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
     val out = graft.operators.Staged.parquet(
@@ -270,7 +270,7 @@ object Text {
     } finally done()
   }
 
-  private def minhashPairsSqlCtes(threshold: Double): String = {
+  private[queries] def minhashPairsSqlCtes(threshold: Double): String = {
     val sigs = (0 until 8).map(i => s"${TextFns.minhashSql("shingles", i)} AS mh_$i")
       .mkString(", ")
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -2889,6 +2889,82 @@ object Vectors {
     }.reduce(_.unionByName(_)).orderBy(col("c_width"))
   }
 
+  /** Probe hook (r14 verdict #3): the COMPOSED IVF×BQ knob cell. The
+    * q191 sweep (`bqSweepProbe`) proves C=256 restores the full band
+    * at sf0.1 for the FULL-scan BQ path; q187 serves at nprobe=2 and
+    * its default C — this probe runs q187's exact serving composition
+    * (probe cells → partition-pruned read → Hamming rank INSIDE the
+    * cells) with PARAMETRIC oversampling width and nprobe, each row
+    * scored against the shared exact top-20 harness, answering the
+    * open question a deployment tunes on: does cell pruning cap what
+    * oversampling recovers? Spark side only, same staged artifacts as
+    * q187 (`bq64|dir`, `ivfbq_idx|dir`); correctness of the machinery
+    * is q187's oracle. */
+  private[graft] def ivfBqSweepProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String, widths: Seq[Int], nprobe: Int = 2): org.apache.spark.sql.DataFrame = {
+    graft.functions.DotProductF.register(s)
+    val bq = graft.operators.Staged.parquet(s, s"bq64|$dir")(bqBuild(s, dir))
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("lo"), col("hi"))
+    val cents = ivfCentsOf(bq)
+    val index = graft.operators.Staged.partitionedParquet(
+      s, s"ivfbq_idx|$dir", "cell") {
+      ivfAssign(bq, cents, Seq("lo", "hi", "embedding", "nsq"))
+    }
+    val probeCells = bq.filter(col("vec_id") < N_PROBES)
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", ivfCentSim)
+      .groupBy(col("vec_id"))
+      .agg(
+        expr(s"slice(array_sort(collect_list(struct(-cent_sim AS negsim, cid))), 1, $nprobe)")
+          .as("cells"),
+        first(col("lo")).as("p_lo"),
+        first(col("hi")).as("p_hi"),
+        first(col("embedding")).as("p_emb"),
+        first(col("nsq")).as("p_nsq"))
+      .select(col("vec_id").as("probe_id"), col("p_lo"), col("p_hi"),
+        col("p_emb"), col("p_nsq"),
+        explode(expr("transform(cells, x -> x.cid)")).as("cell"))
+    val probeCellIds = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val cellIndex = index.filter(col("cell").isInCollection(probeCellIds))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ham"), col("vec_id"))
+    val w3 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val cands = cellIndex.select(col("vec_id"), col("cell"), col("lo"), col("hi"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("ham", expr(
+        "cast(bit_count(lo ^ p_lo) + bit_count(hi ^ p_hi) as int)"))
+      .withColumn("crank", row_number().over(wc))
+    val probesFull = bq.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"))
+    val simE = Num.fround(
+      VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+        col("p_nsq"), col("nsq")), 4)
+    val exact = bq.select(col("vec_id"), col("embedding"), col("nsq"))
+      .crossJoin(broadcast(probesFull))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), simE.as("sim"))
+      .withColumn("rk", row_number().over(w3))
+      .filter(col("rk") <= 20)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+    widths.map { cWidth =>
+      broadcast(cands.filter(col("crank") <= cWidth))
+        .join(cellIndex.select(col("vec_id"), col("embedding"), col("nsq")), Seq("vec_id"))
+        .withColumn("sim", Num.fround(
+          VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+            col("p_nsq"), col("nsq")), 4))
+        .withColumn("rank", row_number().over(w3))
+        .filter(col("rank") <= 8)
+        .join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("results"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .select(lit(cWidth.toLong).as("c_width"), col("results"), col("hits"))
+    }.reduce(_.unionByName(_)).orderBy(col("c_width"))
+  }
+
   private lazy val BqSweepDef: QueryDef = QueryDef(
     "q191_ann_bq_sweep",
     (s, dir) => {

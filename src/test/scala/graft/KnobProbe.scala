@@ -69,11 +69,25 @@ object KnobProbe {
       bq.foreach { case (c, n, h) =>
         println(s"""BQC {"dir":"$dir","c_width":$c,"results":$n,"hits":$h}""")
       }
-      dir -> (bm.map(t => t._1 -> t._3).toMap, bq.map(t => t._1 -> t._3).toMap)
+      // The COMPOSED IVF×BQ cell (r14 verdict #3): q187's serving path
+      // (nprobe=2 cells, Hamming rank inside them) with C swept past
+      // the default — does cell pruning cap what oversampling recovers?
+      // Plus one nprobe=4 point at the widest C, which attributes any
+      // remaining gap to the cell-recall ceiling vs the Hamming rank.
+      val ivfBq = rows(queries.Vectors.ivfBqSweepProbe(spark, dir, Seq(64, 128, 256)))
+      ivfBq.foreach { case (c, n, h) =>
+        println(s"""IVFBQ {"dir":"$dir","nprobe":2,"c_width":$c,"results":$n,"hits":$h}""")
+      }
+      val ivfBq4 = rows(queries.Vectors.ivfBqSweepProbe(spark, dir, Seq(256), nprobe = 4))
+      ivfBq4.foreach { case (c, n, h) =>
+        println(s"""IVFBQ {"dir":"$dir","nprobe":4,"c_width":$c,"results":$n,"hits":$h}""")
+      }
+      dir -> (bm.map(t => t._1 -> t._3).toMap, bq.map(t => t._1 -> t._3).toMap,
+        ivfBq.map(t => t._1 -> t._3).toMap, ivfBq4.map(t => t._1 -> t._3).toMap)
     }.toMap
 
-    val (beamBase, bqBase) = out(base)
-    val (beamScaled, bqScaled) = out(scaled)
+    val (beamBase, bqBase, ivfBqBase, ivfBq4Base) = out(base)
+    val (beamScaled, bqScaled, _, _) = out(scaled)
     // natural-corpus response: widening the beam restores the band at
     // the base SF (measured 47 → 61 → 64 at 16/64/128)
     require(beamBase(64L) >= beamBase(16L) + 5 && beamBase(128L) >= 60,
@@ -87,6 +101,18 @@ object KnobProbe {
       s"graph serve lost the duplicate hit at $scaled: $beamScaled")
     require(bqScaled(16L) >= 56,
       s"BQ stopped ranking exact-code replicas at $scaled: $bqScaled")
+    // composed IVF×BQ (r14 verdict #3) — measured round 15 at sf0.1:
+    // nprobe=2 hits@8 go 32 → 41 → 42 at C=64/128/256 (vs the
+    // full-scan BQ's 56 → 64): CELL PRUNING CAPS WHAT OVERSAMPLING
+    // RECOVERS — the plateau is the fraction of true top-20 mass
+    // inside the two probed cells — while nprobe=4 at C=256 serves
+    // 60/64. The deployment knob under composition is nprobe, not C.
+    // Gates: the C response stays monotone above its measured floor,
+    // and the nprobe knob keeps restoring the band.
+    require(ivfBqBase(256L) >= ivfBqBase(64L) && ivfBqBase(64L) >= 28,
+      s"composed IVF x BQ C-response degraded at $base: $ivfBqBase")
+    require(ivfBq4Base(256L) >= 55,
+      s"nprobe=4 no longer restores the band at $base: $ivfBq4Base")
     spark.stop()
   }
 }

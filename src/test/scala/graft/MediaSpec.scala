@@ -91,4 +91,39 @@ class MediaSpec extends SparkSuite {
       s"distinct-code accounting ${out.map(_._3).sum} != " +
         s"formula ${formulaHashes.distinct.length}")
   }
+
+  test("q199 composes the modality components under the strictest-license rule") {
+    val rows = SparkEntry.queries("q199_multimodal_curation_verdict")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val lic = Seq("cc0", "cc-by", "cc-by-sa", "proprietary")
+    rows.foreach { r =>
+      val own = lic.indexOf(r.getString(5))
+      val eff = lic.indexOf(r.getString(6))
+      val nd = r.getLong(4)
+      val tainted = r.getBoolean(7)
+      assert(own >= 0 && eff >= own,
+        s"doc ${r.getLong(0)}: effective license weaker than own")
+      assert(tainted == (eff > own), s"doc ${r.getLong(0)}: taint flag wrong")
+      assert(nd >= 0 && nd <= 3)
+      val want = if (nd > 0) "drop" else if (eff == 3 || tainted) "review" else "keep"
+      assert(r.getString(8) == want,
+        s"doc ${r.getLong(0)}: verdict ${r.getString(8)}, want $want")
+    }
+    // non-degeneracy: all three verdicts occur at sf0.001
+    assert(rows.map(_.getString(8)).toSet == Set("keep", "drop", "review"),
+      s"verdict set degenerate: ${rows.map(_.getString(8)).toSet}")
+    // component agreement with the registered per-modality queries:
+    // the capstone must not re-derive DIFFERENT clusters
+    val imgClusters = SparkEntry.queries("q194_image_neardup_license")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val txtClusters = SparkEntry.queries("q70_fuzzy_dedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(imgClusters(r.getLong(0)) == r.getLong(2),
+        s"doc ${r.getLong(0)}: image cluster diverged from q194")
+      assert(txtClusters(r.getLong(0)) == r.getLong(1),
+        s"doc ${r.getLong(0)}: text cluster diverged from q70")
+    }
+  }
 }

@@ -67,20 +67,27 @@ class PlanHygieneSpec extends SparkSuite {
     //    table on the band key; both sides scale with the media
     //    corpus) and the component-label verdict join back onto every
     //    document; broadcast would be the bug.
+    //  - q199: the cross-modality capstone — the q192/q194 verdict
+    //    joins three times over (text/image/audio component labels
+    //    joined back onto every document) plus the final three-way
+    //    per-doc join of the modality verdict frames; every side
+    //    scales with the corpus.
     "SortMergeJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
       "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
       "q164_dedup_weights", "q183_bitext_margin_mining",
       "q186_embedding_decontamination", "q192_license_propagation",
-      "q194_image_neardup_license", "q195_audio_neardup_groups"),
+      "q194_image_neardup_license", "q195_audio_neardup_groups",
+      "q199_multimodal_curation_verdict"),
     "ShuffledHashJoin" -> Set("q94_salted_skew_join", "q70_fuzzy_dedup",
       "q86_semantic_dedup", "q122_exact_jaccard_join", "q127_snapshot_diff",
       "q136_knn_graph", "q138_hard_negatives", "q140_label_propagation",
       "q143_containment_join", "q148_triangle_count", "q160_leakage_safe_folds",
       "q164_dedup_weights", "q183_bitext_margin_mining",
       "q186_embedding_decontamination", "q192_license_propagation",
-      "q194_image_neardup_license", "q195_audio_neardup_groups"))
+      "q194_image_neardup_license", "q195_audio_neardup_groups",
+      "q199_multimodal_curation_verdict"))
 
   private val flags = Seq("Expand", "CartesianProduct", "ScalaUDF",
     "BatchEvalPython", "SortMergeJoin", "ShuffledHashJoin",

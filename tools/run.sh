@@ -16,4 +16,4 @@ exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-8g}" \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "${GRAFT_CP:-target/scala-2.13/classes}:/opt/spark/jars/*" "$@"
