@@ -2405,5 +2405,143 @@ object Text {
                  (d.dev > md.mad * 3) AS is_outlier
                FROM d JOIN md USING (source) ORDER BY d.doc_id"""),
     ),
+
+    // TOKEN-BUDGET MIXTURE allocation — the step after the per-source
+    // diversity audit (q146): given a training-token budget B (here
+    // half the corpus — one "epoch budget"), decide how many tokens
+    // to draw from each source. The allocator is exact WATER-FILLING:
+    // raise one global level λ and give source i min(cap_i, ⌊w_i·λ⌋)
+    // tokens, with λ set so the total exhausts B. This is the classic
+    // sampling-weight computation behind data-mixture recipes
+    // (DoReMi-style reweighting with an availability cap — a source
+    // can't supply more tokens than it has, and oversampling the rest
+    // must absorb the slack). The weight w_i = vocab_i · tier_i
+    // composes the q146 diversity signal with a 1/2/4/8× mixture
+    // PREFERENCE TIER derived md5-deterministically from the source
+    // name (the q192 device — the stand-in for a real mixture
+    // registry). The tier spread matters for the differential: this
+    // synthetic corpus's caps and vocabularies are near-uniform
+    // across sources, so a vocab-only weight never saturates anyone
+    // (measured: kstar = 0 at sf0.001 — the saturated branch would be
+    // dead code to the oracle); the 8× tier spread pushes the
+    // high-preference sources past their caps and the low-preference
+    // ones below λ, so BOTH branches of the allocator are live in the
+    // hash compare at every SF.
+    //
+    // Exactness: sources saturate in ascending cap_i/w_i order. The
+    // saturation prefix k* is picked by an ALL-INTEGER test
+    // ((B − C_k)·w_k ≥ cap_k·W_k, cross-multiplied — no float in any
+    // decision); the per-source allocation is one integer floor
+    // division (B − C_k*)·w_i div W_k*. The ordering key cap/w is the
+    // one double (a single correctly-rounded division of identical
+    // BIGINT operands — identical in both engines; ties break on
+    // source). Invariants (pinned in TextSpec-style checks by the
+    // oracle itself): Σ alloc ≤ B, alloc_i ≤ cap_i, saturated
+    // sources get exactly cap_i.
+    //
+    // Scale shape: everything after the staged (source, token, count)
+    // collapse (shared with q146/q169 — no new stage) runs on
+    // |sources| rows: the rank/prefix windows are unpartitioned BY
+    // DESIGN (sources are a dim, bounded like a rollup — documented
+    // single-partition window over a handful of rows), and the
+    // budget/k* scalars ride 1-row broadcasts. Nothing here grows
+    // with the corpus except the one staged aggregate every
+    // vocabulary query already pays.
+    QueryDef(
+      "q200_token_budget_mixture",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tierE = expr("shiftleft(1L, cast(conv(substring(" +
+          "md5(concat('mix|', coalesce(source, ''))), 1, 2), 16, 10) as int) % 4)")
+        val stats = wordCounts(s, dir).groupBy(col("source"))
+          .agg(sum(col("c")).as("cap"), count(lit(1)).as("vocab"))
+          .withColumn("tier", tierE)
+          .withColumn("w", col("vocab") * col("tier"))
+        val tot = broadcast(stats.agg(sum(col("cap")).as("tc"),
+          sum(col("w")).as("tw")))
+        val wAll = Window.orderBy(col("sat_level"),
+          coalesce(col("source"), lit("")))
+        val cum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = stats.crossJoin(tot)
+          .withColumn("budget", expr("tc div 2"))
+          .withColumn("sat_level", col("cap").cast("double") / col("w"))
+          .withColumn("rnk", row_number().over(wAll).cast("long"))
+          .withColumn("ck", sum(col("cap")).over(cum))
+          .withColumn("wk", col("tw") - sum(col("w")).over(cum))
+        val wFull = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val withK = ranked
+          .withColumn("ks", max(
+            when((col("budget") - col("ck")) * col("w")
+              >= col("cap") * col("wk"), col("rnk")).otherwise(lit(0L)))
+            .over(wFull))
+        val params = broadcast(withK.agg(
+          max(col("ks")).as("ks"),
+          coalesce(max(when(col("rnk") === col("ks"), col("ck"))),
+            lit(0L)).as("satc"),
+          coalesce(max(when(col("rnk") === col("ks"), col("wk"))),
+            max(col("tw"))).as("remw"),
+          max(col("budget")).as("b")))
+        ranked.crossJoin(params)
+          .withColumn("saturated", col("rnk") <= col("ks"))
+          .withColumn("alloc",
+            when(col("saturated"), col("cap"))
+              .otherwise(expr("((b - satc) * w) div remw")))
+          .select(col("rnk"), col("source"), col("cap"), col("vocab"),
+            col("tier"), col("w").as("weight"),
+            col("saturated"), col("alloc"), col("b").as("budget"),
+            Num.fround(col("alloc").cast("double") / col("b"), 4).as("share"))
+          .orderBy(col("rnk"))
+      },
+      Some(s"""WITH wc AS (
+                 SELECT source, w, count(*)::BIGINT AS c FROM (
+                   SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+                 GROUP BY source, w),
+               st0 AS (SELECT source, sum(c)::BIGINT AS cap,
+                        count(*)::BIGINT AS vocab,
+                        (1::BIGINT << (('0x' || substr(md5('mix|' ||
+                          coalesce(source, '')), 1, 2))::INT % 4)) AS tier
+                      FROM wc GROUP BY source),
+               st AS (SELECT source, cap, vocab, tier,
+                        (vocab * tier)::BIGINT AS w
+                      FROM st0),
+               tt AS (SELECT sum(cap)::BIGINT AS tc, sum(w)::BIGINT AS tw
+                      FROM st),
+               rk AS (
+                 SELECT st.source, st.cap, st.vocab, st.tier, st.w,
+                   tt.tc // 2 AS budget, tt.tw AS tw,
+                   row_number() OVER (ORDER BY cap::DOUBLE / w,
+                     coalesce(source, ''))::BIGINT AS rnk,
+                   sum(cap) OVER (ORDER BY cap::DOUBLE / w,
+                     coalesce(source, '')
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS ck,
+                   (tt.tw - sum(w) OVER (ORDER BY cap::DOUBLE / w,
+                     coalesce(source, '')
+                     ROWS UNBOUNDED PRECEDING))::BIGINT AS wk
+                 FROM st CROSS JOIN tt),
+               kk AS (
+                 SELECT max(CASE WHEN (budget - ck) * w >= cap * wk
+                   THEN rnk ELSE 0 END)::BIGINT AS ks
+                 FROM rk),
+               pp AS (
+                 SELECT kk.ks,
+                   coalesce(max(CASE WHEN rk.rnk = kk.ks THEN rk.ck END), 0)::BIGINT AS satc,
+                   coalesce(max(CASE WHEN rk.rnk = kk.ks THEN rk.wk END),
+                     max(rk.tw))::BIGINT AS remw,
+                   max(rk.budget)::BIGINT AS b
+                 FROM rk CROSS JOIN kk GROUP BY kk.ks)
+               SELECT rk.rnk, rk.source, rk.cap, rk.vocab, rk.tier,
+                 rk.w AS weight,
+                 (rk.rnk <= pp.ks) AS saturated,
+                 (CASE WHEN rk.rnk <= pp.ks THEN rk.cap
+                   ELSE ((pp.b - pp.satc) * rk.w) // pp.remw END)::BIGINT AS alloc,
+                 pp.b AS budget,
+                 ${Num.froundSql(
+                   """(CASE WHEN rk.rnk <= pp.ks THEN rk.cap
+                      ELSE ((pp.b - pp.satc) * rk.w) // pp.remw END)::DOUBLE / pp.b""", 4)}
+                   AS share
+               FROM rk CROSS JOIN pp ORDER BY rk.rnk"""),
+    ),
   )
 }

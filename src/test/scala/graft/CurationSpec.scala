@@ -300,4 +300,46 @@ class CurationSpec extends SparkSuite {
     val ks = out.map(_._2)
     assert(ks(0) <= ks(1) && ks(1) <= ks(2), s"k not monotone: ${ks.toSeq}")
   }
+
+  test("q200 water-filling invariants: feasible, cap-respecting, level-consistent, both branches live") {
+    // columns: rnk, source, cap, vocab, tier, weight, saturated,
+    // alloc, budget, share
+    val rows = SparkEntry.queries("q200_token_budget_mixture")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5), r.getBoolean(6),
+        r.getLong(7), r.getLong(8)))
+    assert(rows.nonEmpty)
+    val budget = rows.head._6
+    // feasibility: never exceeds the budget; slack strictly below the
+    // unsaturated weight sum (else the level could rise one more unit)
+    val allocSum = rows.map(_._5).sum
+    assert(allocSum <= budget, s"allocated $allocSum > budget $budget")
+    rows.foreach { case (rnk, cap, w, sat, alloc, _) =>
+      assert(alloc >= 0 && alloc <= cap, s"rank $rnk: alloc $alloc vs cap $cap")
+      if (sat) assert(alloc == cap, s"rank $rnk saturated but alloc $alloc != cap $cap")
+      assert(w > 0, s"rank $rnk: nonpositive weight")
+    }
+    // water level: every unsaturated alloc is floor(w * lambda) for
+    // ONE shared rational lambda = remB/remW — check via the exact
+    // integer reconstruction
+    val unsat = rows.filter(!_._4)
+    if (unsat.nonEmpty) {
+      val remB = budget - rows.filter(_._4).map(_._5).sum
+      val remW = unsat.map(_._3).sum
+      unsat.foreach { case (rnk, _, w, _, alloc, _) =>
+        assert(alloc == remB * w / remW,
+          s"rank $rnk: alloc $alloc != floor($remB * $w / $remW)")
+      }
+      // saturated sources sit at or below the level: cap <= w * lambda
+      rows.filter(_._4).foreach { case (rnk, cap, w, _, _, _) =>
+        assert(cap * remW <= remB * w,
+          s"rank $rnk saturated above the water level")
+      }
+    }
+    // the md5 tier spread keeps BOTH branches live on this corpus —
+    // the degenerate all-proportional output would pass every check
+    // above while never exercising the saturation path in the oracle
+    assert(rows.exists(_._4), "no saturated source — allocator degenerate")
+    assert(unsat.nonEmpty, "every source saturated — budget not binding")
+  }
 }
