@@ -198,7 +198,14 @@ object Explain {
     // feature scan, TakeOrderedAndProject — no corpus shuffle at
     // all).
     "q196_prototypicality_prune", "q197_maxsim_retrieval",
-    "q198_tracin_selfinfluence")
+    "q198_tracin_selfinfluence",
+    // round 15: the water-filling mixture allocator — the plan
+    // evidence is the |sources|-row tail (unpartitioned windows over
+    // a dim-sized frame, 1-row broadcast scalars) downstream of the
+    // shared staged word-count aggregate. (q199 is excluded like
+    // q68/q70/q194/q195: its three component labelings run eager
+    // ConnectedComponents actions at plan-construction time.)
+    "q200_token_budget_mixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
