@@ -323,7 +323,9 @@ object Bench {
     // conventions as explicit MEASURED fields every run:
     //   cold_stage_total — Σ of the per-stage build seconds (the
     //     stage_build_sec map summed; engine work the per-query
-    //     minimums exclude when a warm pass runs);
+    //     minimums exclude when a warm pass runs — Staged records
+    //     EXCLUSIVE per-stage time since r16, so nested builds are
+    //     not double-counted in this sum, ADVICE r15);
     //   warm_serve_total — Σ over queries of the minimum elapsed
     //     among runs AFTER the first (a measured warm pass, never
     //     cold-minus-stage subtraction); warm_covered says how many

@@ -20,9 +20,12 @@ object Explain {
     "q34_ngram_jaccard_blocked",
     "q37_cosine_topk_bruteforce", "q51_asof_join",
     "q54_simhash_hamming_pairs", "q58_session_window_native",
-    // q68/q70 are excluded: ConnectedComponents runs eager actions
-    // during DataFrame construction, so "explaining" them would run
-    // the clustering and dump only the post-checkpoint tail.
+    // round 16: q68/q70 were excluded while ConnectedComponents ran
+    // eager actions at plan-construction time; the labeling is a
+    // staged artifact now (VERDICT r15 #1), so their SERVING plans —
+    // staged label scan + window tail, the shape the 100 TB claim
+    // rests on — are dumpable like q85's.
+    "q68_neardup_clusters", "q70_fuzzy_dedup",
     "q61_participants_projection", "q69_tfidf_topk", "q72_ann_quantized",
     "q75_chunk_dedup_corpus", "q78_sequence_windows", "q82_range_join",
     "q84_curation_pipeline",
@@ -202,10 +205,14 @@ object Explain {
     // round 15: the water-filling mixture allocator — the plan
     // evidence is the |sources|-row tail (unpartitioned windows over
     // a dim-sized frame, 1-row broadcast scalars) downstream of the
-    // shared staged word-count aggregate. (q199 is excluded like
-    // q68/q70/q194/q195: its three component labelings run eager
-    // ConnectedComponents actions at plan-construction time.)
-    "q200_token_budget_mixture")
+    // shared staged word-count aggregate.
+    "q200_token_budget_mixture",
+    // round 16: the multimodal governance faces join the dump — all
+    // component labelings are staged artifacts now, so q199's serving
+    // plan is three label scans + cluster-partitioned windows + the
+    // allowlisted doc_id verdict joins, with zero eager actions.
+    "q194_image_neardup_license", "q195_audio_neardup_groups",
+    "q199_multimodal_curation_verdict")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

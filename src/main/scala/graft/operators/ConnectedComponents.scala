@@ -30,6 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** [[cluster]] behind a [[Staged]] parquet artifact keyed by the
+    * EDGE artifact's stage key (VERDICT r15 #1): the pair graphs and
+    * media hash tables were already staged per (input, threshold),
+    * but the labeling over them re-ran its iterative propagation
+    * inside every serve — q199 paid THREE labelings per serve, and
+    * q68/q70/q160/q164/q192/q194/q195 one each. A production pipeline
+    * persists component ids next to the pair graph; this is that
+    * artifact. Labels are deterministic min-ids, so staging is
+    * result-invisible (same oracle rows); serving becomes a plain
+    * parquet scan — no eager actions, so the face is also
+    * plan-dumpable (graft.Explain) like any staged query.
+    *
+    * @param edgeKey the stage key (or any deterministic identity) of
+    *                the edge list — labeling identity follows edge
+    *                identity, namespaced under `cc|`.
+    */
+  def clusterStaged(s: org.apache.spark.sql.SparkSession, edgeKey: String)
+      (edges: => DataFrame): DataFrame =
+    Staged.parquet(s, s"cc|$edgeKey")(cluster(edges))
+
   /** @param edges DataFrame with two columns `src`, `dst` (one row per
     *              undirected edge; both orientations implied).
     * @return (node, label) with one row per distinct endpoint; `label`

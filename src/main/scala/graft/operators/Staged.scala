@@ -73,18 +73,40 @@ object Staged {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
   /** Snapshot of (stage key → build seconds) for every stage built so
-    * far in this JVM. A stage that builds other stages inside its own
-    * build (q136's kNN graph over the clustering chain) reports its
-    * INCLUSIVE time — subtract the inner keys when attributing. */
+    * far in this JVM. Times are EXCLUSIVE: a stage that builds other
+    * stages inside its own build (q136's kNN graph over the
+    * clustering chain) has the inner builds' wall-clock subtracted,
+    * so `buildTimings.values.sum` is total engine stage work with no
+    * double-counting (the bench's `cold_stage_total`, ADVICE r15).
+    * One caveat: if a nested stage is concurrently being built by
+    * ANOTHER thread, this thread's lazy-holder WAIT counts toward the
+    * outer build's exclusive time (the subtraction is per-thread);
+    * bench/verify drive builds single-threaded, so in practice the
+    * sum is exact. */
   def buildTimings: Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     buildSecs.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
   }
 
+  // Per-thread stack of in-flight builds: each frame accumulates the
+  // inclusive seconds of the nested builds that complete under it, so
+  // the owner can record total − inner (its exclusive time). A FAILED
+  // nested build charges nothing anywhere (same contract as before:
+  // only successful builds are recorded; its seconds surface inside
+  // the parent's exclusive time if the parent still succeeds).
+  private final class Frame { var innerSec: Double = 0.0 }
+  private val frames: ThreadLocal[java.util.ArrayDeque[Frame]] =
+    ThreadLocal.withInitial(() => new java.util.ArrayDeque[Frame]())
+
   private def timed[T](key: String)(f: => T): T = {
+    val st = frames.get()
+    val me = new Frame
+    st.push(me)
     val t0 = System.nanoTime()
-    val r = f
-    buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+    val r = try f finally { st.pop(): Unit }
+    val total = (System.nanoTime() - t0) / 1e9
+    buildSecs.put(key, math.max(0.0, total - me.innerSec))
+    if (!st.isEmpty) st.peek().innerSec += total
     r
   }
 

@@ -166,6 +166,17 @@ object Media {
       maxHam = MaxHam)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
 
+  /** Staged component labels over one modality's verified near-dup
+    * edges (VERDICT r15 #1): q194/q195 each re-ran the label
+    * propagation per serve, and q199 ran it THREE times (text + both
+    * media legs). Keyed by the hash table's stage key, so a modality's
+    * labeling is built once per input dir per JVM and shared across
+    * every consumer; q199's legs now read the same artifacts as
+    * q194/q195. Labels are deterministic min-ids — oracles unchanged. */
+  private def hashClusters(s: SparkSession, dir: String, kind: String): DataFrame =
+    graft.operators.ConnectedComponents.clusterStaged(
+      s, s"media_${kind}_ahash|$dir")(nearDupEdges(hashTable(s, dir, kind)))
+
   /** Shared oracle CTE chain: per-doc hash halves from the sample
     * formula, banded candidates, verified pairs, components (q70's
     * recursive-CTE transitive closure). Emits CTE bodies `hh`, `pairs`
@@ -224,7 +235,7 @@ object Media {
     "q194_image_neardup_license",
     (s, dir) => {
       val hashes = hashTable(s, dir, "img")
-      val labels = graft.operators.ConnectedComponents.cluster(nearDupEdges(hashes))
+      val labels = hashClusters(s, dir, "img")
       val tier = expr(
         "cast(conv(substring(md5(concat('lic|', source)), 1, 2), 16, 10) as int) % 4")
       val docs = Tables.documents(s, dir)
@@ -282,7 +293,7 @@ object Media {
     "q195_audio_neardup_groups",
     (s, dir) => {
       val hashes = hashTable(s, dir, "aud")
-      val labels = graft.operators.ConnectedComponents.cluster(nearDupEdges(hashes))
+      val labels = hashClusters(s, dir, "aud")
       val wRep = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val wCode = Window.partitionBy(col("cluster_id"))
@@ -366,9 +377,7 @@ object Media {
         .select(col("doc_id"), tierE.as("tier"),
           size(array_distinct(graft.functions.TextFns.tokens(col("text"))))
             .cast("long").as("ntok"))
-      val tEdges = Text.minhashPairs(s, dir, threshold = 0.8)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val tLabels = graft.operators.ConnectedComponents.cluster(tEdges)
+      val tLabels = Text.minhashClusters(s, dir, threshold = 0.8)
       val wKeep = Window.partitionBy(col("text_cluster"))
         .orderBy(col("ntok").desc, col("doc_id"))
       val wT = Window.partitionBy(col("text_cluster"))
@@ -380,7 +389,7 @@ object Media {
           col("t_red"), col("t_eff"))
       def modality(kind: String, cName: String) = {
         val hashes = hashTable(s, dir, kind)
-        val labels = graft.operators.ConnectedComponents.cluster(nearDupEdges(hashes))
+        val labels = hashClusters(s, dir, kind)
         val wC = Window.partitionBy(col(cName))
         hashes.select(col("doc_id"))
           .join(docs.select(col("doc_id"), col("tier").as(s"${kind}_tier")),

@@ -439,7 +439,12 @@ object Retrieval {
               sum(col("c") * col("c"))
                 .over(Window.partitionBy(col("doc_id"), col("idx"))))
         }
-        val probeIds = feats.select(col("doc_id")).distinct()
+        // NULL pin (ADVICE r15): Spark orderBy is NULLS FIRST, DuckDB
+        // NULLS LAST — a NULL doc_id entering the fixture would eat a
+        // Spark probe slot and silently diverge the differential, so
+        // the probe pick excludes NULLs explicitly on BOTH engines.
+        val probeIds = feats.select(col("doc_id"))
+          .filter(col("doc_id").isNotNull).distinct()
           .orderBy(col("doc_id")).limit(MsimProbes)
         val probes = feats.join(broadcast(probeIds), Seq("doc_id"))
           .filter(col("idx") < MsimQCap)
@@ -484,6 +489,7 @@ object Retrieval {
                      sum(c * c) OVER (PARTITION BY doc_id, idx)::BIGINT AS nsq
                    FROM ftr WHERE c <> 0),
             pids AS (SELECT DISTINCT doc_id FROM fn
+                     WHERE doc_id IS NOT NULL
                      ORDER BY doc_id LIMIT $MsimProbes),
             pf AS (SELECT f.doc_id AS probe_id, f.idx AS q_idx, f.bucket,
                      f.c AS pc, f.nsq AS pnsq

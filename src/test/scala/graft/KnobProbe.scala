@@ -111,6 +111,9 @@ object KnobProbe {
     // and the nprobe knob keeps restoring the band.
     require(ivfBqBase(256L) >= ivfBqBase(64L) && ivfBqBase(64L) >= 28,
       s"composed IVF x BQ C-response degraded at $base: $ivfBqBase")
+    // nprobe=4/C=256 is the REGISTERED operating point since r16
+    // (q201_ann_ivf_bq_tuned serves this exact config, oracle-checked
+    // per row) — this gate pins the registered face's recall floor.
     require(ivfBq4Base(256L) >= 55,
       s"nprobe=4 no longer restores the band at $base: $ivfBq4Base")
     spark.stop()

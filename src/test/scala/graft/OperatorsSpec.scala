@@ -175,6 +175,30 @@ class OperatorsSpec extends SparkSuite {
     assert(out == again)
   }
 
+  test("clusterStaged: staged labels ≡ inline, built once, served as a pure scan") {
+    // The r16 staging contract (VERDICT r15 #1): the labeling over a
+    // staged edge artifact is itself a staged artifact — same labels
+    // as the inline operator, built once per key per JVM, and a
+    // re-serve is a parquet read with NO propagation machinery in the
+    // plan (that is what makes q199 three-labelings-per-serve → zero).
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("src", "dst")
+    val key = "cc_spec_edges_v1"
+    val staged = ConnectedComponents.clusterStaged(spark, key)(edges)
+      .as[(Long, Long)].collect().toMap
+    val inline = ConnectedComponents.cluster(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(staged == inline, "staged labeling diverged from inline")
+    // second serve must NOT re-run the build: the by-name build arg
+    // throws if forced, and the served plan is a bare file scan
+    val again = ConnectedComponents.clusterStaged(spark, key)(
+      sys.error("staged labeling was rebuilt on re-serve"))
+    assert(again.as[(Long, Long)].collect().toMap == inline)
+    val plan = again.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") && !plan.toLowerCase.contains("join"),
+      s"re-serve must be a pure staged scan:\n$plan")
+  }
+
   test("connected components match a reference union-find on random graphs") {
     // seeded RNG: reproducible, and the graphs exercise mixtures of
     // singletons-with-self-loops, small cliques, and long paths

@@ -32,7 +32,11 @@ object ScaleProbe {
         "q92_bloom_decontamination", "q116_exact_substring_removal",
         "q98_resample_gapfill", "q164_dedup_weights", "q115_dup_span_coverage",
         "q178_ann_graph_compaction", "q179_ann_graph_compacted_serve",
-        "q181_ann_graph_reinserted_serve")
+        "q181_ann_graph_reinserted_serve",
+        // round 16: the r15 faces ride the default list so the
+        // round-close gate artifact records their ratios
+        // (tools/round_gates.sh — previously commit-text only).
+        "q199_multimodal_curation_verdict", "q200_token_budget_mixture")
 
     def warmSecAndRows(name: String, dir: String): (Double, Long) = {
       val q = SparkEntry.queries(name)

@@ -7,8 +7,12 @@
 # through a round. This script runs both against the base sf0.1 dir
 # and the make_scale.py 10x replica and records GATES_r<N>.json at the
 # repo root: per-probe exit status plus every measured gate line
-# (STAGE/HITS/BEAM/BQC), so the round-close record PROVES the gates
-# ran and what they measured. Exit non-zero iff any gate failed.
+# (STAGE/HITS/BEAM/BQC/IVFBQ/SCALE), so the round-close record PROVES
+# the gates ran and what they measured. Exit non-zero iff any gate
+# failed. Round 16 (VERDICT r15 #3 + ADVICE r15): ScaleProbe joined
+# the loop — its measured 10x/1x warm-serve ratios previously lived
+# only in commit text — and the line filter keeps IVFBQ (KnobProbe's
+# composed-knob sweep) and SCALE, which the r15 alternation dropped.
 # Usage: tools/round_gates.sh <round>   (run `sbt Test/compile` first)
 set -uo pipefail
 cd "$(dirname "$0")/.."
@@ -23,7 +27,7 @@ export GRAFT_CP="target/scala-2.13/test-classes:target/scala-2.13/classes"
 status=0
 lines=""
 probes_json=""
-for probe in BuildProbe KnobProbe; do
+for probe in BuildProbe KnobProbe ScaleProbe; do
   log="target/gates/${probe}_r${ROUND}.log"
   SPARK_GRAFT_BASE="$BASE" SPARK_GRAFT_SCALED="$SCALED" \
     tools/run.sh "graft.$probe" >"$log" 2>&1
@@ -31,7 +35,7 @@ for probe in BuildProbe KnobProbe; do
   [ $rc -ne 0 ] && { status=1; tail -20 "$log"; }
   probes_json="${probes_json}${probes_json:+,}\"$probe\":$rc"
   # keep only the measured gate lines (valid JSON after the tag)
-  l=$(grep -E '^(STAGE|HITS|BEAM|BQC) ' "$log" | sed 's/"/\\"/g' |
+  l=$(grep -E '^(STAGE|HITS|BEAM|BQC|IVFBQ|SCALE) ' "$log" | sed 's/"/\\"/g' |
       awk '{printf "\"%s\",", $0}')
   lines="${lines}${l}"
 done
