@@ -2470,99 +2470,169 @@ object Text {
     // vocabulary query already pays.
     QueryDef(
       "q200_token_budget_mixture",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val tierE = expr("shiftleft(1L, cast(conv(substring(" +
-          "md5(concat('mix|', coalesce(source, ''))), 1, 2), 16, 10) as int) % 4)")
-        val stats = wordCounts(s, dir).groupBy(col("source"))
-          .agg(sum(col("c")).as("cap"), count(lit(1)).as("vocab"))
-          .withColumn("tier", tierE)
-          .withColumn("w", col("vocab") * col("tier"))
-        val tot = broadcast(stats.agg(sum(col("cap")).as("tc"),
-          sum(col("w")).as("tw")))
-        val wAll = Window.orderBy(col("sat_level"),
-          coalesce(col("source"), lit("")))
-        val cum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ranked = stats.crossJoin(tot)
-          .withColumn("budget", expr("tc div 2"))
-          .withColumn("sat_level", col("cap").cast("double") / col("w"))
-          .withColumn("rnk", row_number().over(wAll).cast("long"))
-          .withColumn("ck", sum(col("cap")).over(cum))
-          .withColumn("wk", col("tw") - sum(col("w")).over(cum))
-        val wFull = Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)
-        val withK = ranked
-          .withColumn("ks", max(
-            when((col("budget") - col("ck")) * col("w")
-              >= col("cap") * col("wk"), col("rnk")).otherwise(lit(0L)))
-            .over(wFull))
-        val params = broadcast(withK.agg(
-          max(col("ks")).as("ks"),
-          coalesce(max(when(col("rnk") === col("ks"), col("ck"))),
-            lit(0L)).as("satc"),
-          coalesce(max(when(col("rnk") === col("ks"), col("wk"))),
-            max(col("tw"))).as("remw"),
-          max(col("budget")).as("b")))
-        ranked.crossJoin(params)
-          .withColumn("saturated", col("rnk") <= col("ks"))
-          .withColumn("alloc",
-            when(col("saturated"), col("cap"))
-              .otherwise(expr("((b - satc) * w) div remw")))
+      (s, dir) =>
+        mixtureAllocation(s, dir)
           .select(col("rnk"), col("source"), col("cap"), col("vocab"),
             col("tier"), col("w").as("weight"),
             col("saturated"), col("alloc"), col("b").as("budget"),
             Num.fround(col("alloc").cast("double") / col("b"), 4).as("share"))
-          .orderBy(col("rnk"))
-      },
-      Some(s"""WITH wc AS (
-                 SELECT source, w, count(*)::BIGINT AS c FROM (
-                   SELECT source, unnest(string_split(text, ' ')) AS w
-                   FROM documents)
-                 GROUP BY source, w),
-               st0 AS (SELECT source, sum(c)::BIGINT AS cap,
-                        count(*)::BIGINT AS vocab,
-                        (1::BIGINT << (('0x' || substr(md5('mix|' ||
-                          coalesce(source, '')), 1, 2))::INT % 4)) AS tier
-                      FROM wc GROUP BY source),
-               st AS (SELECT source, cap, vocab, tier,
-                        (vocab * tier)::BIGINT AS w
-                      FROM st0),
-               tt AS (SELECT sum(cap)::BIGINT AS tc, sum(w)::BIGINT AS tw
-                      FROM st),
-               rk AS (
-                 SELECT st.source, st.cap, st.vocab, st.tier, st.w,
-                   tt.tc // 2 AS budget, tt.tw AS tw,
-                   row_number() OVER (ORDER BY cap::DOUBLE / w,
-                     coalesce(source, ''))::BIGINT AS rnk,
-                   sum(cap) OVER (ORDER BY cap::DOUBLE / w,
-                     coalesce(source, '')
-                     ROWS UNBOUNDED PRECEDING)::BIGINT AS ck,
-                   (tt.tw - sum(w) OVER (ORDER BY cap::DOUBLE / w,
-                     coalesce(source, '')
-                     ROWS UNBOUNDED PRECEDING))::BIGINT AS wk
-                 FROM st CROSS JOIN tt),
-               kk AS (
-                 SELECT max(CASE WHEN (budget - ck) * w >= cap * wk
-                   THEN rnk ELSE 0 END)::BIGINT AS ks
-                 FROM rk),
-               pp AS (
-                 SELECT kk.ks,
-                   coalesce(max(CASE WHEN rk.rnk = kk.ks THEN rk.ck END), 0)::BIGINT AS satc,
-                   coalesce(max(CASE WHEN rk.rnk = kk.ks THEN rk.wk END),
-                     max(rk.tw))::BIGINT AS remw,
-                   max(rk.budget)::BIGINT AS b
-                 FROM rk CROSS JOIN kk GROUP BY kk.ks)
-               SELECT rk.rnk, rk.source, rk.cap, rk.vocab, rk.tier,
-                 rk.w AS weight,
-                 (rk.rnk <= pp.ks) AS saturated,
-                 (CASE WHEN rk.rnk <= pp.ks THEN rk.cap
-                   ELSE ((pp.b - pp.satc) * rk.w) // pp.remw END)::BIGINT AS alloc,
-                 pp.b AS budget,
-                 ${Num.froundSql(
-                   """(CASE WHEN rk.rnk <= pp.ks THEN rk.cap
-                      ELSE ((pp.b - pp.satc) * rk.w) // pp.remw END)::DOUBLE / pp.b""", 4)}
-                   AS share
-               FROM rk CROSS JOIN pp ORDER BY rk.rnk"""),
+          .orderBy(col("rnk")),
+      Some(s"""WITH $mixtureSqlCtes
+               SELECT rnk, source, cap, vocab, tier, w AS weight,
+                 saturated, alloc, b AS budget,
+                 ${Num.froundSql("alloc::DOUBLE / b", 4)} AS share
+               FROM al ORDER BY rnk"""),
+    ),
+
+    // Mixture-arc CONSISTENCY TRIPWIRE (round 16, VERDICT r15 #7):
+    // the allocator's contract — Σ alloc ≤ B, alloc_i ≤ cap_i,
+    // saturated sources get EXACTLY cap_i, unsaturated strictly less,
+    // and floor-rounding slack bounded by the unsaturated count — was
+    // pinned only in specs; here each invariant is a VERDICT COLUMN
+    // both engines derive from their own allocator chain (the q112
+    // device), so an allocator regression fails CORRECTNESS, not just
+    // the spec suite. One row; everything reads the shared `al` frame
+    // (Spark: the same mixtureAllocation q200 serves; SQL: the same
+    // CTE chain), so the tripwire costs one |sources|-row aggregate.
+    QueryDef(
+      "q202_mixture_invariants",
+      (s, dir) =>
+        mixtureAllocation(s, dir)
+          .agg(
+            count(lit(1)).as("n_sources"),
+            sum(col("saturated").cast("long")).as("n_saturated"),
+            max(col("b")).as("budget"),
+            sum(col("alloc")).as("total_alloc"),
+            min((col("alloc") <= col("cap")).cast("int")).as("caps_ok"),
+            min(when(col("saturated") && col("alloc") =!= col("cap"), 0)
+              .otherwise(1)).as("saturated_exact_ok"),
+            min(when(!col("saturated") && col("alloc") >= col("cap"), 0)
+              .otherwise(1)).as("unsat_strict_ok"))
+          .select(col("n_sources"), col("n_saturated"), col("budget"),
+            col("total_alloc"),
+            (col("budget") - col("total_alloc")).as("slack"),
+            (col("total_alloc") <= col("budget")).cast("int").as("budget_ok"),
+            col("caps_ok"), col("saturated_exact_ok"), col("unsat_strict_ok"),
+            (col("budget") - col("total_alloc") >= 0 &&
+              (col("n_sources") - col("n_saturated") === 0 ||
+                col("budget") - col("total_alloc")
+                  < col("n_sources") - col("n_saturated")))
+              .cast("int").as("slack_ok")),
+      Some(s"""WITH $mixtureSqlCtes,
+               g AS (
+                 SELECT count(*)::BIGINT AS n_sources,
+                   sum(CASE WHEN saturated THEN 1 ELSE 0 END)::BIGINT AS n_saturated,
+                   max(b)::BIGINT AS budget,
+                   sum(alloc)::BIGINT AS total_alloc,
+                   min(CASE WHEN alloc <= cap THEN 1 ELSE 0 END)::INT AS caps_ok,
+                   min(CASE WHEN saturated AND alloc <> cap THEN 0 ELSE 1 END)::INT AS saturated_exact_ok,
+                   min(CASE WHEN NOT saturated AND alloc >= cap THEN 0 ELSE 1 END)::INT AS unsat_strict_ok
+                 FROM al)
+               SELECT n_sources, n_saturated, budget, total_alloc,
+                 (budget - total_alloc)::BIGINT AS slack,
+                 (CASE WHEN total_alloc <= budget THEN 1 ELSE 0 END)::INT AS budget_ok,
+                 caps_ok, saturated_exact_ok, unsat_strict_ok,
+                 (CASE WHEN budget - total_alloc >= 0
+                       AND (n_sources - n_saturated = 0
+                            OR budget - total_alloc < n_sources - n_saturated)
+                  THEN 1 ELSE 0 END)::INT AS slack_ok
+               FROM g"""),
     ),
   )
+
+  /** The q200 water-filling allocator as a shared frame (one row per
+    * source with `rnk`, `cap`, `vocab`, `tier`, `w`, `saturated`,
+    * `alloc`, `b`), so the registered face (q200) and the invariant
+    * tripwire (q202) derive from the SAME plan — exact contract and
+    * scale shape documented at the q200 QueryDef. */
+  private def mixtureAllocation(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tierE = expr("shiftleft(1L, cast(conv(substring(" +
+      "md5(concat('mix|', coalesce(source, ''))), 1, 2), 16, 10) as int) % 4)")
+    val stats = wordCounts(s, dir).groupBy(col("source"))
+      .agg(sum(col("c")).as("cap"), count(lit(1)).as("vocab"))
+      .withColumn("tier", tierE)
+      .withColumn("w", col("vocab") * col("tier"))
+    val tot = broadcast(stats.agg(sum(col("cap")).as("tc"),
+      sum(col("w")).as("tw")))
+    val wAll = Window.orderBy(col("sat_level"),
+      coalesce(col("source"), lit("")))
+    val cum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = stats.crossJoin(tot)
+      .withColumn("budget", expr("tc div 2"))
+      .withColumn("sat_level", col("cap").cast("double") / col("w"))
+      .withColumn("rnk", row_number().over(wAll).cast("long"))
+      .withColumn("ck", sum(col("cap")).over(cum))
+      .withColumn("wk", col("tw") - sum(col("w")).over(cum))
+    val wFull = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withK = ranked
+      .withColumn("ks", max(
+        when((col("budget") - col("ck")) * col("w")
+          >= col("cap") * col("wk"), col("rnk")).otherwise(lit(0L)))
+        .over(wFull))
+    val params = broadcast(withK.agg(
+      max(col("ks")).as("ks"),
+      coalesce(max(when(col("rnk") === col("ks"), col("ck"))),
+        lit(0L)).as("satc"),
+      coalesce(max(when(col("rnk") === col("ks"), col("wk"))),
+        max(col("tw"))).as("remw"),
+      max(col("budget")).as("b")))
+    ranked.crossJoin(params)
+      .withColumn("saturated", col("rnk") <= col("ks"))
+      .withColumn("alloc",
+        when(col("saturated"), col("cap"))
+          .otherwise(expr("((b - satc) * w) div remw")))
+  }
+
+  /** DuckDB mirror of [[mixtureAllocation]] as a CTE list (no leading
+    * WITH): defines `al` with columns rnk, source, cap, vocab, tier,
+    * w, saturated, alloc, b. Shared by q200/q202. */
+  private def mixtureSqlCtes: String =
+    s"""wc AS (
+          SELECT source, w, count(*)::BIGINT AS c FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          GROUP BY source, w),
+        st0 AS (SELECT source, sum(c)::BIGINT AS cap,
+                 count(*)::BIGINT AS vocab,
+                 (1::BIGINT << (('0x' || substr(md5('mix|' ||
+                   coalesce(source, '')), 1, 2))::INT % 4)) AS tier
+               FROM wc GROUP BY source),
+        st AS (SELECT source, cap, vocab, tier,
+                 (vocab * tier)::BIGINT AS w
+               FROM st0),
+        tt AS (SELECT sum(cap)::BIGINT AS tc, sum(w)::BIGINT AS tw
+               FROM st),
+        rk AS (
+          SELECT st.source, st.cap, st.vocab, st.tier, st.w,
+            tt.tc // 2 AS budget, tt.tw AS tw,
+            row_number() OVER (ORDER BY cap::DOUBLE / w,
+              coalesce(source, ''))::BIGINT AS rnk,
+            sum(cap) OVER (ORDER BY cap::DOUBLE / w,
+              coalesce(source, '')
+              ROWS UNBOUNDED PRECEDING)::BIGINT AS ck,
+            (tt.tw - sum(w) OVER (ORDER BY cap::DOUBLE / w,
+              coalesce(source, '')
+              ROWS UNBOUNDED PRECEDING))::BIGINT AS wk
+          FROM st CROSS JOIN tt),
+        kk AS (
+          SELECT max(CASE WHEN (budget - ck) * w >= cap * wk
+            THEN rnk ELSE 0 END)::BIGINT AS ks
+          FROM rk),
+        pp AS (
+          SELECT kk.ks,
+            coalesce(max(CASE WHEN rk.rnk = kk.ks THEN rk.ck END), 0)::BIGINT AS satc,
+            coalesce(max(CASE WHEN rk.rnk = kk.ks THEN rk.wk END),
+              max(rk.tw))::BIGINT AS remw,
+            max(rk.budget)::BIGINT AS b
+          FROM rk CROSS JOIN kk GROUP BY kk.ks),
+        al AS (
+          SELECT rk.rnk, rk.source, rk.cap, rk.vocab, rk.tier, rk.w,
+            (rk.rnk <= pp.ks) AS saturated,
+            (CASE WHEN rk.rnk <= pp.ks THEN rk.cap
+              ELSE ((pp.b - pp.satc) * rk.w) // pp.remw END)::BIGINT AS alloc,
+            pp.b AS b
+          FROM rk CROSS JOIN pp)"""
 }
