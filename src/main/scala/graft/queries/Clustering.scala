@@ -699,16 +699,32 @@ object Clustering {
     */
   private def beamWalkScored(nodesP: DataFrame, g: DataFrame,
       probes: DataFrame, entries: DataFrame, b: Int, hops: Int): DataFrame = {
+    // `entries` is PER-PROBE (probe_id, vec_id) — see [[routedEntries]].
+    // The init beam is checkpointed like every hop output (r16
+    // optimization): hop-1 references the beam TWICE (union arm +
+    // broadcast build side, separate executions — no exchange reuse
+    // across them), so an un-checkpointed init evaluated the whole
+    // routedEntries subtree (hub scans, two window exchanges) twice.
+    var beam = entries.select(col("probe_id"), col("vec_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to hops)
+      beam = beamHop(nodesP, g, probes, beam, b).localCheckpoint(true)
+    beamScore(nodesP, probes, beam)
+  }
+
+  /** One scored hop of the pre-checkpoint beam plan — factored out of
+    * [[beamWalkScored]] so the per-hop physical plan (the shape the
+    * serving family's cost is made of; the FINAL plan of a walk query
+    * starts at the last checkpoint and hides it) is dumpable by the
+    * plan tooling. */
+  private[graft] def beamHop(nodesP: DataFrame, g: DataFrame,
+      probes: DataFrame, beam: DataFrame, b: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sim = Num.fround(
-      VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
-        col("p_nsq"), col("nsq")), 4)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    def score(cand: DataFrame): DataFrame = nodesP
-      .join(broadcast(cand), Seq("vec_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-      .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+    val expanded = g.join(broadcast(beam), beam("vec_id") === g("va"))
+      .select(col("probe_id"), col("vb").as("vec_id"))
     // Duplicate-collapsed beam (round 13, caught by the BuildProbe
     // 10× hit gate): the beam keeps at most ONE candidate per (probe,
     // sim) level — the min-id representative — before the top-b cut.
@@ -722,25 +738,67 @@ object Clustering {
     // 4dp-rounded sim collapse too (bounded approximation,
     // deterministic min-id pick, mirrored in SQL — both engines drop
     // the same rows).
-    val du = Window.partitionBy(col("probe_id"), col("sim"))
-      .orderBy(col("vec_id"))
-    // `entries` is PER-PROBE (probe_id, vec_id) — see [[routedEntries]].
-    var beam = entries.select(col("probe_id"), col("vec_id"))
+    //
+    // Optimization round 16 (guide §2.4, exchange removal — proven
+    // row-identical to the r13 distinct + du-window + rk-window
+    // pipeline, same oracles): ONE exchange per hop instead of three.
+    //   - the candidate `distinct()` was redundant: duplicate
+    //     (probe_id, vec_id) rows carry the same sim, land in the same
+    //     (probe_id, sim) run, and the run-representative cut below
+    //     keeps exactly one row regardless of input multiplicity;
+    //   - both ranking cuts now ride ONE hash(probe_id) exchange +
+    //     one (probe_id, sim DESC, vec_id) sort: in that order the
+    //     old du=1 row (min vec_id per (probe_id, sim)) is precisely
+    //     the first row of its sim run — `!(lag(sim) <=> sim)`, the
+    //     null-safe run-boundary test — and the old rk (row_number
+    //     over the one-per-sim survivors by sim DESC, vec_id) equals
+    //     dense_rank() of sim DESC over ALL rows, because each
+    //     survivor is preceded by exactly its run's distinct sims.
+    //     dense_rank's required (probe_id, sim DESC) ordering is a
+    //     prefix of lag's, so Catalyst plans both Window execs over
+    //     the single sort (no second exchange).
+    val cand = beam.unionByName(expanded)
       .filter(col("vec_id") =!= col("probe_id"))
-    for (_ <- 1 to hops) {
-      val expanded = g.join(broadcast(beam), beam("vec_id") === g("va"))
-        .select(col("probe_id"), col("vb").as("vec_id"))
-      val cand = beam.unionByName(expanded)
-        .filter(col("vec_id") =!= col("probe_id")).distinct()
-      beam = score(cand)
-        .withColumn("du", row_number().over(du))
-        .filter(col("du") === 1)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= b)
-        .select(col("probe_id"), col("vec_id"))
-        .localCheckpoint(true)
+    val wSim = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc)
+    beamScore(nodesP, probes, cand)
+      .withColumn("du", lag(col("sim"), 1).over(w))
+      .withColumn("rk", dense_rank().over(wSim))
+      .filter(!(col("du") <=> col("sim")) && col("rk") <= b)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
+  /** Score candidate (probe_id, vec_id) rows against the corpus —
+    * the walk's broadcast-only scoring join (no exchange). */
+  private def beamScore(nodesP: DataFrame, probes: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val sim = Num.fround(
+      VectorFns.cosine(VectorFns.dotF("p_emb", "embedding"),
+        col("p_nsq"), col("nsq")), 4)
+    nodesP
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+  }
+
+  /** [[beamHop]] wired to a dir's staged graph and entry set — the
+    * one-call form the plan tooling dumps (hop-1 of q174's walk). */
+  private[graft] def beamHopPlan(s: SparkSession, dir: String,
+      b: Int = 16): DataFrame = {
+    val nodes = hierMembers(s, dir)
+      .select(col("vec_id"), col("fcid"), col("embedding"), col("nsq"))
+    val g = graft.operators.Staged.parquet(s, s"q174graph|$dir") {
+      navGraphBuild(nodes, knnRanked(s, dir).select(col("va"), col("vb")))
     }
-    score(beam)
+    val nodesP = nodes.select(col("vec_id"), col("embedding"), col("nsq"))
+    val probesF = nodes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("fcid").as("p_fcid"),
+        col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+    val probes = probesF.select(col("probe_id"), col("p_emb"), col("p_nsq"))
+    val entries = routedEntries(probesF, nodes,
+      hubTable(nodes), superHubTable(hubRankTable(nodes)))
+    val beam0 = entries.select(col("probe_id"), col("vec_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    beamHop(nodesP, g, probes, beam0, b)
   }
 
   /** DuckDB mirror of [[beamWalkScored]] as CTEs (no leading WITH):
@@ -2099,14 +2157,30 @@ object Clustering {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= k)
           .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
-        val perBeam = Seq(4, 8, 16).map { b =>
-          beamWalkScored(nodesP, g, probes, entries, b, hops)
-            .withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= 8)
-            .join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
-            .agg(count(lit(1)).as("n_results"),
-              sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
-            .select(lit(b.toLong).as("beam"), col("n_results"), col("hits"))
+        // r16 optimization (guide §2.6, overlap independent jobs): the
+        // three walks share nothing but read-only inputs and each hop
+        // is an EAGER localCheckpoint, so a sequential map serializes
+        // 15 tiny beam jobs on a 32-slot executor. Constructing the
+        // three branches from a small thread pool lets each walk's
+        // hops back-fill the slots the others leave idle; the final
+        // DataFrame (union of the three scored branches) is identical.
+        // entries is checkpointed ONCE up front so the walks' init
+        // checkpoints re-read it instead of re-deriving routedEntries
+        // per walk.
+        val entriesCk = entries.localCheckpoint(true)
+        val perBeam = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence(Seq(4, 8, 16).map { b => Future {
+            beamWalkScored(nodesP, g, probes, entriesCk, b, hops)
+              .withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= 8)
+              .join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+              .agg(count(lit(1)).as("n_results"),
+                sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+              .select(lit(b.toLong).as("beam"), col("n_results"), col("hits"))
+          } }), Duration.Inf)
         }
         perBeam.reduce(_.unionByName(_))
           .select(col("beam"), col("n_results"), col("hits"),
