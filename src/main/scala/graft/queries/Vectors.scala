@@ -2435,21 +2435,31 @@ object Vectors {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-        val probes = base.filter(col("vec_id") < N_PROBES)
-          .select(col("vec_id").as("probe_id") +:
-            (0 until PqS).map(sp =>
-              expr(s"slice(e, ${sp * PqD + 1}, $PqD)").as(s"p_e$sp")): _*)
         // ADC: per subspace, look up the probe-to-centroid distance
         // BY CID, not by array position — pqTrained drops empty Lloyd
         // cells from books(sp), so positional indexing would silently
         // shift to the wrong centroid when a cell empties. A literal-
         // keyed map is position-independent and stays a plan constant.
+        //
+        // r16 optimization (guide §1.2 step 2, per-task work): the
+        // lookup TABLE depends only on the probe, so it is computed
+        // HERE — once per probe row, carried through the broadcast —
+        // instead of inside the corpus-side scan, where the old
+        // per-row map expression re-ran all S·K·D distance kernels
+        // and allocated S map objects per candidate (the actual
+        // "computed once per query and broadcast" contract the ADC
+        // comment above always claimed). Same expressions over the
+        // same inputs — bit-identical sums, oracle unchanged.
+        val probes = base.filter(col("vec_id") < N_PROBES)
+          .select(col("vec_id").as("probe_id") +:
+            (0 until PqS).map { sp =>
+              val pe = expr(s"slice(e, ${sp * PqD + 1}, $PqD)")
+              map(books(sp).flatMap { case (cid, c) =>
+                Seq(lit(cid), graft.functions.SqDistF.distCol(pe, typedLit(c)))
+              }: _*).as(s"dt$sp")
+            }: _*)
         val adc = (0 until PqS).map { sp =>
-          val dmap = map(books(sp).flatMap { case (cid, c) =>
-            Seq(lit(cid),
-              graft.functions.SqDistF.distCol(col(s"p_e$sp"), typedLit(c)))
-          }: _*)
-          element_at(dmap, col(s"code$sp"))
+          element_at(col(s"dt$sp"), col(s"code$sp"))
         }.reduce(_ + _)
         val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
         // Bounded ADC shortlist (N_PROBES × K rows), consumed by the
@@ -2589,17 +2599,22 @@ object Vectors {
             first(col("embedding")).as("p_emb"),
             first(col("nsq")).as("p_nsq"))
           .select(col("vec_id").as("probe_id") +:
-            (0 until PqS).map(sp =>
-              expr(s"slice(p_e, ${sp * PqD + 1}, $PqD)").as(s"p_e$sp")) ++: Seq(
+            // cid-keyed lookup tables (not positional — see q151's
+            // note), computed ONCE PER PROBE ROW here and carried
+            // through the broadcast instead of re-deriving all S·K·D
+            // distance kernels per candidate row inside the cell scan
+            // (r16, the q151 ADC-table hoist — the scanned row's work
+            // is S map lookups, the FAISS ADC contract).
+            (0 until PqS).map { sp =>
+              val pe = expr(s"slice(p_e, ${sp * PqD + 1}, $PqD)")
+              map(books(sp).flatMap { case (cid, c) =>
+                Seq(lit(cid), graft.functions.SqDistF.distCol(pe, typedLit(c)))
+              }: _*).as(s"dt$sp")
+            } ++: Seq(
             col("p_emb"), col("p_nsq"),
             explode(expr("transform(cells, x -> x.cid)")).as("cell")): _*)
-        // cid-keyed lookup tables (not positional — see q151's note).
         val adc = (0 until PqS).map { sp =>
-          val dmap = map(books(sp).flatMap { case (cid, c) =>
-            Seq(lit(cid),
-              graft.functions.SqDistF.distCol(col(s"p_e$sp"), typedLit(c)))
-          }: _*)
-          element_at(dmap, col(s"code$sp"))
+          element_at(col(s"dt$sp"), col(s"code$sp"))
         }.reduce(_ + _)
         val probeCellIds = probeCells.select(col("cell")).distinct()
           .collect().map(_.getLong(0)).toSeq.sorted
