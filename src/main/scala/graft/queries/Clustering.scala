@@ -521,7 +521,18 @@ object Clustering {
       .withColumn("brk", row_number().over(bw))
       .filter(col("brk") <= rh)
       .select(col("va"), col("vb"))
+    // r16 optimization: the tree is CUT here, not only between descent
+    // rounds. ndRound references its links 6× (direct arm, reversal,
+    // u2 probe, join arms), so an un-checkpointed init replicated the
+    // whole seed derivation — ring joins + LSH bucketing over the
+    // hubRank chain — per reference: ndRound-1's recorded plan
+    // description was 2.2 MB with ~430 distinct broadcast/shuffle
+    // query stages and 400 s of aggregate task CPU at sf0.1 (event-log
+    // measured). With init checkpointed the round plans collapse to
+    // references; measured stage builds drop q174graph 19.6 → 8.4 s,
+    // q175base 20.1 → 6.7 s at sf0.1.
     val init = ringInit.unionByName(lshInit).distinct()
+      .localCheckpoint(true)
     def ndRound(links: DataFrame): DataFrame = {
       val und = links
         .unionByName(links.select(col("vb").as("va"), col("va").as("vb")))
