@@ -18,47 +18,6 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Scale-ADAPTIVE scan fan-out for CPU-DENSE map-side kernels
-    * (optimization guide §2.5: "one huge unsplittable file ...
-    * repartition immediately after the read"). The driver's test
-    * tables are single-row-group parquet files, so every scan is ONE
-    * input split and everything before the first exchange runs on one
-    * of 32 slots. A round-robin repartition to the session's
-    * parallelism unlocks the idle slots for a few hundred KB of
-    * shuffle.
-    *
-    * Measured discipline (r16): this pays ONLY where the per-row
-    * kernel is genuinely heavy — the q84 gopher 2-/3-gram metrics
-    * (~6 s of single-slot task time, build 3.1 → 2.4 s). It was
-    * MEASURED AND REJECTED for the span-md5 / simhash / msim-feature /
-    * media-codec builds (spans8 1.4 → 3.8 s, q143contain 3.7 → 5.9 s,
-    * media_img 3.0-3.5 → 4.3-6.7 s): their map kernels are too cheap
-    * for the extra shuffle + checkpoint. Do not spread this helper
-    * without an A/B stage-build number.
-    *
-    * Adaptivity contract (NOT a local-only constant): the repartition
-    * fires only when the scan's actual input-split count is below the
-    * session's default parallelism. At production scale a corpus scan
-    * has thousands of splits, the condition is false and the plan is
-    * untouched — no shuffle of corpus bytes is ever added where the
-    * layout already feeds every slot. Callers put this UNDER heavy
-    * per-row kernels only; plain column projections never need it.
-    *
-    * The repartitioned scan is eagerly localCheckpoint'ed: Catalyst
-    * pushes filters and projections through Repartition with no cost
-    * guard (the round-11 lesson), so without the barrier an expensive
-    * predicate above fanOut lands right back inside the single-task
-    * scan. The checkpoint is a few hundred KB at bench scale and never
-    * happens at production scale (the condition above). Callers must
-    * pass a NARROW df — the checkpoint pins every column it is given
-    * and blocks column pruning across itself. */
-  def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target)
-      df.repartition(target).localCheckpoint(true)
-    else df
-  }
-
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

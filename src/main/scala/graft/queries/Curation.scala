@@ -792,10 +792,7 @@ object Curation {
         // recompute (the round-1 q25 incident); the stage cannot be
         // evicted and is what a pipeline would keep in storage anyway.
         val withFp = graft.operators.Staged.parquet(s, s"q84_survivors|$dir") {
-          // fanOut (r16): the gopher 2-/3-gram metrics are the
-          // build's CPU (6 s of task time at sf0.1) and ran on the
-          // scan's single input split — see Tables.fanOut.
-          Tables.fanOut(s, raw).filter(gopherKeepExpr)
+          raw.filter(gopherKeepExpr)
             .select(col("doc_id"), col("lang"), col("text"),
               TextFns.fingerprint(col("text")).as("fp"))
         }
